@@ -1,0 +1,51 @@
+"""bloomsearch_spark — a PySpark-native hierarchical bloom-filter keyword
+index (field / token / field:token existence search with AND/OR combinators,
+partition + minmax prefilters, final-stage field regex), built from scratch
+as mergeable bitset sketches over an Iceberg-style table of source-code
+repositories.  See SURVEY.md for the structural analysis of the reference
+(danthegoodman1/bloomsearch) this re-expresses Spark-first.
+"""
+
+from .bloom import BloomParams, sizing
+from .config import IndexConfig
+from .query import (
+    And,
+    Between,
+    BloomExpr,
+    Condition,
+    Eq,
+    Field,
+    FieldRegex,
+    FieldToken,
+    Gt,
+    Gte,
+    In,
+    Lt,
+    Lte,
+    MinMax,
+    Ne,
+    NotBetween,
+    NotIn,
+    Or,
+    Partition,
+    PrefilterAnd,
+    PrefilterOr,
+    Query,
+    QueryBuilder,
+    RegexAnd,
+    RegexOr,
+    Token,
+    new_query,
+)
+from .plans.build import build_index
+from .plans.search import QueryStats, search, verify_integrity
+from .sources.manifest import BloomIndex
+
+__all__ = [
+    "And", "Between", "BloomExpr", "BloomIndex", "BloomParams", "Condition",
+    "Eq", "Field", "FieldRegex", "FieldToken", "Gt", "Gte", "In", "IndexConfig",
+    "Lt", "Lte", "MinMax", "Ne", "NotBetween", "NotIn", "Or", "Partition",
+    "PrefilterAnd", "PrefilterOr", "Query", "QueryBuilder", "QueryStats",
+    "RegexAnd", "RegexOr", "Token", "build_index", "new_query", "search",
+    "sizing", "verify_integrity",
+]

@@ -1,0 +1,93 @@
+"""Index configuration.
+
+Mirrors the knobs of the reference ``DefaultBloomSearchEngineConfig``
+(bloom_tree_engine.go:204-229): block/file bloom sizing, row-group row cap,
+compression codec, partition function, minmax-indexed fields — re-expressed
+for a Spark build where the "partition function" is a SQL expression and
+tokenized fields are declared columns of a fixed-schema table (or a single
+JSON document column for the schemaless compatibility path).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .bloom import BloomParams
+
+DEFAULT_BLOCK_ROWS = 10_000  # MaxRowGroupRows default, bloom_tree_engine.go:208
+DEFAULT_FILE_EXPECTED_ITEMS = 100_000  # FileBloomExpectedItems, :220
+DEFAULT_FPR = 0.001  # BloomFalsePositiveRate, :221
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Configuration for one index build.
+
+    - ``indexed_fields``: columns whose values are tokenized into the
+      token / field:token blooms (fixed-schema path).  Field names go into
+      the field bloom for blocks where the column is non-null.
+    - ``json_col``: if set, rows are schemaless JSON documents in this
+      column and fields are discovered per row by structural walking
+      (reference ingest semantics, tokenizer.go:29-83); ``indexed_fields``
+      is ignored.
+    - ``partition_expr``: SQL expression producing the partition_id string
+      (the reference's user ``PartitionFunc``, bloom_tree_engine.go:101).
+    - ``minmax_fields``: numeric columns (or top-level JSON fields) that get
+      per-block int64 zone maps (floor for min / ceil for max on floats,
+      min_max.go:16-28).
+    - ``max_block_rows``: target rows per data block. Block assignment is
+      deterministic hashing, so this is a *target*, not a hard cap (sizes
+      concentrate within a few percent of target at scale).
+    - ``blocks_per_file``: data blocks grouped into one logical file.
+    """
+
+    indexed_fields: tuple[str, ...] = ()
+    json_col: str | None = None
+    partition_expr: str = "''"
+    minmax_fields: tuple[str, ...] = ()
+    max_block_rows: int = DEFAULT_BLOCK_ROWS
+    blocks_per_file: int = 10
+    block_fpr: float = DEFAULT_FPR
+    file_fpr: float = DEFAULT_FPR
+    file_expected_items: int = DEFAULT_FILE_EXPECTED_ITEMS
+    compression: str = "snappy"  # none | snappy | zstd (file_format.go:147-151)
+    sha_col: str | None = None  # column to sha256 for the per-row invariant
+
+    @property
+    def block_params(self) -> BloomParams:
+        return BloomParams(self.max_block_rows, self.block_fpr)
+
+    @property
+    def file_params(self) -> BloomParams:
+        return BloomParams(self.file_expected_items, self.file_fpr)
+
+    def to_dict(self) -> dict:
+        return {
+            "indexed_fields": list(self.indexed_fields),
+            "json_col": self.json_col,
+            "partition_expr": self.partition_expr,
+            "minmax_fields": list(self.minmax_fields),
+            "max_block_rows": self.max_block_rows,
+            "blocks_per_file": self.blocks_per_file,
+            "block_fpr": self.block_fpr,
+            "file_fpr": self.file_fpr,
+            "file_expected_items": self.file_expected_items,
+            "compression": self.compression,
+            "sha_col": self.sha_col,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "IndexConfig":
+        return cls(
+            indexed_fields=tuple(d.get("indexed_fields", ())),
+            json_col=d.get("json_col"),
+            partition_expr=d.get("partition_expr", "''"),
+            minmax_fields=tuple(d.get("minmax_fields", ())),
+            max_block_rows=d.get("max_block_rows", DEFAULT_BLOCK_ROWS),
+            blocks_per_file=d.get("blocks_per_file", 10),
+            block_fpr=d.get("block_fpr", DEFAULT_FPR),
+            file_fpr=d.get("file_fpr", DEFAULT_FPR),
+            file_expected_items=d.get("file_expected_items", DEFAULT_FILE_EXPECTED_ITEMS),
+            compression=d.get("compression", "snappy"),
+            sha_col=d.get("sha_col"),
+        )

@@ -1,0 +1,198 @@
+"""Per-block index construction — the mergeable-UDAF core of the build.
+
+One call = one data block's pandas DataFrame in, one manifest row out
+(plus file-level *partial* bitsets that the file rollup OR-merges away).
+This mirrors the reference's per-partition buffering actor
+(``processIngestRequest``, bloom_tree_engine.go:460-675): every row's
+field paths / tokens / field::token keys are inserted into the block's
+three bloom filters AND into file-sized partials simultaneously
+(:549-565), numeric minmax zone maps accumulate with floor/ceil int64
+coercion (:567-584, min_max.go:16-28).
+
+Everything is vectorized: pandas ``str`` ops for tokenization, numpy
+``np.char.add`` for field::token keys, one keyed-SipHash pass per bloom —
+no per-row Python on the fixed-schema path.  The JSON-document path
+(schemaless compatibility) necessarily walks each document, but inside an
+Arrow-batched grouped-map UDF.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+from .. import bloom
+from ..config import IndexConfig
+from ..tokenizer import (
+    FIELD_TOKEN_SEP,
+    doc_index_entries,
+    explode_tokens,
+    stringify_series,
+)
+
+
+def minmax_coerce(lo: float, hi: float) -> tuple[int, int]:
+    """Reference int64 coercion: floor for min, ceil for max
+    (min_max.go:16-28)."""
+    return int(math.floor(lo)), int(math.ceil(hi))
+
+
+def _index_entries_fixed(pdf: pd.DataFrame, cfg: IndexConfig) -> tuple[list, list, list]:
+    """(fields, tokens, fieldtoken keys) arrays for a fixed-schema block."""
+    fields: list[str] = []
+    token_arrays: list[np.ndarray] = []
+    pair_arrays: list[np.ndarray] = []
+    for col in cfg.indexed_fields:
+        if col not in pdf.columns:
+            continue
+        s = pdf[col]
+        if s.notna().any():
+            fields.append(col)
+        _, toks = explode_tokens(s)
+        if len(toks):
+            token_arrays.append(toks)
+            pair_arrays.append(
+                np.char.add(f"{col}{FIELD_TOKEN_SEP}", toks.astype(str)).astype(object)
+            )
+    tokens = np.concatenate(token_arrays) if token_arrays else np.zeros(0, dtype=object)
+    pairs = np.concatenate(pair_arrays) if pair_arrays else np.zeros(0, dtype=object)
+    return fields, tokens, pairs
+
+
+def _index_entries_json(pdf: pd.DataFrame, cfg: IndexConfig) -> tuple[list, list, list]:
+    """(fields, tokens, pairs) for a block of JSON documents (schemaless
+    path; per-doc structural walk, tokenizer.go:29-83)."""
+    fields: set[str] = set()
+    tokens: set[str] = set()
+    pairs: set[str] = set()
+    for raw in pdf[cfg.json_col]:
+        if raw is None:
+            continue
+        doc = json.loads(raw) if isinstance(raw, str) else raw
+        f, t, p = doc_index_entries(doc)
+        fields.update(f)
+        tokens.update(t)
+        pairs.update(p)
+    return sorted(fields), np.asarray(sorted(tokens), dtype=object), np.asarray(
+        sorted(pairs), dtype=object
+    )
+
+
+def _minmax_maps(pdf: pd.DataFrame, cfg: IndexConfig) -> tuple[dict, dict]:
+    mn_map: dict[str, int] = {}
+    mx_map: dict[str, int] = {}
+    for f in cfg.minmax_fields:
+        if cfg.json_col is not None:
+            vals = []
+            for raw in pdf[cfg.json_col]:
+                if raw is None:
+                    continue
+                doc = json.loads(raw) if isinstance(raw, str) else raw
+                v = doc.get(f) if isinstance(doc, dict) else None
+                if isinstance(v, (int, float)) and not isinstance(v, bool):
+                    vals.append(float(v))
+            if not vals:
+                continue
+            lo, hi = min(vals), max(vals)
+        else:
+            if f not in pdf.columns:
+                continue
+            s = pd.to_numeric(pdf[f], errors="coerce").dropna()
+            if s.empty:
+                continue
+            lo, hi = float(s.min()), float(s.max())
+        mn_map[f], mx_map[f] = minmax_coerce(lo, hi)
+    return mn_map, mx_map
+
+
+def build_block_entry(
+    key: tuple, pdf: pd.DataFrame, cfg: IndexConfig
+) -> pd.DataFrame:
+    """Grouped-map body: one (file_id, block_id, partition_id) group ->
+    one manifest row carrying block blooms + file-partial blooms."""
+    file_id, block_id, partition_id = key
+    bp, fp = cfg.block_params, cfg.file_params
+
+    block_sets = [bloom.new_bitset(bp) for _ in range(3)]  # field, token, pair
+    file_sets = [bloom.new_bitset(fp) for _ in range(3)]
+
+    if cfg.json_col is not None:
+        fields, tokens, pairs = _index_entries_json(pdf, cfg)
+    else:
+        fields, tokens, pairs = _index_entries_fixed(pdf, cfg)
+
+    n_tokens = 0
+    for i, entries in enumerate((np.asarray(fields, dtype=object), tokens, pairs)):
+        n_tokens += bloom.insert_into_many(
+            [block_sets[i], file_sets[i]], entries, [bp, fp]
+        )
+
+    mn_map, mx_map = _minmax_maps(pdf, cfg)
+
+    return pd.DataFrame(
+        [
+            {
+                "file_id": file_id,
+                "block_id": block_id,
+                "partition_id": partition_id,
+                "row_count": len(pdf),
+                "token_count": n_tokens,
+                "minmax_min": mn_map,
+                "minmax_max": mx_map,
+                "expected_items": cfg.max_block_rows,
+                "fpr": cfg.block_fpr,
+                "field_bloom": block_sets[0].tobytes(),
+                "token_bloom": block_sets[1].tobytes(),
+                "fieldtoken_bloom": block_sets[2].tobytes(),
+                "file_expected_items": cfg.file_expected_items,
+                "file_fpr": cfg.file_fpr,
+                "file_field_bloom": file_sets[0].tobytes(),
+                "file_token_bloom": file_sets[1].tobytes(),
+                "file_fieldtoken_bloom": file_sets[2].tobytes(),
+            }
+        ]
+    )
+
+
+def rollup_file_entry(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map body: OR-merge one file's block partials into the
+    file-level manifest row (M4/M5 semantics: bitwise-OR blooms,
+    union-widen minmax; bloom_tree_engine.go:1401-1446).
+
+    Associative + idempotent, so Spark partial aggregation / stage retry /
+    checkpoint replay recombine identically.
+    """
+    (file_id,) = key
+    mn_map: dict[str, int] = {}
+    mx_map: dict[str, int] = {}
+    for m in pdf["minmax_min"]:
+        for f, v in (m or {}).items():
+            mn_map[f] = min(mn_map.get(f, v), v)
+    for m in pdf["minmax_max"]:
+        for f, v in (m or {}).items():
+            mx_map[f] = max(mx_map.get(f, v), v)
+    return pd.DataFrame(
+        [
+            {
+                "file_id": file_id,
+                "partition_id": pdf["partition_id"].iloc[0],
+                "block_count": len(pdf),
+                "row_count": int(pdf["row_count"].sum()),
+                "token_count": int(pdf["token_count"].sum()),
+                "byte_size": int(pdf["byte_size"].sum()),
+                "minmax_min": mn_map,
+                "minmax_max": mx_map,
+                "expected_items": int(pdf["file_expected_items"].iloc[0]),
+                "fpr": float(pdf["file_fpr"].iloc[0]),
+                "field_bloom": bloom.merge_serialized(list(pdf["file_field_bloom"])),
+                "token_bloom": bloom.merge_serialized(list(pdf["file_token_bloom"])),
+                "fieldtoken_bloom": bloom.merge_serialized(
+                    list(pdf["file_fieldtoken_bloom"])
+                ),
+            }
+        ]
+    )

@@ -1,0 +1,156 @@
+"""Versioned index manifest — the MetaStore analog.
+
+The reference splits storage into an opaque-blob DataStore and an atomic
+MetaStore (data_store.go:12-22, meta_store.go:8-22).  Here the DataStore is
+Spark-written Parquet under ``<root>/data/`` and the MetaStore is a
+*versioned manifest*: each commit writes a fresh
+``<root>/manifest/v{N}/{blocks,files,lineage}.parquet + meta.json`` and then
+atomically swaps the ``<root>/manifest/CURRENT`` pointer (write-temp +
+``os.replace``).  Readers resolve through CURRENT, so they never observe a
+partial state — the same atomicity contract as ``MetaStore.Update``
+(meta_store.go:21).  On an object store / real catalog this pointer swap
+maps to a conditional put or an Iceberg snapshot commit; the layout is the
+same Iceberg-style "data files + metadata tree" split.
+
+Manifest schemas (one row per block / per file):
+
+blocks: file_id, block_id, partition_id, row_count, token_count,
+        minmax_min map<string,long>, minmax_max map<string,long>,
+        expected_items, fpr, field_bloom, token_bloom, fieldtoken_bloom
+files:  file_id, partition_id, block_count, row_count, token_count,
+        minmax_min, minmax_max, expected_items, fpr, 3 blooms
+lineage: per-block provenance + build counters (insert/merge metrics,
+        north-rule requirement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import IndexConfig
+
+BLOCKS_SCHEMA = (
+    "file_id string, block_id string, partition_id string, "
+    "row_count long, token_count long, byte_size long, "
+    "minmax_min map<string,long>, minmax_max map<string,long>, "
+    "expected_items long, fpr double, "
+    "field_bloom binary, token_bloom binary, fieldtoken_bloom binary"
+)
+
+FILES_SCHEMA = (
+    "file_id string, partition_id string, block_count long, "
+    "row_count long, token_count long, byte_size long, "
+    "minmax_min map<string,long>, minmax_max map<string,long>, "
+    "expected_items long, fpr double, "
+    "field_bloom binary, token_bloom binary, fieldtoken_bloom binary"
+)
+
+LINEAGE_SCHEMA = (
+    "build_id string, file_id string, block_id string, partition_id string, "
+    "source_desc string, rows_indexed long, tokens_inserted long, "
+    "op string, committed_at double"
+)
+
+
+def _manifest_dir(root: str) -> str:
+    return os.path.join(root, "manifest")
+
+
+def _current_path(root: str) -> str:
+    return os.path.join(_manifest_dir(root), "CURRENT")
+
+
+def current_version(root: str) -> str | None:
+    """Resolve the committed manifest version, or None if never committed."""
+    try:
+        with open(_current_path(root)) as f:
+            return f.read().strip() or None
+    except FileNotFoundError:
+        return None
+
+
+def next_version_dir(root: str) -> tuple[str, str]:
+    cur = current_version(root)
+    n = int(cur[1:]) + 1 if cur else 1
+    v = f"v{n:08d}"
+    d = os.path.join(_manifest_dir(root), v)
+    return v, d
+
+
+def commit_version(root: str, version: str) -> None:
+    """Atomically advance CURRENT -> version (write temp + os.replace)."""
+    os.makedirs(_manifest_dir(root), exist_ok=True)
+    tmp = _current_path(root) + f".tmp.{os.getpid()}.{time.monotonic_ns()}"
+    with open(tmp, "w") as f:
+        f.write(version)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _current_path(root))
+
+
+@dataclass
+class BloomIndex:
+    """Handle to a committed index: root dir + resolved manifest version."""
+
+    spark: SparkSession
+    root: str
+    version: str
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "BloomIndex":
+        v = current_version(root)
+        if v is None:
+            raise FileNotFoundError(f"no committed manifest under {root}")
+        return cls(spark, root, v)
+
+    @property
+    def data_dir(self) -> str:
+        return os.path.join(self.root, "data")
+
+    @property
+    def version_dir(self) -> str:
+        return os.path.join(_manifest_dir(self.root), self.version)
+
+    def blocks(self) -> DataFrame:
+        return self.spark.read.schema(BLOCKS_SCHEMA).parquet(
+            os.path.join(self.version_dir, "blocks.parquet")
+        )
+
+    def files(self) -> DataFrame:
+        return self.spark.read.schema(FILES_SCHEMA).parquet(
+            os.path.join(self.version_dir, "files.parquet")
+        )
+
+    def lineage(self) -> DataFrame:
+        return self.spark.read.schema(LINEAGE_SCHEMA).parquet(
+            os.path.join(self.version_dir, "lineage.parquet")
+        )
+
+    def meta(self) -> dict:
+        with open(os.path.join(self.version_dir, "meta.json")) as f:
+            return json.load(f)
+
+    @property
+    def config(self) -> IndexConfig:
+        return IndexConfig.from_dict(self.meta()["config"])
+
+    def block_paths(self, keys: list[tuple[str, str]]) -> list[str]:
+        """Data directories for (file_id, block_id) keys — the pruned scan
+        set (the reference's MaybeFile block list, meta_store.go:33-41)."""
+        return [
+            os.path.join(self.data_dir, f"file_id={f}", f"block_id={b}") for f, b in keys
+        ]
+
+
+def write_meta(version_dir: str, config: IndexConfig, extra: dict | None = None) -> None:
+    os.makedirs(version_dir, exist_ok=True)
+    meta = {"config": config.to_dict(), "created_at": time.time()}
+    if extra:
+        meta.update(extra)
+    with open(os.path.join(version_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)

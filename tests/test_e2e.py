@@ -1,0 +1,234 @@
+"""End-to-end: build an index over the synthetic source-code table, run
+queries through the full prune+verify pipeline, and compare exact result
+sets against a brute-force pandas oracle (the template from SURVEY.md §7.1
+step 4; mirrors the reference's golden e2e pattern,
+bloom_tree_engine_test.go:469-639)."""
+
+import pandas as pd
+import pytest
+
+from bloomsearch_spark import (
+    And,
+    Between,
+    Eq,
+    Field,
+    FieldToken,
+    Gte,
+    In,
+    IndexConfig,
+    MinMax,
+    Or,
+    Partition,
+    PrefilterAnd,
+    Token,
+    build_index,
+    new_query,
+    search,
+    verify_integrity,
+)
+from bloomsearch_spark.sources.synthetic import generate_df, generate_pdf, needle_rows
+
+N_ROWS = 4_000
+
+CFG = IndexConfig(
+    indexed_fields=("repo", "path", "lang", "content"),
+    partition_expr="lang",
+    minmax_fields=(),
+    max_block_rows=200,
+    blocks_per_file=4,
+    block_fpr=0.01,
+    file_fpr=0.01,
+    file_expected_items=20_000,
+    compression="snappy",
+    sha_col="content",
+)
+
+
+@pytest.fixture(scope="module")
+def oracle_pdf():
+    return generate_pdf(N_ROWS)
+
+
+@pytest.fixture(scope="module")
+def index(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("idx"))
+    df = generate_df(spark, N_ROWS)
+    return build_index(spark, df, root, CFG, source_desc=f"synthetic n={N_ROWS}")
+
+
+def _tokens(s: str) -> set:
+    return set(s.lower().split())
+
+
+def _keys(pdf: pd.DataFrame) -> set:
+    return set(map(tuple, pdf[["repo", "path", "commit"]].to_numpy()))
+
+
+def _result_keys(df) -> set:
+    return {(r.repo, r.path, r.commit) for r in df.collect()}
+
+
+def test_token_search_matches_oracle(spark, index, oracle_pdf):
+    q = new_query().token("needle_alpha").build()
+    got, stats = search(spark, index, q, with_stats=True)
+    expected = oracle_pdf[oracle_pdf["content"].map(lambda c: "needle_alpha" in _tokens(c))]
+    assert len(expected) == len(needle_rows("needle_alpha", N_ROWS))
+    assert _result_keys(got) == _keys(expected)
+    # rare token ⇒ the hierarchy must actually prune
+    assert stats.blocks_after_block_bloom < stats.total_blocks
+    assert stats.prune_ratio > 0.2
+
+
+def test_lowercased_needle(spark, index, oracle_pdf):
+    """Stored 'Needle_Gamma' is found by lowercase query token
+    (tokenizer lowers at index time; query tokens are caller-lowercased,
+    PERFORMANCE.md:37)."""
+    q = new_query().token("needle_gamma").build()
+    got = search(spark, index, q)
+    expected = oracle_pdf[oracle_pdf["content"].str.contains("Needle_Gamma")]
+    assert _result_keys(got) == _keys(expected)
+    # original-case query token finds nothing (engine does not normalize queries)
+    q2 = new_query().token("Needle_Gamma").build()
+    assert search(spark, index, q2).count() == 0
+
+
+def test_field_token_search(spark, index, oracle_pdf):
+    q = new_query().field_token("lang", "go").build()
+    got = search(spark, index, q)
+    expected = oracle_pdf[oracle_pdf["lang"] == "go"]
+    assert _result_keys(got) == _keys(expected)
+
+
+def test_field_token_wrong_field_misses(spark, index):
+    q = new_query().field_token("path", "needle_alpha").build()
+    assert search(spark, index, q).count() == 0
+
+
+def test_field_search(spark, index, oracle_pdf):
+    q = new_query().field("lang").build()
+    assert search(spark, index, q).count() == len(oracle_pdf)
+    q2 = new_query().field("nonexistent_field").build()
+    got, stats = search(spark, index, q2, with_stats=True)
+    assert got.count() == 0
+    # a nonexistent field should be pruned entirely at the file level
+    assert stats.files_after_file_bloom == 0
+
+
+def test_and_or_combinators(spark, index, oracle_pdf):
+    q = (
+        new_query()
+        .match(And(Token("needle_alpha"), FieldToken("lang", "py")))
+        .build()
+    )
+    got = search(spark, index, q)
+    expected = oracle_pdf[
+        (oracle_pdf["lang"] == "py")
+        & oracle_pdf["content"].map(lambda c: "needle_alpha" in _tokens(c))
+    ]
+    assert _result_keys(got) == _keys(expected)
+
+    q_or = (
+        new_query()
+        .match(Or(Token("needle_alpha"), Token("needle_beta")))
+        .build()
+    )
+    got_or = search(spark, index, q_or)
+    expected_or = oracle_pdf[
+        oracle_pdf["content"].map(
+            lambda c: bool({"needle_alpha", "needle_beta"} & _tokens(c))
+        )
+    ]
+    assert _result_keys(got_or) == _keys(expected_or)
+
+
+def test_implicit_and_chaining(spark, index, oracle_pdf):
+    q = new_query().token("needle_alpha").token("needle_beta").build()
+    got = search(spark, index, q)
+    expected = oracle_pdf[
+        oracle_pdf["content"].map(
+            lambda c: {"needle_alpha", "needle_beta"} <= _tokens(c)
+        )
+    ]
+    assert _result_keys(got) == _keys(expected)
+
+
+def test_partition_prefilter(spark, index, oracle_pdf):
+    q = (
+        new_query()
+        .match_prefilter(Partition(Eq("go")))
+        .token("needle_alpha")
+        .build()
+    )
+    got, stats = search(spark, index, q, with_stats=True)
+    expected = oracle_pdf[
+        (oracle_pdf["lang"] == "go")
+        & oracle_pdf["content"].map(lambda c: "needle_alpha" in _tokens(c))
+    ]
+    assert _result_keys(got) == _keys(expected)
+    # partition pruning must cut the candidate set before blooms
+    assert stats.blocks_after_prefilter < stats.total_blocks
+
+
+def test_partition_prefilter_in_and_or(spark, index, oracle_pdf):
+    q = (
+        new_query()
+        .match_prefilter(
+            PrefilterAnd(Partition(In("go", "py")))
+        )
+        .field_token("lang", "py")
+        .build()
+    )
+    got = search(spark, index, q)
+    expected = oracle_pdf[oracle_pdf["lang"] == "py"]
+    assert _result_keys(got) == _keys(expected)
+
+
+def test_regex_final_stage(spark, index, oracle_pdf):
+    q = new_query().field_regex("path", r"file12\d\.go$").build()
+    got = search(spark, index, q)
+    expected = oracle_pdf[oracle_pdf["path"].str.contains(r"file12\d\.go$")]
+    assert _result_keys(got) == _keys(expected)
+
+
+def test_regex_and_token(spark, index, oracle_pdf):
+    q = (
+        new_query()
+        .token("needle_beta")
+        .field_regex("repo", r"^org0/")
+        .build()
+    )
+    got = search(spark, index, q)
+    expected = oracle_pdf[
+        oracle_pdf["repo"].str.match(r"org0/")
+        & oracle_pdf["content"].map(lambda c: "needle_beta" in _tokens(c))
+    ]
+    assert _result_keys(got) == _keys(expected)
+
+
+def test_invalid_regex_raises():
+    with pytest.raises(Exception):
+        new_query().field_regex("path", "[unclosed").build()
+
+
+def test_match_all_query(spark, index, oracle_pdf):
+    """No predicate at all -> every row (nil query matches all,
+    bloom_tree_engine.go:830-835)."""
+    q = new_query().build()
+    assert search(spark, index, q).count() == len(oracle_pdf)
+
+
+def test_sha256_invariant(spark, index):
+    assert verify_integrity(spark, index) == 0
+
+
+def test_block_sizes_bounded_despite_skew(spark, index):
+    """org0/monorepo holds ~30% of rows, but hash block assignment keeps
+    every block near the target size — no hot block (north-rule skew)."""
+    blocks = index.blocks().toPandas()
+    assert (blocks["row_count"] <= CFG.max_block_rows * 2).all()
+    assert blocks["row_count"].max() < 3 * blocks["row_count"].median()
+
+
+def test_source_columns_only_in_results(spark, index):
+    q = new_query().token("needle_alpha").build()
+    assert search(spark, index, q).columns == ["repo", "path", "commit", "lang", "content"]

@@ -1,0 +1,128 @@
+"""Tokenizer + field-extraction golden cases, mirroring the reference's
+tokenizer_test.go semantics exactly (FIXTURES.md F4/F5)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from bloomsearch_spark import tokenizer as tk
+
+
+# --- F5: BasicWhitespaceLowerTokenizer golden cases (tokenizer_test.go:99-173)
+
+@pytest.mark.parametrize(
+    "value,expected",
+    [
+        ("hello world 123", ["hello", "world", "123"]),
+        ("hello@world.com!test", ["hello@world.com!test"]),  # punctuation kept
+        ("hello-world_test", ["hello-world_test"]),
+        ("Hello WORLD", ["hello", "world"]),
+        ("  multiple   spaces\t\ttabs\nnewlines  ", ["multiple", "spaces", "tabs", "newlines"]),
+        ("", []),
+        (42.0, ["42"]),  # Go %v: float64(42) -> "42"
+        (3.14, ["3.14"]),
+        (True, ["true"]),
+        (False, ["false"]),
+        ("🚀 emoji test", ["🚀", "emoji", "test"]),
+    ],
+)
+def test_tokenize_value_golden(value, expected):
+    assert tk.tokenize_value(value) == expected
+
+
+def test_tokenize_series_matches_scalar_path():
+    s = pd.Series(["Hello World", "a@b!c", None, "", "MiXeD  Case"])
+    got = tk.tokenize_series(s).tolist()
+    assert got == [["hello", "world"], ["a@b!c"], [], [], ["mixed", "case"]]
+
+
+def test_stringify_series_go_percent_v():
+    assert tk.stringify_series(pd.Series([30.0, 3.5, None])).tolist() == ["30", "3.5", ""]
+    assert tk.stringify_series(pd.Series([1, 2])).tolist() == ["1", "2"]
+    assert tk.stringify_series(pd.Series([True, False])).tolist() == ["true", "false"]
+
+
+def test_explode_tokens():
+    s = pd.Series(["a b", "", None, "C"])
+    rows, toks = tk.explode_tokens(s)
+    assert rows.tolist() == [0, 0, 3]
+    assert toks.tolist() == ["a", "b", "c"]
+
+
+# --- F4: UniqueFields nested flattening (tokenizer_test.go:10-97)
+
+def test_unique_fields_nested():
+    doc = {"user": {"name": "John Doe", "role": "admin"}}
+    assert tk.unique_fields(doc) == {"user.name": ["John Doe"], "user.role": ["admin"]}
+
+
+def test_unique_fields_array_indices_dropped():
+    doc = {"items": [{"name": "Item1", "category": "electronics"},
+                     {"name": "Item2", "category": "books"}]}
+    got = tk.unique_fields(doc)
+    assert got == {"items.name": ["Item1", "Item2"],
+                   "items.category": ["electronics", "books"]}
+
+
+def test_unique_fields_dedup_per_row():
+    doc = {"tags": ["admin", "user", "admin"]}
+    assert tk.unique_fields(doc) == {"tags": ["admin", "user"]}
+
+
+def test_unique_fields_deep_nested_arrays():
+    doc = {"groups": [{"users": [{"name": "John"}, {"name": "Jane"}]},
+                      {"users": [{"name": "Bob"}]}]}
+    assert tk.unique_fields(doc) == {"groups.users.name": ["John", "Jane", "Bob"]}
+
+
+def test_unique_fields_empty_object():
+    assert tk.unique_fields({}) == {}
+
+
+def test_doc_index_entries_three_domains():
+    doc = {"records": [{"id": 1, "active": True}, {"id": 2, "active": False}]}
+    fields, tokens, pairs = tk.doc_index_entries(doc)
+    assert sorted(fields) == ["records.active", "records.id"]
+    assert tokens == ["1", "2", "false", "true"]
+    assert "records.id::1" in pairs and "records.active::true" in pairs
+
+
+# --- exact-verify walkers (tokenizer_test.go:175-277)
+
+DOC = {"items": [{"name": "Item1", "category": "electronics"},
+                 {"name": "Item2", "category": "books"}],
+       "user": {"name": "John Doe"}}
+
+
+def test_doc_has_field():
+    assert tk.doc_has_field(DOC, "items.name")
+    assert tk.doc_has_field(DOC, "user.name")
+    assert not tk.doc_has_field(DOC, "user.email")
+    assert not tk.doc_has_field(DOC, "items.name.deep")
+
+
+def test_doc_has_token():
+    assert tk.doc_has_token(DOC, "item1")
+    assert tk.doc_has_token(DOC, "john")  # "John Doe" -> ["john","doe"]
+    assert not tk.doc_has_token(DOC, "John")  # query tokens are lowercase
+    assert not tk.doc_has_token(DOC, "zzz")
+
+
+def test_doc_has_field_token_information_loss():
+    # array flattening loses element pairing: both match (tokenizer_test.go:238-277)
+    assert tk.doc_has_field_token(DOC, "items.name", "item1")
+    assert tk.doc_has_field_token(DOC, "items.category", "books")
+    assert tk.doc_has_field_token(DOC, "items.name", "item2")
+    assert not tk.doc_has_field_token(DOC, "items.name", "books")
+
+
+def test_doc_has_field_token_numbers_and_bools():
+    doc = {"records": [{"id": 1, "active": True}, {"id": 2, "active": False}]}
+    assert tk.doc_has_field_token(doc, "records.id", "1")
+    assert tk.doc_has_field_token(doc, "records.active", "true")
+    assert not tk.doc_has_field_token(doc, "records.id", "3")
+
+
+def test_doc_field_values_for_regex():
+    vals = tk.doc_field_values(DOC, "items.category")
+    assert vals == ["electronics", "books"]
