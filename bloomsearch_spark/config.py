@@ -44,6 +44,10 @@ class IndexConfig:
     indexed_fields: tuple[str, ...] = ()
     json_col: str | None = None
     partition_expr: str = "''"
+    # optional SQL expression overriding hash block assignment (long-valued
+    # block sequence within the partition) — user-controlled clustering,
+    # e.g. "doc_id" for row-exact zone maps or a date bucket for TTL expiry
+    block_expr: str | None = None
     minmax_fields: tuple[str, ...] = ()
     max_block_rows: int = DEFAULT_BLOCK_ROWS
     blocks_per_file: int = 10
@@ -66,6 +70,7 @@ class IndexConfig:
             "indexed_fields": list(self.indexed_fields),
             "json_col": self.json_col,
             "partition_expr": self.partition_expr,
+            "block_expr": self.block_expr,
             "minmax_fields": list(self.minmax_fields),
             "max_block_rows": self.max_block_rows,
             "blocks_per_file": self.blocks_per_file,
@@ -82,6 +87,7 @@ class IndexConfig:
             indexed_fields=tuple(d.get("indexed_fields", ())),
             json_col=d.get("json_col"),
             partition_expr=d.get("partition_expr", "''"),
+            block_expr=d.get("block_expr"),
             minmax_fields=tuple(d.get("minmax_fields", ())),
             max_block_rows=d.get("max_block_rows", DEFAULT_BLOCK_ROWS),
             blocks_per_file=d.get("blocks_per_file", 10),

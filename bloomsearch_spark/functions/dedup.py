@@ -1,0 +1,287 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each a standard technique re-expressed Spark-first:
+
+- **Exact**: hash-groupBy on a normalized-content fingerprint. One shuffle
+  on the fingerprint; map-side combine; no skew (sha256 keys are uniform).
+- **Exact n-gram Jaccard**: inverted-index self-join on word shingles ->
+  shared-shingle counts -> Jaccard >= t.  Exact (any pair with J >= t > 0
+  shares a shingle).  Scale lever: ``max_shingle_df`` drops ubiquitous
+  shingles before the join (a pair sharing ONLY ubiquitous shingles has
+  low Jaccard, so high thresholds are unaffected) — this is the classic
+  stop-shingle cut that bounds join fan-out at web scale.
+- **MinHash + LSH**: k hash-min signatures -> banded bucket join ->
+  candidate pairs -> exact Jaccard verify.  Deterministic (fixed seeds).
+  The 100 TB path: join fan-out is bounded by band buckets, not shingle
+  frequency.
+- **SimHash**: 64-bit sign-of-weighted-sum signature; near-dups = signatures
+  within Hamming distance d, found via pigeonhole band exact-match join.
+
+All heavy lifting is built-in Spark (explode/groupBy/join); signatures are
+Arrow-vectorized pandas UDFs (numpy bit ops) — no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .text import WS, fingerprint
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group rows by normalized-content fingerprint.
+
+    Returns (fingerprint, rep_id = min id, dup_count) — the survivor set is
+    ``dup_count`` rows joined back on rep_id.  One uniform-key shuffle.
+    """
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("rep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles
+# ---------------------------------------------------------------------------
+
+
+def shingles_col(text_col: str, n: int = 3):
+    """Distinct word n-gram shingles as an array column (pure Catalyst)."""
+    toks = F.split(F.lower(F.col(text_col).cast("string")), WS)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(F.array()))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    n: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact all-pairs Jaccard >= threshold over word n-gram shingle sets.
+
+    Plan: explode shingles -> (optional stop-shingle cut) -> self-equi-join
+    on shingle -> groupBy pair -> shared counts -> Jaccard.  The join is the
+    only data-sized shuffle; candidate pairs are bounded by shared-shingle
+    co-occurrence, not |docs|^2.
+    """
+    sh = df.select(F.col(id_col).alias("doc"), shingles_col(text_col, n).alias("sh"))
+    sizes = sh.select("doc", F.size("sh").alias("n_sh"))
+    u = sh.select("doc", F.explode("sh").alias("s"))
+    if max_shingle_df is not None:
+        hot = u.groupBy("s").count().filter(F.col("count") > max_shingle_df).select("s")
+        u = u.join(F.broadcast(hot), "s", "left_anti")
+    a = u.alias("a")
+    b = u.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    na = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _minhash_sig(shingles: list, seeds_a: np.ndarray, seeds_b: np.ndarray) -> np.ndarray:
+    """k-permutation MinHash via (a*h+b) mod p universal hashing over a
+    base shingle hash; fully numpy."""
+    k = len(seeds_a)
+    if not shingles:
+        return np.full(k, np.iinfo(np.int64).max, dtype=np.int64)
+    base = pd.util.hash_array(np.asarray(shingles, dtype=object), categorize=False).astype(
+        np.uint64
+    ) & _MERSENNE
+    # (k, n) permuted hashes -> min along n
+    hs = (seeds_a[:, None] * base[None, :] + seeds_b[:, None]) % _MERSENNE
+    return hs.min(axis=1).astype(np.int64)
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 128, n: int = 3, seed: int = 42
+) -> DataFrame:
+    """(id, signature array<long>) via an Arrow-batched pandas UDF."""
+    rng = np.random.RandomState(seed)
+    seeds_a = rng.randint(1, (1 << 61) - 1, size=num_hashes).astype(np.uint64)
+    seeds_b = rng.randint(0, (1 << 61) - 1, size=num_hashes).astype(np.uint64)
+
+    @F.pandas_udf("array<long>")
+    def sig(sh: pd.Series) -> pd.Series:
+        return sh.map(lambda s: _minhash_sig(list(s) if s is not None else [], seeds_a, seeds_b))
+
+    return df.select(
+        F.col(id_col).alias("doc"), sig(shingles_col(text_col, n)).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 16,
+    n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash LSH + exact Jaccard verification.
+
+    Deterministic for fixed seeds.  Candidate generation shuffles only
+    (band_id, band_hash) keys; each bucket join-fans-out locally.  The
+    final exact verify recomputes Jaccard from true shingle sets, so
+    emitted pairs are never false positives; recall is the standard
+    1-(1-t^r)^b LSH curve (≈1 for t well above threshold).
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, n, seed)
+    bands_df = sigs.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.slice(F.col("sig"), b * rows + 1, rows),
+            )
+        ).alias("band_id", "band_sig"),
+    ).select("doc", "band_id", F.xxhash64(F.col("band_id"), F.col("band_sig")).alias("bh"))
+
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+    sh = df.select(F.col(id_col).alias("doc"), shingles_col(text_col, n).alias("sh"))
+    sa = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    out = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash over word tokens (sign of per-bit weighted sums)."""
+
+    @F.pandas_udf("long")
+    def sig(toks: pd.Series) -> pd.Series:
+        def one(ts) -> int:
+            if ts is None or len(ts) == 0:
+                return 0
+            h = pd.util.hash_array(np.asarray(ts, dtype=object), categorize=False).astype(
+                np.uint64
+            )
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+                np.int32
+            )
+            v = (2 * bits - 1).sum(axis=0)
+            return int(np.int64(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum().astype(np.uint64).view(np.int64)))
+
+        return toks.map(one)
+
+    toks = F.split(F.lower(F.col(text_col).cast("string")), WS)
+    return df.select(F.col(id_col).alias("doc"), sig(toks).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, blocks: int = 4
+) -> DataFrame:
+    """Pairs with Hamming(simhash) <= max_hamming via the pigeonhole trick:
+    split the 64-bit signature into ``blocks`` bands (blocks > max_hamming
+    guarantees two near signatures agree exactly on >= 1 band), equi-join on
+    (band_id, band_bits), then verify true Hamming distance with JVM
+    bit_count — no quadratic scan."""
+    if blocks <= max_hamming:
+        raise ValueError("need blocks > max_hamming for pigeonhole completeness")
+    width = 64 // blocks
+    sigs = simhash_signatures(df, text_col, id_col)
+    banded = sigs.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftrightunsigned(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("band_bits"),
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc", "simhash", "band.band_id", "band.band_bits")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -84,16 +84,20 @@ def assign_blocks(df: DataFrame, cfg: IndexConfig, build_tag: str) -> DataFrame:
     if cfg.sha_col:
         d = d.withColumn("content_sha", F.sha2(F.col(cfg.sha_col).cast("string"), 256))
 
-    counts = (
-        d.groupBy("partition_id")
-        .agg(F.ceil(F.count("*") / cfg.max_block_rows).cast("long").alias("_n_blocks"))
-        .withColumn("_n_blocks", F.greatest(F.lit(1), F.col("_n_blocks")))
-    )
-    src_cols = [c for c in df.columns]
-    d = d.join(F.broadcast(counts), "partition_id")
-    d = d.withColumn(
-        "_block_seq", F.pmod(F.xxhash64(*[F.col(c) for c in src_cols]), F.col("_n_blocks"))
-    ).drop("_n_blocks")
+    if cfg.block_expr is not None:
+        d = d.withColumn("_block_seq", F.expr(cfg.block_expr).cast("long"))
+    else:
+        counts = (
+            d.groupBy("partition_id")
+            .agg(F.ceil(F.count("*") / cfg.max_block_rows).cast("long").alias("_n_blocks"))
+            .withColumn("_n_blocks", F.greatest(F.lit(1), F.col("_n_blocks")))
+        )
+        src_cols = [c for c in df.columns]
+        d = d.join(F.broadcast(counts), "partition_id")
+        d = d.withColumn(
+            "_block_seq",
+            F.pmod(F.xxhash64(*[F.col(c) for c in src_cols]), F.col("_n_blocks")),
+        ).drop("_n_blocks")
     # slug keeps dir names filesystem-safe; short hash disambiguates slugs
     slug = F.concat(
         F.regexp_replace(F.substring(F.col("partition_id"), 1, 32), "[^A-Za-z0-9_.-]", "_"),
