@@ -1,0 +1,213 @@
+"""Benchmark harness — one JSON line for the driver.
+
+Runs the headline workload at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]``:
+
+1. ``build_docs``    — hierarchical bloom index build over ``documents``.
+2. ``bs_*``          — pruned existence queries through the index
+                       (token hit, field:token, AND, OR, guaranteed miss).
+3. ``build_code``    — index build over the deterministic synthetic
+                       source-code table (BASELINE.json input_hint shape),
+                       sized ~2M rows/sf — the build-throughput (files/sec)
+                       headline metric.
+4. ``code_*``        — needle search + miss query over that index; the miss
+                       query's prune funnel yields the prune-ratio metric at
+                       the configured FPR p=0.01.
+5. ``dd_/sim_/txt_`` — training-data pipeline operators at the sf tables.
+
+Output: one JSON line
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., plus informative extras}.
+
+Scaling-efficiency evidence (local[8] vs local[32]) lives in
+``scaling_bench.py`` / BENCH.md — it needs two JVMs, so it is not part of
+the per-round loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from bloomsearch_spark import IndexConfig, build_index, new_query, search
+from bloomsearch_spark.functions.dedup import exact_duplicates, minhash_lsh_pairs
+from bloomsearch_spark.functions.similarity import brute_force_topk
+from bloomsearch_spark.functions.text import text_stats
+from bloomsearch_spark.sources.synthetic import generate_df
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# synthetic source-code table: ~2M rows at sf=1.0
+CODE_ROWS_PER_SF = int(os.environ.get("BENCH_CODE_ROWS_PER_SF", "2000000"))
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def main() -> None:
+    sf = _sf_from_dir(SF_DIR)
+    code_rows = max(10_000, int(CODE_ROWS_PER_SF * sf))
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("bloomsearch-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, object] = {}
+    roots: list[str] = []
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        return out
+
+    try:
+        # ---- 1. documents index build + engine queries --------------------
+        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        doc_root = tempfile.mkdtemp(prefix="bench-docs-")
+        roots.append(doc_root)
+        doc_cfg = IndexConfig(
+            indexed_fields=("text", "lang", "source"),
+            partition_expr="lang",
+            minmax_fields=("n_chars", "doc_id"),
+            max_block_rows=64,
+            blocks_per_file=4,
+            block_fpr=0.01,
+            file_fpr=0.01,
+            file_expected_items=50_000,
+            compression="snappy",
+            sha_col="text",
+        )
+        doc_idx = timed("build_docs", lambda: build_index(spark, docs, doc_root, doc_cfg))
+
+        def run_q(q):
+            return search(spark, doc_idx, q).count()
+
+        timed("bs_token", lambda: run_q(new_query().token("spark").build()))
+        timed(
+            "bs_field_token",
+            lambda: run_q(new_query().field_token("text", "vector").build()),
+        )
+        from bloomsearch_spark import And, FieldToken, Or
+
+        timed(
+            "bs_and",
+            lambda: run_q(
+                new_query()
+                .match(And(FieldToken("text", "spark"), FieldToken("text", "vector")))
+                .build()
+            ),
+        )
+        timed(
+            "bs_or",
+            lambda: run_q(
+                new_query()
+                .match(Or(FieldToken("source", "src3"), FieldToken("source", "src7")))
+                .build()
+            ),
+        )
+        timed("bs_miss", lambda: run_q(new_query().token("qqqzzz_absent").build()))
+
+        # ---- 2. source-code table: build throughput + prune ratio ---------
+        code = generate_df(spark, code_rows)
+        code_root = tempfile.mkdtemp(prefix="bench-code-")
+        roots.append(code_root)
+        code_cfg = IndexConfig(
+            indexed_fields=("repo", "path", "lang", "content"),
+            partition_expr="lang",
+            max_block_rows=10_000,
+            blocks_per_file=4,
+            block_fpr=0.01,
+            file_fpr=0.01,
+            file_expected_items=100_000,
+            compression="snappy",
+            sha_col="content",
+        )
+        code_idx = timed(
+            "build_code", lambda: build_index(spark, code, code_root, code_cfg)
+        )
+        n_files = code_idx.files().count()
+        n_blocks = code_idx.blocks().count()
+        extras["code_rows"] = code_rows
+        extras["code_files"] = n_files
+        extras["code_blocks"] = n_blocks
+        extras["build_files_per_sec"] = round(n_files / timings["build_code"], 4)
+        extras["build_rows_per_sec"] = round(code_rows / timings["build_code"], 1)
+
+        def needle():
+            return search(
+                spark, code_idx, new_query().field_token("content", "needle_beta").build()
+            ).count()
+
+        extras["code_needle_hits"] = timed("code_needle", needle)
+
+        def miss():
+            out, st = search(
+                spark,
+                code_idx,
+                new_query().token("tok_definitely_absent_xyzzy").build(),
+                with_stats=True,
+            )
+            c = out.count()
+            extras["prune_ratio"] = round(st.prune_ratio, 6)
+            return c
+
+        timed("code_miss", miss)
+
+        # ---- 3. pipeline operators ----------------------------------------
+        embs = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        timed("dd_exact", lambda: exact_duplicates(docs, "text", "doc_id").count())
+        timed(
+            "dd_minhash",
+            lambda: minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.8, n=3).count(),
+        )
+        timed(
+            "sim_topk",
+            lambda: brute_force_topk(
+                embs, embs.filter(F.col("vec_id") < 5), k=10
+            ).count(),
+        )
+        timed("txt_stats", lambda: text_stats(docs, "text").count())
+
+        total = round(sum(timings.values()), 4)
+        print(
+            json.dumps(
+                {
+                    "metric": "bloomsearch_suite_wall",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf,
+                    **extras,
+                }
+            )
+        )
+    finally:
+        for r in roots:
+            shutil.rmtree(r, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
