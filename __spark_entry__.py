@@ -33,8 +33,11 @@ from bloomsearch_spark import (
     Or,
     Partition,
     build_index,
+    compact_blocks,
+    merge_files,
     new_query,
     search,
+    vacuum,
 )
 from bloomsearch_spark.functions.dedup import (
     exact_duplicates,
@@ -103,11 +106,19 @@ _CFG_ROWBLOCKS = IndexConfig(
 def _index(spark: SparkSession, sf_dir: str, flavor: str) -> BloomIndex:
     key = (os.path.abspath(sf_dir), flavor)
     if key not in _INDEX_CACHE:
-        cfg = _CFG_MAIN if flavor == "main" else _CFG_ROWBLOCKS
+        cfg = _CFG_ROWBLOCKS if flavor == "rowblocks" else _CFG_MAIN
         root = tempfile.mkdtemp(prefix=f"bsidx-{flavor}-")
-        _INDEX_CACHE[key] = build_index(
+        idx = build_index(
             spark, _docs(spark, sf_dir), root, cfg, source_desc=f"documents@{sf_dir}"
         )
+        if flavor == "merged":
+            # full compaction cycle (M1-M8): file merge -> block
+            # consolidation -> tombstone; queries must be unchanged
+            idx, _ = merge_files(spark, idx, max_blocks_per_file=1000,
+                                 max_files_per_merge=1000)
+            idx, _ = compact_blocks(spark, idx, max_block_rows=512)
+            vacuum(idx)
+        _INDEX_CACHE[key] = idx
     return _INDEX_CACHE[key]
 
 
@@ -184,6 +195,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .token("stream")
             .field_regex("source", "^src1$")
             .build(),
+        ),
+        # same truth set as bs_token, but through a merged+compacted+
+        # vacuumed index (M1-M8) — merge must preserve query semantics
+        "bs_token_postmerge": _bs(
+            "merged", lambda: new_query().token("spark").build()
         ),
         # --- dedup family ---
         "dd_exact": lambda spark, sf: exact_duplicates(
@@ -319,6 +335,7 @@ def oracle_sql() -> dict[str, str]:
     sel = f"SELECT {DOC_COLS} FROM documents"
     return {
         "bs_token": f"{sel} WHERE {_any_field_tok('spark')}",
+        "bs_token_postmerge": f"{sel} WHERE {_any_field_tok('spark')}",
         "bs_token_miss": f"{sel} WHERE {_any_field_tok('qqqzzz_absent_token')}",
         "bs_field": f"{sel} WHERE text IS NOT NULL",
         "bs_field_miss": f"{sel} WHERE 1 = 0",

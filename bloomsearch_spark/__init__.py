@@ -38,14 +38,22 @@ from .query import (
     new_query,
 )
 from .plans.build import build_index
+from .plans.merge import (
+    MergeStats,
+    compact_blocks,
+    expire_blocks,
+    merge_files,
+    vacuum,
+)
 from .plans.search import QueryStats, search, verify_integrity
 from .sources.manifest import BloomIndex
 
 __all__ = [
     "And", "Between", "BloomExpr", "BloomIndex", "BloomParams", "Condition",
     "Eq", "Field", "FieldRegex", "FieldToken", "Gt", "Gte", "In", "IndexConfig",
-    "Lt", "Lte", "MinMax", "Ne", "NotBetween", "NotIn", "Or", "Partition",
-    "PrefilterAnd", "PrefilterOr", "Query", "QueryBuilder", "QueryStats",
-    "RegexAnd", "RegexOr", "Token", "build_index", "new_query", "search",
-    "sizing", "verify_integrity",
+    "Lt", "Lte", "MergeStats", "MinMax", "Ne", "NotBetween", "NotIn", "Or",
+    "Partition", "PrefilterAnd", "PrefilterOr", "Query", "QueryBuilder",
+    "QueryStats", "RegexAnd", "RegexOr", "Token", "build_index",
+    "compact_blocks", "expire_blocks", "merge_files", "new_query", "search",
+    "sizing", "vacuum", "verify_integrity",
 ]

@@ -49,6 +49,7 @@ from ..sources import manifest as mf
 
 STAGING_SCHEMA = (
     "file_id string, block_id string, partition_id string, "
+    "data_path string, "
     "row_count long, token_count long, byte_size long, "
     "minmax_min map<string,long>, minmax_max map<string,long>, "
     "expected_items long, fpr double, "
@@ -126,7 +127,9 @@ def _make_block_fn(cfg: IndexConfig, data_dir: str, arrow_schema_bytes: bytes):
     def fn(key, pdf):
         entry = build_block_entry(key, pdf, cfg)
         file_id, block_id, _ = key
-        d = os.path.join(data_dir, f"file_id={file_id}", f"block_id={block_id}")
+        rel = os.path.join(f"file_id={file_id}", f"block_id={block_id}")
+        entry["data_path"] = rel
+        d = os.path.join(data_dir, rel)
         os.makedirs(d, exist_ok=True)
         schema = pa.ipc.read_schema(pa.BufferReader(arrow_schema_bytes))
         body = pdf[[n for n in schema.names]]
@@ -183,7 +186,7 @@ def build_index(
     st = spark.read.parquet(staging)
 
     new_blocks = st.select(
-        "file_id", "block_id", "partition_id", "row_count", "token_count",
+        "file_id", "block_id", "partition_id", "data_path", "row_count", "token_count",
         "byte_size", "minmax_min", "minmax_max", "expected_items", "fpr",
         "field_bloom", "token_bloom", "fieldtoken_bloom",
     )

@@ -88,18 +88,24 @@ def prune_blocks(
 
 
 def scan_blocks(index: BloomIndex, surviving: DataFrame) -> DataFrame:
-    """Read only surviving (file_id, block_id) block directories."""
+    """Read only the surviving blocks' data directories (via ``data_path``,
+    which stays valid across metadata-only merges)."""
     spark = index.spark
-    keys_df = surviving.select("file_id", "block_id")
+    keys_df = surviving.select("data_path")
     keys = keys_df.limit(MAX_COLLECTED_BLOCKS + 1).collect()
     if len(keys) > MAX_COLLECTED_BLOCKS:
         # huge survivor set: scan the data root, prune via broadcast semi-join
+        # on the relative path reconstructed from the hive partition dirs
         data = spark.read.option("basePath", index.data_dir).parquet(index.data_dir)
-        return data.join(F.broadcast(keys_df), ["file_id", "block_id"], "left_semi")
+        data = data.withColumn(
+            "data_path",
+            F.concat(F.lit("file_id="), "file_id", F.lit("/block_id="), "block_id"),
+        )
+        return data.join(F.broadcast(keys_df), ["data_path"], "left_semi")
     if not keys:
         data = spark.read.option("basePath", index.data_dir).parquet(index.data_dir)
         return data.limit(0)
-    paths = index.block_paths([(r.file_id, r.block_id) for r in keys])
+    paths = index.block_paths([r.data_path for r in keys])
     return spark.read.option("basePath", index.data_dir).parquet(*paths)
 
 
@@ -144,7 +150,9 @@ def verify_integrity(spark: SparkSession, index: BloomIndex) -> int:
     cfg = index.config
     if not cfg.sha_col:
         raise ValueError("index was built without sha_col")
-    data = spark.read.option("basePath", index.data_dir).parquet(index.data_dir)
+    # scan only manifest-referenced block dirs (the data root may also hold
+    # superseded pre-merge dirs until vacuum runs)
+    data = scan_blocks(index, index.blocks())
     bad = data.filter(
         F.sha2(F.col(cfg.sha_col).cast("string"), 256) != F.col("content_sha")
     )

@@ -36,6 +36,7 @@ from ..config import IndexConfig
 
 BLOCKS_SCHEMA = (
     "file_id string, block_id string, partition_id string, "
+    "data_path string, "
     "row_count long, token_count long, byte_size long, "
     "minmax_min map<string,long>, minmax_max map<string,long>, "
     "expected_items long, fpr double, "
@@ -139,12 +140,13 @@ class BloomIndex:
     def config(self) -> IndexConfig:
         return IndexConfig.from_dict(self.meta()["config"])
 
-    def block_paths(self, keys: list[tuple[str, str]]) -> list[str]:
-        """Data directories for (file_id, block_id) keys — the pruned scan
-        set (the reference's MaybeFile block list, meta_store.go:33-41)."""
-        return [
-            os.path.join(self.data_dir, f"file_id={f}", f"block_id={b}") for f, b in keys
-        ]
+    def block_paths(self, data_paths: list[str]) -> list[str]:
+        """Absolute data directories for manifest ``data_path`` values — the
+        pruned scan set (the reference's MaybeFile block list,
+        meta_store.go:33-41).  ``data_path`` is relative to ``data_dir`` so
+        the whole index tree is relocatable; after a metadata-only merge it
+        may point at a directory named for the block's *original* file_id."""
+        return [os.path.join(self.data_dir, p) for p in data_paths]
 
 
 def write_meta(version_dir: str, config: IndexConfig, extra: dict | None = None) -> None:

@@ -1,0 +1,189 @@
+"""Merge / compaction e2e — mirrors the reference merge tests
+(bloom_tree_engine_test.go:986-1246: identical query results before and
+after merge; :1248-1528: partitions + minmax survive; tombstoning
+:1800-1858), plus idempotence/associativity properties the north rule
+requires, expiry (README.md:283-287), and vacuum."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bloomsearch_spark import (
+    Between,
+    IndexConfig,
+    MinMax,
+    build_index,
+    compact_blocks,
+    expire_blocks,
+    merge_files,
+    new_query,
+    search,
+    vacuum,
+    verify_integrity,
+)
+from bloomsearch_spark.sources.synthetic import generate_df, generate_pdf
+
+N_ROWS = 3_000
+
+CFG = IndexConfig(
+    indexed_fields=("repo", "path", "lang", "content"),
+    partition_expr="lang",
+    minmax_fields=(),
+    max_block_rows=100,
+    blocks_per_file=2,  # deliberately tiny files -> lots to merge
+    block_fpr=0.01,
+    file_fpr=0.01,
+    file_expected_items=20_000,
+    compression="snappy",
+    sha_col="content",
+)
+
+QUERIES = [
+    lambda: new_query().token("needle_alpha").build(),
+    lambda: new_query().field_token("lang", "go").build(),
+    lambda: new_query().token("qqq_absent").build(),
+    lambda: new_query().field("nonexistent").build(),
+    lambda: new_query().token("needle_beta").field_regex("repo", "^org0/").build(),
+]
+
+
+def _results(spark, index, qf):
+    return {(r.repo, r.path, r.commit) for r in search(spark, index, qf()).collect()}
+
+
+@pytest.fixture()
+def fresh_index(spark, tmp_root):
+    df = generate_df(spark, N_ROWS)
+    return build_index(spark, df, tmp_root, CFG)
+
+
+def test_merge_preserves_query_results(spark, fresh_index):
+    before = [_results(spark, fresh_index, qf) for qf in QUERIES]
+    merged, stats = merge_files(spark, fresh_index, max_blocks_per_file=64)
+    assert stats.files_after < stats.files_before
+    assert stats.groups_merged >= 1
+    assert merged.version != fresh_index.version
+    after = [_results(spark, merged, qf) for qf in QUERIES]
+    assert before == after
+    # zero data movement: every data_path still points at the original dir
+    assert (
+        merged.blocks().filter(~F.col("data_path").contains("file_id=")).count() == 0
+    )
+    assert verify_integrity(spark, merged) == 0
+
+
+def test_merge_is_idempotent(spark, fresh_index):
+    m1, s1 = merge_files(spark, fresh_index, max_blocks_per_file=1000,
+                         max_files_per_merge=1000)
+    m2, s2 = merge_files(spark, m1, max_blocks_per_file=1000,
+                         max_files_per_merge=1000)
+    # after one full merge there is one file per (partition, params): no
+    # further groups form (mirrors the reference's stable fixpoint)
+    assert s2.groups_merged == 0
+    assert m2.version == m1.version  # no-op returns the same handle
+
+
+def test_unmergeable_params_left_alone(spark, tmp_root):
+    """Files with different bloom params never merge (param equality gate,
+    bloom_tree_engine.go:1412-1420; test :986-1246)."""
+    df = generate_df(spark, N_ROWS)
+    half1 = df.filter(F.xxhash64("commit") % 2 == 0)
+    half2 = df.subtract(half1)
+    build_index(spark, half1, tmp_root, CFG)
+    cfg2 = IndexConfig(**{**CFG.__dict__, "block_fpr": 0.001})
+    idx = build_index(spark, half2, tmp_root, cfg2, mode="append")
+
+    files_before = idx.files().toPandas()
+    merged, _ = merge_files(spark, idx, max_blocks_per_file=10_000,
+                            max_files_per_merge=10_000)
+    after = merged.files().toPandas()
+    # every (params) group collapses within itself; the two param classes
+    # stay distinct
+    assert set(map(tuple, after[["expected_items", "fpr"]].drop_duplicates().to_numpy())) \
+        == set(map(tuple, files_before[["expected_items", "fpr"]].drop_duplicates().to_numpy()))
+
+
+def test_compact_blocks_rewrites_and_preserves(spark, fresh_index):
+    merged, _ = merge_files(spark, fresh_index, max_blocks_per_file=1000,
+                            max_files_per_merge=1000)
+    before = [_results(spark, merged, qf) for qf in QUERIES]
+    total_rows = merged.blocks().agg(F.sum("row_count")).collect()[0][0]
+
+    compacted, stats = compact_blocks(spark, merged, max_block_rows=500)
+    assert stats.blocks_after < stats.blocks_before
+    assert stats.blocks_rewritten >= 2
+    after = [_results(spark, compacted, qf) for qf in QUERIES]
+    assert before == after
+    assert compacted.blocks().agg(F.sum("row_count")).collect()[0][0] == total_rows
+    assert verify_integrity(spark, compacted) == 0
+    # lineage records the compaction
+    ops = {r.op for r in compacted.lineage().select("op").distinct().collect()}
+    assert "compact" in ops
+
+
+def test_vacuum_removes_superseded_dirs(spark, fresh_index):
+    merged, _ = merge_files(spark, fresh_index, max_blocks_per_file=1000,
+                            max_files_per_merge=1000)
+    compacted, stats = compact_blocks(spark, merged, max_block_rows=500)
+    assert stats.blocks_rewritten > 0
+    removed = vacuum(compacted)
+    # every rewritten source block dir is now unreferenced and removed
+    assert removed == stats.blocks_rewritten
+    # queries still work over the vacuumed index
+    assert _results(spark, compacted, QUERIES[0])
+    assert verify_integrity(spark, compacted) == 0
+    # second vacuum is a no-op
+    assert vacuum(compacted) == 0
+
+
+def test_expire_blocks_minmax(spark, tmp_root):
+    """TTL-style expiry by zone-map predicate (M9, README.md:283-287):
+    blocks wholly inside the expired range drop; queries no longer see
+    their rows."""
+    pdf = generate_pdf(N_ROWS)
+    pdf["age_days"] = pdf.index % 400  # deterministic "age"
+    df = spark.createDataFrame(pdf)
+    cfg = IndexConfig(**{
+        **CFG.__dict__,
+        "minmax_fields": ("age_days",),
+        "block_expr": "age_days",  # cluster blocks by age -> tight zone maps
+        "max_block_rows": 50,
+    })
+    idx = build_index(spark, df, tmp_root, cfg)
+
+    from bloomsearch_spark.query import compile_prefilter
+
+    expired_pred = compile_prefilter(MinMax("age_days", Between(300, 400)))
+    # only expire blocks whose WHOLE range is expired (safe TTL)
+    whole = F.col("minmax_min").getItem("age_days") >= 300
+    live, stats = expire_blocks(spark, idx, expired_pred & whole)
+    assert stats.blocks_after < stats.blocks_before
+
+    q = new_query().build()  # match-all
+    remaining = search(spark, live, q).toPandas()
+    assert remaining["age_days"].max() < 300
+    assert len(remaining) == int((pdf["age_days"] < 300).sum())
+    ops = {r.op for r in live.lineage().select("op").distinct().collect()}
+    assert "expire" in ops
+    # expired dirs become vacuumable
+    assert vacuum(live) == stats.blocks_before - stats.blocks_after
+
+
+def test_append_then_merge_roundtrip(spark, tmp_root):
+    """Incremental ingest (append) then compaction — the reference's
+    steady-state loop (ingest -> flush -> merge)."""
+    df = generate_df(spark, N_ROWS)
+    h1 = df.filter(F.xxhash64("commit") % 2 == 0)
+    h2 = df.subtract(h1)
+    build_index(spark, h1, tmp_root, CFG)
+    idx = build_index(spark, h2, tmp_root, CFG, mode="append")
+    assert idx.blocks().agg(F.sum("row_count")).collect()[0][0] == N_ROWS
+
+    before = [_results(spark, idx, qf) for qf in QUERIES]
+    merged, stats = merge_files(spark, idx, max_blocks_per_file=1000,
+                                max_files_per_merge=1000)
+    assert stats.files_after < stats.files_before
+    after = [_results(spark, merged, qf) for qf in QUERIES]
+    assert before == after
+    assert verify_integrity(spark, merged) == 0
