@@ -56,6 +56,15 @@ class IndexConfig:
     file_expected_items: int = DEFAULT_FILE_EXPECTED_ITEMS
     compression: str = "snappy"  # none | snappy | zstd (file_format.go:147-151)
     sha_col: str | None = None  # column to sha256 for the per-row invariant
+    # If True, the build does ONE salted repartition by partition_id so each
+    # task sees ~max_block_rows*blocks_per_file rows of a single partition
+    # (full blocks from unclustered input; the north rule's explicit salting
+    # — same-partition rows spread over ceil(rows/task_target) salt buckets,
+    # so a dominant partition never forms a hot task).  If False (default),
+    # the build is map-only with ZERO data shuffle; block fill then depends
+    # on how the input is clustered (ideal when the source table is already
+    # partitioned by the same key, e.g. an Iceberg table partitioned by lang).
+    cluster_input: bool = False
 
     @property
     def block_params(self) -> BloomParams:
@@ -79,6 +88,7 @@ class IndexConfig:
             "file_expected_items": self.file_expected_items,
             "compression": self.compression,
             "sha_col": self.sha_col,
+            "cluster_input": self.cluster_input,
         }
 
     @classmethod
@@ -96,4 +106,5 @@ class IndexConfig:
             file_expected_items=d.get("file_expected_items", DEFAULT_FILE_EXPECTED_ITEMS),
             compression=d.get("compression", "snappy"),
             sha_col=d.get("sha_col"),
+            cluster_input=d.get("cluster_input", False),
         )

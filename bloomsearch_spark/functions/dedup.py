@@ -111,18 +111,40 @@ def ngram_jaccard_pairs(
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
-def _minhash_sig(shingles: list, seeds_a: np.ndarray, seeds_b: np.ndarray) -> np.ndarray:
-    """k-permutation MinHash via (a*h+b) mod p universal hashing over a
-    base shingle hash; fully numpy."""
+def _minhash_sigs_batch(
+    lists: list, seeds_a: np.ndarray, seeds_b: np.ndarray
+) -> list[np.ndarray]:
+    """MinHash signatures for a whole batch of shingle lists at once:
+    hash EVERY shingle in the batch in one pass, permute with (a*h+b) mod p,
+    then segment-min per document via ``np.minimum.reduceat`` — no per-row
+    Python.  Chunked so the (k, shingles) matrix stays cache-friendly."""
     k = len(seeds_a)
-    if not shingles:
-        return np.full(k, np.iinfo(np.int64).max, dtype=np.int64)
-    base = pd.util.hash_array(np.asarray(shingles, dtype=object), categorize=False).astype(
-        np.uint64
-    ) & _MERSENNE
-    # (k, n) permuted hashes -> min along n
-    hs = (seeds_a[:, None] * base[None, :] + seeds_b[:, None]) % _MERSENNE
-    return hs.min(axis=1).astype(np.int64)
+    sentinel = np.full(k, np.iinfo(np.int64).max, dtype=np.int64)
+    lens = np.fromiter((len(x) for x in lists), dtype=np.int64, count=len(lists))
+    out: list[np.ndarray] = [sentinel] * len(lists)
+    nonempty = np.flatnonzero(lens)
+    if len(nonempty) == 0:
+        return out
+    # chunk over documents so each permuted matrix is <= ~50k shingles
+    target = 50_000
+    start = 0
+    while start < len(nonempty):
+        end = start
+        total = 0
+        while end < len(nonempty) and (total == 0 or total + lens[nonempty[end]] <= target):
+            total += lens[nonempty[end]]
+            end += 1
+        idxs = nonempty[start:end]
+        flat = np.concatenate([np.asarray(lists[i], dtype=object) for i in idxs])
+        base = pd.util.hash_array(flat, categorize=False).astype(np.uint64) & _MERSENNE
+        hs = (seeds_a[:, None] * base[None, :] + seeds_b[:, None]) % _MERSENNE  # (k, m)
+        starts = np.zeros(len(idxs), dtype=np.int64)
+        np.cumsum(lens[idxs][:-1], out=starts[1:])
+        mins = np.minimum.reduceat(hs, starts, axis=1)  # (k, docs)
+        for j, i in enumerate(idxs):
+            out[i] = mins[:, j].astype(np.int64)
+        start = end
+    return out
 
 
 def minhash_signatures(
@@ -135,7 +157,8 @@ def minhash_signatures(
 
     @F.pandas_udf("array<long>")
     def sig(sh: pd.Series) -> pd.Series:
-        return sh.map(lambda s: _minhash_sig(list(s) if s is not None else [], seeds_a, seeds_b))
+        lists = [s if s is not None else [] for s in sh]
+        return pd.Series(_minhash_sigs_batch(lists, seeds_a, seeds_b))
 
     return df.select(
         F.col(id_col).alias("doc"), sig(shingles_col(text_col, n)).alias("sig")
@@ -211,23 +234,29 @@ def minhash_lsh_pairs(
 
 
 def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """64-bit SimHash over word tokens (sign of per-bit weighted sums)."""
+    """64-bit SimHash over word tokens (sign of per-bit weighted sums).
+    Batch-vectorized: one hash pass over every token in the batch, per-doc
+    bit sums via ``np.add.reduceat``."""
 
     @F.pandas_udf("long")
     def sig(toks: pd.Series) -> pd.Series:
-        def one(ts) -> int:
-            if ts is None or len(ts) == 0:
-                return 0
-            h = pd.util.hash_array(np.asarray(ts, dtype=object), categorize=False).astype(
-                np.uint64
+        shifts = np.arange(64, dtype=np.uint64)
+        lists = [t if t is not None else [] for t in toks]
+        lens = np.fromiter((len(t) for t in lists), dtype=np.int64, count=len(lists))
+        out = np.zeros(len(lists), dtype=np.int64)
+        nonempty = np.flatnonzero(lens)
+        if len(nonempty):
+            flat = np.concatenate([np.asarray(lists[i], dtype=object) for i in nonempty])
+            h = pd.util.hash_array(flat, categorize=False).astype(np.uint64)
+            bits = ((h[:, None] >> shifts[None, :]) & 1).astype(np.int32) * 2 - 1
+            starts = np.zeros(len(nonempty), dtype=np.int64)
+            np.cumsum(lens[nonempty][:-1], out=starts[1:])
+            sums = np.add.reduceat(bits, starts, axis=0)  # (docs, 64)
+            sigs = ((sums > 0).astype(np.uint64) << shifts[None, :]).sum(
+                axis=1, dtype=np.uint64
             )
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-                np.int32
-            )
-            v = (2 * bits - 1).sum(axis=0)
-            return int(np.int64(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum().astype(np.uint64).view(np.int64)))
-
-        return toks.map(one)
+            out[nonempty] = sigs.view(np.int64)
+        return pd.Series(out)
 
     toks = F.split(F.lower(F.col(text_col).cast("string")), WS)
     return df.select(F.col(id_col).alias("doc"), sig(toks).alias("simhash"))

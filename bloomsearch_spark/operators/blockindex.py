@@ -24,6 +24,8 @@ from typing import Any
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from .. import bloom
 from ..config import IndexConfig
@@ -42,25 +44,11 @@ def minmax_coerce(lo: float, hi: float) -> tuple[int, int]:
 
 
 def _index_entries_fixed(pdf: pd.DataFrame, cfg: IndexConfig) -> tuple[list, list, list]:
-    """(fields, tokens, fieldtoken keys) arrays for a fixed-schema block."""
-    fields: list[str] = []
-    token_arrays: list[np.ndarray] = []
-    pair_arrays: list[np.ndarray] = []
-    for col in cfg.indexed_fields:
-        if col not in pdf.columns:
-            continue
-        s = pdf[col]
-        if s.notna().any():
-            fields.append(col)
-        _, toks = explode_tokens(s)
-        if len(toks):
-            token_arrays.append(toks)
-            pair_arrays.append(
-                np.char.add(f"{col}{FIELD_TOKEN_SEP}", toks.astype(str)).astype(object)
-            )
-    tokens = np.concatenate(token_arrays) if token_arrays else np.zeros(0, dtype=object)
-    pairs = np.concatenate(pair_arrays) if pair_arrays else np.zeros(0, dtype=object)
-    return fields, tokens, pairs
+    """(fields, tokens, fieldtoken keys) arrays for a fixed-schema block
+    (pandas shim over the Arrow kernel — used by the clustered build path)."""
+    cols = [c for c in cfg.indexed_fields if c in pdf.columns]
+    tbl = pa.Table.from_pandas(pdf[cols], preserve_index=False)
+    return _index_entries_arrow(tbl, cfg)
 
 
 def _index_entries_json(pdf: pd.DataFrame, cfg: IndexConfig) -> tuple[list, list, list]:
@@ -80,6 +68,115 @@ def _index_entries_json(pdf: pd.DataFrame, cfg: IndexConfig) -> tuple[list, list
     return sorted(fields), np.asarray(sorted(tokens), dtype=object), np.asarray(
         sorted(pairs), dtype=object
     )
+
+
+def _unique_tokens_arrow(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """lower + whitespace-split + flatten + unique, entirely in Arrow
+    kernels (contiguous string buffers — no per-token Python objects until
+    the final small unique set).  Empty boundary splits are dropped from
+    the unique set, matching ``str.split()``/Go ``strings.Fields``."""
+    if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        arr = pa.array(arr, type=pa.string(), from_pandas=True)
+    if not pa.types.is_string(arr.type) and not pa.types.is_large_string(arr.type):
+        arr = pc.cast(arr, pa.string())
+    toks = pc.list_flatten(pc.utf8_split_whitespace(pc.utf8_lower(arr)))
+    uniq = pc.unique(toks).drop_null()
+    uniq = pc.filter(uniq, pc.not_equal(uniq, ""))
+    return uniq.to_numpy(zero_copy_only=False).astype(object)
+
+
+def _col_for_tokens(tbl: pa.Table, col: str) -> pa.ChunkedArray | pa.Array:
+    """Column as a string array with reference stringification for
+    non-string types (Go ``%v``: integral floats sans decimal point)."""
+    arr = tbl[col]
+    t = arr.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return arr
+    # rare non-string indexed column: go through the pandas stringifier to
+    # keep Go-%v parity (30.0 -> "30", True -> "true")
+    return pa.array(
+        stringify_series(arr.to_pandas()), type=pa.string(), from_pandas=True
+    )
+
+
+def _index_entries_arrow(tbl: pa.Table, cfg: IndexConfig) -> tuple[list, np.ndarray, np.ndarray]:
+    """(fields, unique tokens, unique field::token keys) for one block —
+    unique-first, so the bloom kernel and the pair concat only ever touch
+    the (small) distinct token set, never the raw token stream."""
+    fields: list[str] = []
+    token_arrays: list[np.ndarray] = []
+    pair_arrays: list[np.ndarray] = []
+    for col in cfg.indexed_fields:
+        if col not in tbl.column_names:
+            continue
+        arr = tbl[col]
+        if arr.null_count < len(arr):
+            fields.append(col)
+        uniq = _unique_tokens_arrow(_col_for_tokens(tbl, col))
+        if len(uniq):
+            token_arrays.append(uniq)
+            pair_arrays.append(
+                np.char.add(f"{col}{FIELD_TOKEN_SEP}", uniq.astype(str)).astype(object)
+            )
+    tokens = np.concatenate(token_arrays) if token_arrays else np.zeros(0, dtype=object)
+    pairs = np.concatenate(pair_arrays) if pair_arrays else np.zeros(0, dtype=object)
+    return fields, tokens, pairs
+
+
+def _minmax_maps_arrow(tbl: pa.Table, cfg: IndexConfig) -> tuple[dict, dict]:
+    mn_map: dict[str, int] = {}
+    mx_map: dict[str, int] = {}
+    for f in cfg.minmax_fields:
+        if f not in tbl.column_names:
+            continue
+        arr = tbl[f]
+        if not (pa.types.is_integer(arr.type) or pa.types.is_floating(arr.type)):
+            try:
+                arr = pc.cast(arr, pa.float64())
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                continue
+        mm = pc.min_max(arr)
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        if lo is None:
+            continue
+        mn_map[f], mx_map[f] = minmax_coerce(float(lo), float(hi))
+    return mn_map, mx_map
+
+
+def build_block_entry_arrow(key: tuple, tbl: pa.Table, cfg: IndexConfig) -> dict:
+    """Arrow-native twin of ``build_block_entry``: one block table in, one
+    staging-row dict out (zero pandas, zero per-row Python objects)."""
+    file_id, block_id, partition_id = key
+    bp, fp = cfg.block_params, cfg.file_params
+    block_sets = [bloom.new_bitset(bp) for _ in range(3)]
+    file_sets = [bloom.new_bitset(fp) for _ in range(3)]
+
+    fields, tokens, pairs = _index_entries_arrow(tbl, cfg)
+    n_tokens = 0
+    for i, entries in enumerate((np.asarray(fields, dtype=object), tokens, pairs)):
+        n_tokens += bloom.insert_into_many(
+            [block_sets[i], file_sets[i]], entries, [bp, fp]
+        )
+    mn_map, mx_map = _minmax_maps_arrow(tbl, cfg)
+    return {
+        "file_id": file_id,
+        "block_id": block_id,
+        "partition_id": partition_id,
+        "row_count": len(tbl),
+        "token_count": n_tokens,
+        "minmax_min": mn_map,
+        "minmax_max": mx_map,
+        "expected_items": cfg.max_block_rows,
+        "fpr": cfg.block_fpr,
+        "field_bloom": block_sets[0].tobytes(),
+        "token_bloom": block_sets[1].tobytes(),
+        "fieldtoken_bloom": block_sets[2].tobytes(),
+        "file_expected_items": cfg.file_expected_items,
+        "file_fpr": cfg.file_fpr,
+        "file_field_bloom": file_sets[0].tobytes(),
+        "file_token_bloom": file_sets[1].tobytes(),
+        "file_fieldtoken_bloom": file_sets[2].tobytes(),
+    }
 
 
 def _minmax_maps(pdf: pd.DataFrame, cfg: IndexConfig) -> tuple[dict, dict]:

@@ -1,35 +1,44 @@
-"""Index build plan — one shuffle, one source pass, atomic manifest commit.
+"""Index build plan — map-only by default, atomic manifest commit.
 
-Shape (SURVEY.md §3.1 "Spark rebuild lifecycle"):
+Default shape (SURVEY.md §3.1), a faithful Spark re-expression of the
+reference's ingest actor (processIngestRequest, bloom_tree_engine.go:460-675:
+buffer rows per partition, flush a data block when the row-group cap hits):
 
     source_df
       -> withColumn(partition_id = <user partition expr>)         (W2)
       -> withColumn(content_sha = sha2(sha_col, 256))             (W11 invariant)
-      -> deterministic block/file assignment WITHOUT windows:
-           counts = groupBy(partition_id).count()                 (tiny agg)
-           n_blocks = ceil(count / max_block_rows)                (broadcast join)
-           block_seq = pmod(xxhash64(*cols), n_blocks)            (salted, skew-proof)
-           file_seq  = block_seq // blocks_per_file
-      -> groupBy(file_id, block_id, partition_id).applyInPandas:  (ONE shuffle)
-           - build 3 block blooms + 3 file-partial blooms + minmax (W3-W6)
-           - write the block's own Parquet file (temp + atomic rename) (W7/W9)
-           - return one manifest row
-      -> rollup groupBy(file_id): OR file partials -> files.parquet (M4-shaped)
+      -> mapInPandas (ZERO data shuffle):                         (W3-W9)
+           per input task: buffer rows by partition_id; every
+           max_block_rows rows flush one data block — 3 block blooms +
+           3 file-partial blooms + minmax + the block's own Parquet file
+           (temp + atomic rename); one staging/manifest row per block
+      -> rollup groupBy(file_id): OR file partials -> files.parquet
+         (M4-shaped; shuffles only manifest rows, 1 per ~10k-row block)
       -> write blocks/files/lineage parquet into an uncommitted version dir
       -> atomically swap manifest/CURRENT                          (W12)
 
+When ``cfg.block_expr`` is set (user-controlled clustering, e.g. tight
+zone maps per doc_id or date buckets for TTL), the build instead
+hash/expr-assigns rows to blocks and does ONE full-data shuffle
+(groupBy(block).applyInPandas) to co-locate each block's rows.
+
 Scale notes (100 TB / 1000 executors):
-- exactly one full-data shuffle (the grouped map); everything after operates
-  on manifest rows (1 row per ~10k-row block).
-- skew-proof by construction: blocks are hash-assigned, so a partition with
-  30% of all rows simply owns proportionally many ~equal-size blocks — the
-  explicit salting the north rule asks for (no hot reducer).
+- the default path moves zero row bytes between executors: each task reads
+  its input split once and writes its blocks locally; only block manifest
+  rows (a few KB each) shuffle for the file rollup.  At 100 TB the
+  clustered path would shuffle 100 TB; the map path shuffles ~MBs.
+- skew-proof by construction: blocks are flushed per task at a fixed row
+  cap, so a partition holding 30% of all rows simply produces
+  proportionally many equal-size blocks — no hot reducer exists at all
+  (the north rule's skew requirement, solved by never reducing row data).
 - data files are invisible until the manifest pointer swap, so task retries
   / speculative duplicates leave only unreferenced temp files (same
   atomicity contract as MetaStore.Update, meta_store.go:21).
-- resumable: every stage is deterministic (seeded hashing, no timestamps in
-  ids); completed stages are detected via _SUCCESS markers and skipped, and
-  re-executed stages produce bit-identical bitsets (OR-merge idempotence).
+- resumable: block/file ids are deterministic for a fixed input split
+  layout (ids key off the task's partition index and flush sequence), so
+  task retries recompute identical blocks; completed stages are detected
+  via _SUCCESS markers and skipped, and re-executed stages produce
+  bit-identical bitsets (OR-merge idempotence).
 """
 
 from __future__ import annotations
@@ -144,6 +153,108 @@ def _make_block_fn(cfg: IndexConfig, data_dir: str, arrow_schema_bytes: bytes):
     return fn
 
 
+def _slug(partition_id: str) -> str:
+    """Filesystem-safe partition slug (python twin of the SQL slug in
+    assign_blocks; uniqueness via a short stable hash suffix)."""
+    import hashlib
+    import re
+
+    safe = re.sub(r"[^A-Za-z0-9_.-]", "_", str(partition_id)[:32])
+    h = hashlib.sha1(str(partition_id).encode()).hexdigest()[:8].upper()
+    return f"{safe}-{h}"
+
+
+STAGING_PA_SCHEMA = pa.schema(
+    [
+        ("file_id", pa.string()),
+        ("block_id", pa.string()),
+        ("partition_id", pa.string()),
+        ("data_path", pa.string()),
+        ("row_count", pa.int64()),
+        ("token_count", pa.int64()),
+        ("byte_size", pa.int64()),
+        ("minmax_min", pa.map_(pa.string(), pa.int64())),
+        ("minmax_max", pa.map_(pa.string(), pa.int64())),
+        ("expected_items", pa.int64()),
+        ("fpr", pa.float64()),
+        ("field_bloom", pa.binary()),
+        ("token_bloom", pa.binary()),
+        ("fieldtoken_bloom", pa.binary()),
+        ("file_expected_items", pa.int64()),
+        ("file_fpr", pa.float64()),
+        ("file_field_bloom", pa.binary()),
+        ("file_token_bloom", pa.binary()),
+        ("file_fieldtoken_bloom", pa.binary()),
+    ]
+)
+
+
+def _make_map_build_fn(cfg: IndexConfig, data_dir: str, build_tag: str):
+    """mapInArrow body: the reference's partition-buffer ingest actor
+    (processIngestRequest, bloom_tree_engine.go:460-675) run once per input
+    split — buffer rows per partition_id, flush one data block (blooms +
+    minmax + the block's own parquet file) every ``max_block_rows`` rows.
+
+    Pure Arrow end to end: tokenization/unique/minmax run as Arrow compute
+    kernels over contiguous string buffers and the block parquet is written
+    straight from the Arrow table — row values are NEVER materialized as
+    Python objects, which keeps the hot path memory-bandwidth-lean (the
+    binding constraint at high core counts).  No shuffle: each task sees
+    only its own input split; ids key off the task's partition index +
+    flush sequence, so retries recompute identical blocks."""
+    import pyarrow.compute as pc
+
+    from ..operators.blockindex import build_block_entry_arrow
+
+    codec = _CODEC[cfg.compression]
+
+    def fn(batches):
+        from pyspark import TaskContext
+
+        tid = TaskContext.get().partitionId()
+        buffers: dict[str, list[pa.Table]] = {}
+        counts: dict[str, int] = {}
+        seqs: dict[str, int] = {}
+
+        def flush(pid: str, tbl: pa.Table) -> pa.RecordBatch:
+            seq = seqs.get(pid, 0)
+            seqs[pid] = seq + 1
+            file_id = f"{_slug(pid)}-{build_tag}-t{tid}-f{seq // cfg.blocks_per_file}"
+            block_id = f"{file_id}-b{seq}"
+            entry = build_block_entry_arrow((file_id, block_id, pid), tbl, cfg)
+            rel = os.path.join(f"file_id={file_id}", f"block_id={block_id}")
+            entry["data_path"] = rel
+            d = os.path.join(data_dir, rel)
+            os.makedirs(d, exist_ok=True)
+            final = os.path.join(d, "part-0.parquet")
+            tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.parquet")
+            pq.write_table(tbl, tmp, compression=codec or "NONE")
+            os.replace(tmp, final)
+            entry["byte_size"] = os.path.getsize(final)
+            entry["minmax_min"] = list(entry["minmax_min"].items())
+            entry["minmax_max"] = list(entry["minmax_max"].items())
+            return pa.RecordBatch.from_pylist([entry], schema=STAGING_PA_SCHEMA)
+
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            for pid in pc.unique(tbl["partition_id"]).to_pylist():
+                sub = tbl.filter(pc.equal(tbl["partition_id"], pid))
+                buffers.setdefault(pid, []).append(sub)
+                counts[pid] = counts.get(pid, 0) + len(sub)
+                while counts[pid] >= cfg.max_block_rows:
+                    whole = pa.concat_tables(buffers[pid]).combine_chunks()
+                    block = whole.slice(0, cfg.max_block_rows)
+                    rest = whole.slice(cfg.max_block_rows)
+                    buffers[pid] = [rest] if len(rest) else []
+                    counts[pid] = len(rest)
+                    yield flush(pid, block)
+        for pid, parts in buffers.items():  # final partial blocks (Stop/flush)
+            if counts.get(pid, 0):
+                yield flush(pid, pa.concat_tables(parts).combine_chunks())
+
+    return fn
+
+
 def _stage_done(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
@@ -169,19 +280,55 @@ def build_index(
     data_dir = os.path.join(root, "data")
     os.makedirs(vdir, exist_ok=True)
 
-    assigned = assign_blocks(df, cfg, build_tag=build_id)
-
-    arrow_schema = _arrow_schema(assigned, drop=("file_id", "block_id"))
-    schema_bytes = bytes(arrow_schema.serialize())
-
     staging = os.path.join(vdir, "staging.parquet")
-    if not _stage_done(staging):
-        (
-            assigned.groupBy("file_id", "block_id", "partition_id")
-            .applyInPandas(_make_block_fn(cfg, data_dir, schema_bytes), STAGING_SCHEMA)
-            .write.mode("overwrite")
-            .parquet(staging)
+    if cfg.block_expr is not None:
+        # clustered path: user-controlled block assignment, one data shuffle
+        assigned = assign_blocks(df, cfg, build_tag=build_id)
+        arrow_schema = _arrow_schema(assigned, drop=("file_id", "block_id"))
+        schema_bytes = bytes(arrow_schema.serialize())
+        if not _stage_done(staging):
+            (
+                assigned.groupBy("file_id", "block_id", "partition_id")
+                .applyInPandas(_make_block_fn(cfg, data_dir, schema_bytes), STAGING_SCHEMA)
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
+    else:
+        # default map-only path: zero data shuffle (see module docstring)
+        d = df.withColumn(
+            "partition_id",
+            F.coalesce(F.expr(cfg.partition_expr).cast("string"), F.lit("")),
         )
+        if cfg.sha_col:
+            d = d.withColumn(
+                "content_sha", F.sha2(F.col(cfg.sha_col).cast("string"), 256)
+            )
+        if cfg.cluster_input:
+            # one salted repartition: same-partition rows land together in
+            # task-sized salt buckets -> full blocks, no hot task on skew.
+            # Task count = enough for full files, but never fewer than 128
+            # (so small inputs still parallelize) and never more than one
+            # block per task; deterministic, so the SAME physical layout is
+            # produced at any cluster size (scaling-rule requirement).
+            import math
+
+            n_rows = df.count()
+            per_task = cfg.max_block_rows * cfg.blocks_per_file
+            want = max(1, math.ceil(n_rows / per_task))
+            max_tasks = max(1, math.ceil(n_rows / cfg.max_block_rows))
+            want = min(max(want, 128), max_tasks)
+            salt = F.pmod(
+                F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(want)
+            )
+            d = d.repartition(want, F.col("partition_id"), salt)
+        if not _stage_done(staging):
+            (
+                d.mapInArrow(
+                    _make_map_build_fn(cfg, data_dir, build_id), STAGING_SCHEMA
+                )
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
 
     st = spark.read.parquet(staging)
 

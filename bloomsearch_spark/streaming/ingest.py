@@ -1,0 +1,91 @@
+"""Streaming ingest — Structured Streaming over the index build.
+
+The reference's "streaming" is an async ingest actor with row/byte/time
+flush triggers (ingestWorker, bloom_tree_engine.go:348-414; flush decision
+:615-650).  The Spark-native equivalent is a Structured Streaming query:
+each micro-batch IS a flush — ``foreachBatch`` appends a new set of files
+to the index and commits the manifest atomically, so readers get the same
+"rows visible only after flush+commit" semantics as MetaStore.Update
+(meta_store.go:21).  Trigger cadence plays the role of
+``MaxBufferedTime``; ``maxFilesPerTrigger``/rate limits play the role of
+row/byte caps.
+
+Exactly-once: foreachBatch may replay a batch after a failure.  Every
+commit records its ``batch_id`` in the manifest meta; a replayed batch id
+<= the last committed one is skipped, making the sink idempotent (the
+same guarantee the reference gets from single-threaded apply).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import IndexConfig
+from ..plans.build import build_index
+from ..sources import manifest as mf
+
+
+def append_batch(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    cfg: IndexConfig,
+    batch_id: int,
+    source_desc: str = "stream",
+) -> bool:
+    """Idempotently append one micro-batch to the index.
+
+    Returns False (no-op) when ``batch_id`` was already committed — the
+    foreachBatch replay guard.
+    """
+    cur = mf.current_version(root)
+    mode = "append"
+    if cur is None:
+        mode = "overwrite"
+    else:
+        prev = mf.BloomIndex(spark, root, cur)
+        last = prev.meta().get("last_stream_batch", -1)
+        if batch_id <= last:
+            return False
+    idx = build_index(
+        spark, df, root, cfg, source_desc=f"{source_desc}-batch-{batch_id}", mode=mode
+    )
+    # stamp the batch id into the committed meta (idempotency watermark)
+    meta = idx.meta()
+    meta["last_stream_batch"] = batch_id
+    import json
+    import os
+
+    with open(os.path.join(idx.version_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    return True
+
+
+def stream_build(
+    stream_df: DataFrame,
+    root: str,
+    cfg: IndexConfig,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+    source_desc: str = "stream",
+):
+    """Start a streaming index build over ``stream_df`` (a streaming
+    DataFrame).  Returns the StreamingQuery handle.
+
+    ``trigger``: kwargs for ``DataStreamWriter.trigger`` — e.g.
+    ``{"availableNow": True}`` (drain-and-stop, the reference's forced
+    flush) or ``{"processingTime": "10 seconds"}`` (MaxBufferedTime
+    analog).
+    """
+    spark = stream_df.sparkSession
+
+    def _batch(df: DataFrame, batch_id: int) -> None:
+        if df.isEmpty():
+            return
+        append_batch(spark, df, root, cfg, batch_id, source_desc)
+
+    writer = stream_df.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()

@@ -1,0 +1,201 @@
+"""Scaling-efficiency evidence (north rule: >=0.8 from N to 4N executors).
+
+No real cluster exists in this sandbox, so the two "cluster sizes" are the
+same index-build job at two parallelism levels (driver instruction: "run
+the same job at two parallelism levels (e.g. local[8] and local[32], or N
+and 4N cores)").  We use **N=2 vs 4N=8 cores**: direct measurement (see
+BENCH.md "Hardware characterization") shows this VM's aggregate memory
+bandwidth saturates at ~the pull of 4-8 cores (≈2-5 GB/s total, collapsing
+beyond 8 concurrent readers), so *no* data-touching workload — including
+raw `memcpy` — can scale past ~8 cores here; 2→8 is the widest honest 4×
+window the hardware supports.  The 8→32 datapoint is still measured and
+reported (``--wide``) together with that analysis.
+
+Protocol: input is pre-materialized parquet (generation excluded); each
+measurement runs in its own subprocess/JVM; python workers are pre-warmed
+(steady-state throughput, as on a long-lived cluster); ``REPS`` runs are
+interleaved (2,8,2,8,...) to cancel host drift and the median is reported.
+
+Usage:
+    python scaling_bench.py [--wide]     # orchestrate, print one JSON line
+    python scaling_bench.py --worker --cores N --input DIR --root DIR
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import tempfile
+import time
+
+ROWS = int(os.environ.get("SCALING_ROWS", "1600000"))
+BLOCK_ROWS = 5_000
+REPS = int(os.environ.get("SCALING_REPS", "3"))
+
+
+def build_cfg():
+    from bloomsearch_spark import IndexConfig
+
+    return IndexConfig(
+        indexed_fields=("repo", "path", "lang", "content"),
+        partition_expr="lang",
+        max_block_rows=BLOCK_ROWS,
+        blocks_per_file=8,
+        block_fpr=0.01,
+        file_fpr=0.01,
+        file_expected_items=200_000,
+        compression="snappy",
+        sha_col="content",
+    )
+
+
+def worker(cores: int, input_dir: str, root: str) -> None:
+    from pyspark.sql import SparkSession
+
+    from bloomsearch_spark import build_index
+
+    spark = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"scaling-bench-{cores}")
+        .config("spark.sql.shuffle.partitions", str(max(cores * 4, 16)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(input_dir)
+    df.count()  # warm scan/JIT
+
+    def _warm(it):  # pre-fork python workers + their numpy/pandas imports
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        from bloomsearch_spark.operators import blockindex  # noqa: F401
+
+        yield from it
+
+    spark.range(cores * 8).repartition(cores * 8).mapInPandas(_warm, "id long").count()
+
+    t0 = time.perf_counter()
+    idx = build_index(spark, df, root, build_cfg(), source_desc=f"scaling@{cores}")
+    wall = time.perf_counter() - t0
+
+    n_files = idx.files().count()
+    n_blocks = idx.blocks().count()
+    n_rows = idx.blocks().groupBy().sum("row_count").collect()[0][0]
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "build_sec": round(wall, 3),
+                "rows": int(n_rows),
+                "files": n_files,
+                "blocks": n_blocks,
+                "rows_per_sec": round(n_rows / wall, 1),
+                "files_per_sec": round(n_files / wall, 4),
+            }
+        )
+    )
+    spark.stop()
+
+
+def _run_worker(cores: int, input_dir: str, root: str) -> dict:
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--worker",
+            "--cores",
+            str(cores),
+            "--input",
+            input_dir,
+            "--root",
+            root,
+        ],
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def orchestrate(pairs: list[tuple[int, int]]) -> None:
+    from pyspark.sql import SparkSession
+
+    from bloomsearch_spark.sources.synthetic import generate_df
+
+    work = tempfile.mkdtemp(prefix="scaling-")
+    input_dir = os.path.join(work, "input.parquet")
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    generate_df(spark, ROWS).repartition(128).write.mode("overwrite").parquet(input_dir)
+    spark.stop()
+
+    try:
+        results = {}
+        for lo, hi in pairs:
+            runs: dict[int, list[dict]] = {lo: [], hi: []}
+            for _ in range(REPS):  # interleaved to cancel host drift
+                for cores in (lo, hi):
+                    runs[cores].append(
+                        _run_worker(cores, input_dir, os.path.join(work, "idx"))
+                    )
+            med = {
+                c: statistics.median(r["build_sec"] for r in runs[c]) for c in (lo, hi)
+            }
+            tput = {c: round(ROWS / med[c], 1) for c in (lo, hi)}
+            eff = round((tput[hi] / tput[lo]) / (hi / lo), 3)
+            results[f"{lo}->{hi}"] = {
+                "median_build_sec": med,
+                "rows_per_sec": tput,
+                "files_per_sec": {
+                    c: round(runs[c][0]["files"] / med[c], 3) for c in (lo, hi)
+                },
+                "all_runs_sec": {
+                    c: [r["build_sec"] for r in runs[c]] for c in (lo, hi)
+                },
+                "speedup": round(med[lo] / med[hi], 3),
+                "scaling_efficiency": eff,
+            }
+        print(
+            json.dumps(
+                {
+                    "rows": ROWS,
+                    "blocks": runs[hi][0]["blocks"],
+                    "files": runs[hi][0]["files"],
+                    "reps": REPS,
+                    "pairs": results,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--wide", action="store_true", help="also measure 8->32")
+    ap.add_argument("--cores", type=int)
+    ap.add_argument("--input")
+    ap.add_argument("--root")
+    a = ap.parse_args()
+    if a.worker:
+        worker(a.cores, a.input, a.root)
+    else:
+        orchestrate([(2, 8), (8, 32)] if a.wide else [(2, 8)])

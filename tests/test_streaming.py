@@ -1,0 +1,85 @@
+"""Streaming ingest e2e — micro-batch appends mirror the reference's
+flush-per-trigger semantics (rows visible only after flush + manifest
+commit, bloom_tree_engine_test.go:123-292); replayed batches are no-ops
+(exactly-once watermark)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bloomsearch_spark import IndexConfig, new_query, search, verify_integrity
+from bloomsearch_spark.sources.manifest import BloomIndex
+from bloomsearch_spark.sources.synthetic import generate_pdf
+from bloomsearch_spark.streaming.ingest import append_batch, stream_build
+
+CFG = IndexConfig(
+    indexed_fields=("repo", "path", "lang", "content"),
+    partition_expr="lang",
+    max_block_rows=200,
+    blocks_per_file=4,
+    block_fpr=0.01,
+    file_fpr=0.01,
+    file_expected_items=20_000,
+    compression="snappy",
+    sha_col="content",
+)
+
+SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def test_stream_build_file_source(spark, tmp_root, tmp_path):
+    """Files land -> stream drains -> index holds exactly those rows;
+    a second drain picks up only new files (incremental append)."""
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    pdf = generate_pdf(1_200)
+
+    spark.createDataFrame(pdf.iloc[:700], schema=SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(src, "f1"))
+
+    stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(
+        src + "/*"
+    )
+    q = stream_build(stream, tmp_root, CFG, ckpt, trigger={"availableNow": True})
+    q.awaitTermination(120)
+
+    idx = BloomIndex.load(spark, tmp_root)
+    assert idx.blocks().agg(F.sum("row_count")).collect()[0][0] == 700
+    assert search(spark, idx, new_query().build()).count() == 700
+
+    # second wave of files
+    spark.createDataFrame(pdf.iloc[700:], schema=SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(src, "f2"))
+    q2 = stream_build(stream, tmp_root, CFG, ckpt, trigger={"availableNow": True})
+    q2.awaitTermination(120)
+
+    idx2 = BloomIndex.load(spark, tmp_root)
+    assert idx2.version != idx.version
+    assert idx2.blocks().agg(F.sum("row_count")).collect()[0][0] == 1_200
+    got = search(spark, idx2, new_query().token("needle_alpha").build())
+    expect = sum(
+        "needle_alpha" in c.lower().split() for c in pdf["content"]
+    )
+    assert got.count() == expect
+    assert verify_integrity(spark, idx2) == 0
+    # lineage records every streamed batch
+    descs = {r.source_desc for r in idx2.lineage().select("source_desc").distinct().collect()}
+    assert any(d.startswith("stream-batch-") for d in descs)
+
+
+def test_replayed_batch_is_noop(spark, tmp_root):
+    """foreachBatch replay (same batch_id) must not double-ingest."""
+    pdf = generate_pdf(300)
+    df = spark.createDataFrame(pdf, schema=SCHEMA)
+    assert append_batch(spark, df, tmp_root, CFG, batch_id=0) is True
+    assert append_batch(spark, df, tmp_root, CFG, batch_id=0) is False  # replay
+    idx = BloomIndex.load(spark, tmp_root)
+    assert idx.blocks().agg(F.sum("row_count")).collect()[0][0] == 300
+    # a NEW batch id appends
+    assert append_batch(spark, df, tmp_root, CFG, batch_id=1) is True
+    idx2 = BloomIndex.load(spark, tmp_root)
+    assert idx2.blocks().agg(F.sum("row_count")).collect()[0][0] == 600
