@@ -19,6 +19,7 @@ import os
 import tempfile
 from collections.abc import Callable
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -48,7 +49,15 @@ from bloomsearch_spark.functions.dedup import (
 from bloomsearch_spark.functions.similarity import (
     brute_force_topk,
     embedding_neardup_pairs,
+    ivf_topk,
     lsh_topk,
+)
+from bloomsearch_spark.functions.multimodal import (
+    decode_images,
+    fake_image_bytes,
+    fake_video_bytes,
+    sample_frames,
+    with_media_metadata,
 )
 from bloomsearch_spark.functions.text import text_stats
 from bloomsearch_spark.sources.manifest import BloomIndex
@@ -224,9 +233,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_neardup": lambda spark, sf: embedding_neardup_pairs(
             _embs(spark, sf), threshold=0.45
         ),
+        # IVF cell-probe ANN (approximate -> rows-only driver check)
+        "sim_ivf_topk": lambda spark, sf: ivf_topk(
+            _embs(spark, sf), _embs(spark, sf).filter(F.col("vec_id") < 5), k=10
+        ),
         # --- text analysis family ---
         "txt_stats": lambda spark, sf: text_stats(_docs(spark, sf), "text"),
+        # --- multimodal family (deterministic FAKE1 codec; real binary
+        #     column plumbing: metadata from magic bytes + Arrow-batched
+        #     decode / 1->N frame sampling) ---
+        "mm_decode": _mm_decode,
+        "mm_frames": _mm_frames,
     }
+
+
+def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> deterministic fake image binaries (doc_id-seeded)."""
+    import pandas as pd
+
+    @F.pandas_udf("binary")
+    def mk(n_chars: pd.Series, doc_id: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                fake_image_bytes((int(n) % 64) + 1, (int(d) % 32) + 1, int(d))
+                for n, d in zip(n_chars, doc_id)
+            ]
+        )
+
+    return _docs(spark, sf_dir).select("doc_id", mk("n_chars", "doc_id").alias("img"))
+
+
+def _mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = with_media_metadata(_media_df(spark, sf_dir), "img")
+    dec = decode_images(media, "img", keep=["doc_id", "media_format", "media_size_bytes"])
+    return dec.select(
+        "doc_id",
+        "media_format",
+        F.col("media_size_bytes").cast("long").alias("media_size_bytes"),
+        "width",
+        "height",
+        "mean_luma",
+    )
+
+
+def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    @F.pandas_udf("binary")
+    def mkvid(doc_id: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                fake_video_bytes((int(d) % 5) + 1, 4, 4, int(d) * 7)
+                for d in doc_id
+            ]
+        )
+
+    vids = _docs(spark, sf_dir).select("doc_id", mkvid("doc_id").alias("vid"))
+    frames = sample_frames(vids, "vid", keep=["doc_id"], every_n=2)
+    dec = decode_images(frames, "frame", keep=["doc_id", "frame_idx"])
+    return dec.select("doc_id", "frame_idx", "mean_luma")
 
 
 # ---------------------------------------------------------------------------
@@ -316,6 +381,9 @@ WITH base AS (
 )
 SELECT doc_id, text, lang, source, n_chars,
   n_tokens,
+  CAST(len(regexp_extract_all(text,
+      '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))
+      AS INT) AS n_bpe_tokens,
   round(alpha_raw, 6) AS alpha_ratio,
   round(stop_raw, 6) AS stopword_ratio,
   round(0.4 * least(n_tokens / 100.0, 1.0) + 0.4 * alpha_raw
@@ -362,5 +430,17 @@ def oracle_sql() -> dict[str, str]:
         "sim_topk": _TOPK_ORACLE,
         "sim_neardup": _NEARDUP_ORACLE,
         "txt_stats": _TXT_STATS_ORACLE,
+        # FAKE1 codec is deliberately SQL-expressible: header fields derive
+        # from (n_chars, doc_id); mean_luma = (seed*31+7)%256
+        "mm_decode": (
+            "SELECT doc_id, 'fake1' AS media_format, CAST(16 AS BIGINT) AS media_size_bytes, "
+            "CAST((n_chars % 64) + 1 AS INT) AS width, CAST((doc_id % 32) + 1 AS INT) AS height, "
+            "CAST((doc_id * 31 + 7) % 256 AS DOUBLE) AS mean_luma FROM documents"
+        ),
+        "mm_frames": (
+            "SELECT doc_id, CAST(fi AS INT) AS frame_idx, "
+            "CAST(((doc_id * 7 + fi) * 31 + 7) % 256 AS DOUBLE) AS mean_luma "
+            "FROM (SELECT doc_id, unnest(range(0, (doc_id % 5) + 1, 2)) AS fi FROM documents)"
+        ),
         # dd_simhash, sim_lsh_topk: approximate/non-SQL ops -> rows-only check
     }

@@ -143,6 +143,7 @@ def main() -> None:
             file_expected_items=100_000,
             compression="snappy",
             sha_col="content",
+            cluster_input=True,  # salted repartition -> full blocks
         )
         code_idx = timed(
             "build_code", lambda: build_index(spark, code, code_root, code_cfg)

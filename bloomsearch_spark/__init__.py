@@ -38,6 +38,7 @@ from .query import (
     new_query,
 )
 from .plans.build import build_index
+from .plans.external import build_external_index
 from .plans.merge import (
     MergeStats,
     compact_blocks,
@@ -53,7 +54,7 @@ __all__ = [
     "Eq", "Field", "FieldRegex", "FieldToken", "Gt", "Gte", "In", "IndexConfig",
     "Lt", "Lte", "MergeStats", "MinMax", "Ne", "NotBetween", "NotIn", "Or",
     "Partition", "PrefilterAnd", "PrefilterOr", "Query", "QueryBuilder",
-    "QueryStats", "RegexAnd", "RegexOr", "Token", "build_index",
-    "compact_blocks", "expire_blocks", "merge_files", "new_query", "search",
-    "sizing", "vacuum", "verify_integrity",
+    "QueryStats", "RegexAnd", "RegexOr", "Token", "build_external_index",
+    "build_index", "compact_blocks", "expire_blocks", "merge_files",
+    "new_query", "search", "sizing", "vacuum", "verify_integrity",
 ]

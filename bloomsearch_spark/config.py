@@ -56,6 +56,12 @@ class IndexConfig:
     file_expected_items: int = DEFAULT_FILE_EXPECTED_ITEMS
     compression: str = "snappy"  # none | snappy | zstd (file_format.go:147-151)
     sha_col: str | None = None  # column to sha256 for the per-row invariant
+    # External-data mode (build_external_index): the index OVERLAYS the
+    # source parquet files in place — a "block" is one (source file,
+    # partition value) and data_path points at the source file itself.
+    # Zero bytes of row data are copied; the build is a single read pass.
+    # Set automatically by build_external_index.
+    external_data: bool = False
     # If True, the build does ONE salted repartition by partition_id so each
     # task sees ~max_block_rows*blocks_per_file rows of a single partition
     # (full blocks from unclustered input; the north rule's explicit salting
@@ -88,6 +94,7 @@ class IndexConfig:
             "file_expected_items": self.file_expected_items,
             "compression": self.compression,
             "sha_col": self.sha_col,
+            "external_data": self.external_data,
             "cluster_input": self.cluster_input,
         }
 
@@ -106,5 +113,6 @@ class IndexConfig:
             file_expected_items=d.get("file_expected_items", DEFAULT_FILE_EXPECTED_ITEMS),
             compression=d.get("compression", "snappy"),
             sha_col=d.get("sha_col"),
+            external_data=d.get("external_data", False),
             cluster_input=d.get("cluster_input", False),
         )

@@ -134,6 +134,103 @@ def lsh_topk(
     )
 
 
+def _nearest_cells_udf(centroids: np.ndarray, n: int):
+    """UDF: n nearest centroid ids (by cosine) for each vector —
+    one matmul per Arrow batch."""
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @F.pandas_udf("array<int>")
+    def cells(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ cn.T  # (batch, n_cells)
+        top = np.argsort(-sims, axis=1)[:, :n].astype(np.int32)
+        return pd.Series(list(top))
+
+    return cells
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic coarse quantizer: init = the n_cells lowest-id vectors,
+    then Lloyd iterations computed distributively (assign via one matmul
+    UDF; new centroids via posexplode + per-(cell, dim) mean — manifest-
+    sized aggregation, never a driver-side pass over the corpus)."""
+    init = (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(_as_double(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+    centroids = np.stack([np.asarray(r.v, dtype=np.float64) for r in init])
+    for _ in range(iters):
+        assign = corpus.select(
+            _as_double(F.col(vec_col)).alias("v"),
+            F.element_at(_nearest_cells_udf(centroids, 1)(F.col(vec_col)), 1).alias("cell"),
+        )
+        means = (
+            assign.select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        nxt = centroids.copy()  # cells that lost all members keep old centroid
+        for r in means:
+            nxt[r.cell, r.dim] = r.m
+        centroids = nxt
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their nearest-centroid
+    cell; each query scans only its ``n_probe`` nearest cells, exact cosine
+    re-rank.  The 100 TB shape: cell assignment is a one-time build (write
+    the corpus bucketed/partitioned by cell); a query touches
+    n_probe/n_cells of the data — the same hierarchical-pruning idea as the
+    bloom index, with centroids as the zone map."""
+    centroids = train_ivf_centroids(corpus, n_cells, iters, id_col, vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+        F.element_at(_nearest_cells_udf(centroids, 1)(F.col(vec_col)), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+        F.explode(_nearest_cells_udf(centroids, n_probe)(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_col(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.9,

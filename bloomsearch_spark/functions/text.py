@@ -34,6 +34,20 @@ def token_count(col: Column) -> Column:
     return F.size(F.filter(tokens_col(col), lambda t: t != F.lit("")))
 
 
+# GPT-2-style pretokenizer regex, restricted to the Java-regex / RE2 common
+# subset (ASCII classes, no lookahead) so Spark and the DuckDB oracle count
+# identically: contractions | space-prefixed letter runs | digit runs |
+# punctuation runs | whitespace runs.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """BPE-ish token count: number of pretokenizer matches (the standard
+    first stage of GPT-2/tiktoken-family tokenizers; real BPE merges only
+    split these further, so this lower-bounds and tracks true token counts)."""
+    return F.regexp_count(col.cast("string"), F.lit(BPE_PRETOKEN_RE))
+
+
 def normalized_text(col: Column) -> Column:
     """lower + collapse whitespace + trim: the canonical dedup form."""
     return F.trim(F.regexp_replace(F.lower(col.cast("string")), WS, " "))
@@ -97,6 +111,7 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(
         "*",
         token_count(c).alias("n_tokens"),
+        bpe_token_count(c).alias("n_bpe_tokens"),
         F.round(alpha_ratio(c), 6).alias("alpha_ratio"),
         F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
         quality_score(c).alias("quality_score"),

@@ -145,11 +145,26 @@ def _minmax_maps_arrow(tbl: pa.Table, cfg: IndexConfig) -> tuple[dict, dict]:
 
 def build_block_entry_arrow(key: tuple, tbl: pa.Table, cfg: IndexConfig) -> dict:
     """Arrow-native twin of ``build_block_entry``: one block table in, one
-    staging-row dict out (zero pandas, zero per-row Python objects)."""
+    staging-row dict out (zero pandas, zero per-row Python objects on the
+    fixed-schema path; the schemaless JSON path necessarily walks each
+    document)."""
     file_id, block_id, partition_id = key
     bp, fp = cfg.block_params, cfg.file_params
     block_sets = [bloom.new_bitset(bp) for _ in range(3)]
     file_sets = [bloom.new_bitset(fp) for _ in range(3)]
+
+    if cfg.json_col is not None:
+        pdf = tbl.select([cfg.json_col]).to_pandas()
+        fields, tokens, pairs = _index_entries_json(pdf, cfg)
+        mn_map, mx_map = _minmax_maps(pdf, cfg)
+        n_tokens = 0
+        for i, entries in enumerate((np.asarray(fields, dtype=object), tokens, pairs)):
+            n_tokens += bloom.insert_into_many(
+                [block_sets[i], file_sets[i]], entries, [bp, fp]
+            )
+        return _entry_dict(
+            key, len(tbl), n_tokens, mn_map, mx_map, cfg, block_sets, file_sets
+        )
 
     fields, tokens, pairs = _index_entries_arrow(tbl, cfg)
     n_tokens = 0
@@ -158,11 +173,18 @@ def build_block_entry_arrow(key: tuple, tbl: pa.Table, cfg: IndexConfig) -> dict
             [block_sets[i], file_sets[i]], entries, [bp, fp]
         )
     mn_map, mx_map = _minmax_maps_arrow(tbl, cfg)
+    return _entry_dict(
+        key, len(tbl), n_tokens, mn_map, mx_map, cfg, block_sets, file_sets
+    )
+
+
+def _entry_dict(key, n_rows, n_tokens, mn_map, mx_map, cfg, block_sets, file_sets):
+    file_id, block_id, partition_id = key
     return {
         "file_id": file_id,
         "block_id": block_id,
         "partition_id": partition_id,
-        "row_count": len(tbl),
+        "row_count": n_rows,
         "token_count": n_tokens,
         "minmax_min": mn_map,
         "minmax_max": mx_map,

@@ -1,0 +1,208 @@
+"""External-data index build — overlay the bloom hierarchy on source
+parquet IN PLACE (zero row-data copy).
+
+The reference's DataStore pointers are opaque bytes (data_store.go:12-22) —
+nothing requires the engine to own the blobs.  This mode exploits that: a
+**block = one (source file, partition value)** and the manifest's
+``data_path`` stores the source file URI itself.  The build is therefore a
+single read pass (tokenize + bloom + minmax), with NO data write and NO
+shuffle of row data; at 100 TB this indexes the lake where it lies —
+the build moves only manifest rows.
+
+Mechanics:
+
+- ``input_file_name()`` tags rows with their source file (constant per
+  split, JVM-side).  One mapInArrow pass accumulates per-(file, partition)
+  partial blooms/minmax/counts; a source file larger than one input split
+  yields several partials, which OR-merge in a manifest-sized grouped
+  rollup (bloom merge associativity doing its job).
+- file-level grouping: blocks of one source *directory* x partition form a
+  logical file (Iceberg data dirs group naturally).
+- query-side (plans/search.py): pruned scan reads the surviving source
+  files; because several partition-blocks can share one physical file, the
+  scan re-applies ``partition_expr`` as a row filter semi-joined against
+  the surviving (file, partition) pairs — row-exact block semantics.
+- integrity: data is never copied, so the per-row sha invariant holds by
+  construction; ``verify_external_integrity`` instead re-counts each
+  block's rows against the manifest (detects source mutation/truncation).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import bloom
+from ..config import IndexConfig
+from ..operators.blockindex import build_block_entry_arrow, rollup_file_entry
+from ..sources import manifest as mf
+from .build import STAGING_PA_SCHEMA, STAGING_SCHEMA, _slug, _stage_done
+
+
+def _make_external_fn(cfg: IndexConfig, build_tag: str):
+    """mapInArrow body: accumulate one partial staging row per
+    (source file, partition value) seen in this task's splits."""
+
+    def fn(batches):
+        acc: dict[tuple[str, str], dict] = {}
+
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            srcs = pc.unique(tbl["_src"]).to_pylist()
+            for src in srcs:
+                sub = tbl.filter(pc.equal(tbl["_src"], src))
+                for pid in pc.unique(sub["partition_id"]).to_pylist():
+                    part = sub.filter(pc.equal(sub["partition_id"], pid))
+                    part = part.drop_columns(["_src"])
+                    dirslug = _slug(os.path.basename(os.path.dirname(src)))
+                    file_id = f"{_slug(pid)}-{build_tag}-x{dirslug}"
+                    block_id = f"{_slug(pid)}-{build_tag}-{_slug(os.path.basename(src))}"
+                    entry = build_block_entry_arrow((file_id, block_id, pid), part, cfg)
+                    entry["data_path"] = src
+                    entry["byte_size"] = 0
+                    key = (block_id, pid)
+                    if key not in acc:
+                        acc[key] = entry
+                    else:  # same file+partition seen again in a later batch
+                        cur = acc[key]
+                        cur["row_count"] += entry["row_count"]
+                        cur["token_count"] += entry["token_count"]
+                        for fld in ("field_bloom", "token_bloom", "fieldtoken_bloom",
+                                    "file_field_bloom", "file_token_bloom",
+                                    "file_fieldtoken_bloom"):
+                            cur[fld] = bloom.merge_serialized([cur[fld], entry[fld]])
+                        for m, pick in (("minmax_min", min), ("minmax_max", max)):
+                            for f2, v in entry[m].items():
+                                cur[m][f2] = pick(cur[m].get(f2, v), v)
+
+        for entry in acc.values():
+            entry["minmax_min"] = list(entry["minmax_min"].items())
+            entry["minmax_max"] = list(entry["minmax_max"].items())
+            yield pa.RecordBatch.from_pylist([entry], schema=STAGING_PA_SCHEMA)
+
+    return fn
+
+
+def _merge_partials(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    """OR-merge partials of one block that was split across input tasks
+    (associative + idempotent — safe under retry/replay)."""
+    out = pdf.iloc[:1].copy()
+    if len(pdf) > 1:
+        mn: dict[str, int] = {}
+        mx: dict[str, int] = {}
+        for m in pdf["minmax_min"]:
+            for f2, v in (m or {}).items():
+                mn[f2] = min(mn.get(f2, v), v)
+        for m in pdf["minmax_max"]:
+            for f2, v in (m or {}).items():
+                mx[f2] = max(mx.get(f2, v), v)
+        out["row_count"] = int(pdf["row_count"].sum())
+        out["token_count"] = int(pdf["token_count"].sum())
+        out["minmax_min"] = [mn]
+        out["minmax_max"] = [mx]
+        for fld in ("field_bloom", "token_bloom", "fieldtoken_bloom",
+                    "file_field_bloom", "file_token_bloom", "file_fieldtoken_bloom"):
+            out[fld] = bloom.merge_serialized(list(pdf[fld]))
+    return out
+
+
+def build_external_index(
+    spark: SparkSession,
+    source: str | list[str] | DataFrame,
+    root: str,
+    cfg: IndexConfig,
+    source_desc: str = "",
+) -> mf.BloomIndex:
+    """Build a zero-copy overlay index for parquet data at ``source``.
+
+    ``source`` may be a path/glob, a list of paths, or a DataFrame that was
+    read straight from parquet (it must still expose input_file_name()).
+    """
+    cfg = IndexConfig.from_dict({**cfg.to_dict(), "external_data": True})
+    if isinstance(source, DataFrame):
+        df = source
+    else:
+        paths = [source] if isinstance(source, str) else list(source)
+        df = spark.read.parquet(*paths)
+
+    version, vdir = mf.next_version_dir(root)
+    os.makedirs(vdir, exist_ok=True)
+
+    d = df.withColumn("_src", F.input_file_name()).withColumn(
+        "partition_id",
+        F.coalesce(F.expr(cfg.partition_expr).cast("string"), F.lit("")),
+    )
+
+    staging = os.path.join(vdir, "staging.parquet")
+    if not _stage_done(staging):
+        (
+            d.mapInArrow(_make_external_fn(cfg, version), STAGING_SCHEMA)
+            .groupBy("block_id", "partition_id")
+            .applyInPandas(_merge_partials, STAGING_SCHEMA)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+
+    st = spark.read.parquet(staging)
+    new_blocks = st.select(
+        "file_id", "block_id", "partition_id", "data_path", "row_count",
+        "token_count", "byte_size", "minmax_min", "minmax_max",
+        "expected_items", "fpr", "field_bloom", "token_bloom", "fieldtoken_bloom",
+    )
+    new_files = st.groupBy("file_id").applyInPandas(rollup_file_entry, mf.FILES_SCHEMA)
+    new_lineage = st.select(
+        F.lit(version).alias("build_id"),
+        "file_id", "block_id", "partition_id",
+        F.lit(source_desc).alias("source_desc"),
+        F.col("row_count").alias("rows_indexed"),
+        F.col("token_count").alias("tokens_inserted"),
+        F.lit("build-external").alias("op"),
+        F.lit(time.time()).alias("committed_at"),
+    )
+    for name, data in (("blocks", new_blocks), ("files", new_files), ("lineage", new_lineage)):
+        out = os.path.join(vdir, f"{name}.parquet")
+        if not _stage_done(out):
+            data.write.mode("overwrite").parquet(out)
+
+    mf.write_meta(
+        vdir,
+        cfg,
+        extra={
+            "build_id": version,
+            "source_desc": source_desc,
+            "source_columns": list(df.columns),
+            "external": True,
+        },
+    )
+    mf.commit_version(root, version)
+    return mf.BloomIndex(spark, root, version)
+
+
+def verify_external_integrity(spark: SparkSession, index: mf.BloomIndex) -> int:
+    """Re-count each (source file, partition) block's rows against the
+    manifest; returns the number of mismatching blocks (0 = intact).
+    Detects source files mutated/removed since the index was built."""
+    cfg = index.config
+    blocks = index.blocks().select("data_path", "partition_id", "row_count")
+    paths = [r.data_path for r in blocks.select("data_path").distinct().collect()]
+    data = spark.read.parquet(*paths)
+    actual = (
+        data.withColumn("data_path", F.input_file_name())
+        .withColumn(
+            "partition_id",
+            F.coalesce(F.expr(cfg.partition_expr).cast("string"), F.lit("")),
+        )
+        .groupBy("data_path", "partition_id")
+        .agg(F.count("*").alias("actual_rows"))
+    )
+    joined = blocks.join(actual, ["data_path", "partition_id"], "full_outer")
+    return joined.filter(
+        F.coalesce(F.col("row_count"), F.lit(-1))
+        != F.coalesce(F.col("actual_rows"), F.lit(-2))
+    ).count()

@@ -301,6 +301,11 @@ def compact_blocks(
     File-level rows are unchanged (their blooms already cover the union).
     """
     cfg = index.config
+    if index.meta().get("external", False):
+        raise ValueError(
+            "compact_blocks rewrites block data and is not applicable to a "
+            "zero-copy external index; use merge_files (metadata-only)"
+        )
     target = max_block_rows or cfg.max_block_rows
     stats = MergeStats()
     blocks = index.blocks()

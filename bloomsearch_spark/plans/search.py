@@ -91,6 +91,8 @@ def scan_blocks(index: BloomIndex, surviving: DataFrame) -> DataFrame:
     """Read only the surviving blocks' data directories (via ``data_path``,
     which stays valid across metadata-only merges)."""
     spark = index.spark
+    if index.meta().get("external", False):
+        return _scan_external(index, surviving)
     keys_df = surviving.select("data_path")
     keys = keys_df.limit(MAX_COLLECTED_BLOCKS + 1).collect()
     if len(keys) > MAX_COLLECTED_BLOCKS:
@@ -107,6 +109,43 @@ def scan_blocks(index: BloomIndex, surviving: DataFrame) -> DataFrame:
         return data.limit(0)
     paths = index.block_paths([r.data_path for r in keys])
     return spark.read.option("basePath", index.data_dir).parquet(*paths)
+
+
+def _scan_external(index: BloomIndex, surviving: DataFrame) -> DataFrame:
+    """Pruned scan for a zero-copy external index: read the surviving
+    SOURCE files; since several partition-blocks can share one physical
+    file, re-derive (data_path, partition_id) per row and semi-join against
+    the surviving pairs — row-exact block semantics
+    (plans/external.py module docstring)."""
+    spark = index.spark
+    cfg = index.config
+    pairs = surviving.select("data_path", "partition_id")
+    keys = pairs.limit(MAX_COLLECTED_BLOCKS + 1).collect()
+    if len(keys) > MAX_COLLECTED_BLOCKS:
+        paths = [
+            r.data_path
+            for r in index.blocks().select("data_path").distinct().collect()
+        ]
+    else:
+        paths = sorted({r.data_path for r in keys})
+    if not paths:
+        all_paths = [
+            r.data_path for r in index.blocks().select("data_path").distinct().limit(1).collect()
+        ]
+        if not all_paths:
+            raise ValueError("external index has no blocks")
+        return spark.read.parquet(all_paths[0]).limit(0)
+    data = (
+        spark.read.parquet(*paths)
+        .withColumn("data_path", F.input_file_name())
+        .withColumn(
+            "partition_id",
+            F.coalesce(F.expr(cfg.partition_expr).cast("string"), F.lit("")),
+        )
+    )
+    return data.join(F.broadcast(pairs), ["data_path", "partition_id"], "left_semi").drop(
+        "data_path", "partition_id"
+    )
 
 
 def search(
@@ -148,6 +187,12 @@ def verify_integrity(spark: SparkSession, index: BloomIndex) -> int:
     """Per-row content-sha256 invariant check (W11 analog): recompute
     sha2(sha_col) over every stored row and count mismatches (0 = intact)."""
     cfg = index.config
+    if index.meta().get("external", False):
+        # external data is never copied -> per-row sha equality holds by
+        # construction; the integrity check is a per-block row re-count
+        from .external import verify_external_integrity
+
+        return verify_external_integrity(spark, index)
     if not cfg.sha_col:
         raise ValueError("index was built without sha_col")
     # scan only manifest-referenced block dirs (the data root may also hold
