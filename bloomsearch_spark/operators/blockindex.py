@@ -143,6 +143,50 @@ def _minmax_maps_arrow(tbl: pa.Table, cfg: IndexConfig) -> tuple[dict, dict]:
     return mn_map, mx_map
 
 
+class BlockAccumulator:
+    """Incremental per-block index state: call ``add(tbl)`` for every slice
+    of the block's rows (possibly across many Arrow batches), then
+    ``entry(key)`` once.  Bitsets are allocated once per block and mutated
+    in place — the cheap path for accumulation-style builds (external mode,
+    where one (file, partition) key recurs across input batches)."""
+
+    def __init__(self, cfg: IndexConfig):
+        self.cfg = cfg
+        bp, fp = cfg.block_params, cfg.file_params
+        self.block_sets = [bloom.new_bitset(bp) for _ in range(3)]
+        self.file_sets = [bloom.new_bitset(fp) for _ in range(3)]
+        self.rows = 0
+        self.tokens = 0
+        self.mn: dict[str, int] = {}
+        self.mx: dict[str, int] = {}
+
+    def add(self, tbl: pa.Table) -> None:
+        cfg = self.cfg
+        bp, fp = cfg.block_params, cfg.file_params
+        if cfg.json_col is not None:
+            pdf = tbl.select([cfg.json_col]).to_pandas()
+            fields, tokens, pairs = _index_entries_json(pdf, cfg)
+            mn, mx = _minmax_maps(pdf, cfg)
+        else:
+            fields, tokens, pairs = _index_entries_arrow(tbl, cfg)
+            mn, mx = _minmax_maps_arrow(tbl, cfg)
+        for i, entries in enumerate((np.asarray(fields, dtype=object), tokens, pairs)):
+            self.tokens += bloom.insert_into_many(
+                [self.block_sets[i], self.file_sets[i]], entries, [bp, fp]
+            )
+        self.rows += len(tbl)
+        for f, v in mn.items():
+            self.mn[f] = min(self.mn.get(f, v), v)
+        for f, v in mx.items():
+            self.mx[f] = max(self.mx.get(f, v), v)
+
+    def entry(self, key: tuple) -> dict:
+        return _entry_dict(
+            key, self.rows, self.tokens, self.mn, self.mx, self.cfg,
+            self.block_sets, self.file_sets,
+        )
+
+
 def build_block_entry_arrow(key: tuple, tbl: pa.Table, cfg: IndexConfig) -> dict:
     """Arrow-native twin of ``build_block_entry``: one block table in, one
     staging-row dict out (zero pandas, zero per-row Python objects on the

@@ -40,48 +40,49 @@ from pyspark.sql import functions as F
 
 from .. import bloom
 from ..config import IndexConfig
-from ..operators.blockindex import build_block_entry_arrow, rollup_file_entry
+from ..operators.blockindex import BlockAccumulator, rollup_file_entry
 from ..sources import manifest as mf
 from .build import STAGING_PA_SCHEMA, STAGING_SCHEMA, _slug, _stage_done
 
 
 def _make_external_fn(cfg: IndexConfig, build_tag: str):
     """mapInArrow body: accumulate one partial staging row per
-    (source file, partition value) seen in this task's splits."""
+    (source file, partition value) seen in this task's splits.  State is a
+    ``BlockAccumulator`` per key — bitsets allocate once and mutate in
+    place across batches (no per-batch alloc/merge churn)."""
 
     def fn(batches):
-        acc: dict[tuple[str, str], dict] = {}
-
+        # buffer zero-copy batch slices per source file; tokenize each
+        # (file, partition) ONCE over the concatenated table (small slices
+        # amortize badly through unique()/hashing)
+        per_src: dict[str, list[pa.Table]] = {}
         for batch in batches:
             tbl = pa.Table.from_batches([batch])
             srcs = pc.unique(tbl["_src"]).to_pylist()
-            for src in srcs:
-                sub = tbl.filter(pc.equal(tbl["_src"], src))
-                for pid in pc.unique(sub["partition_id"]).to_pylist():
-                    part = sub.filter(pc.equal(sub["partition_id"], pid))
-                    part = part.drop_columns(["_src"])
-                    dirslug = _slug(os.path.basename(os.path.dirname(src)))
-                    file_id = f"{_slug(pid)}-{build_tag}-x{dirslug}"
-                    block_id = f"{_slug(pid)}-{build_tag}-{_slug(os.path.basename(src))}"
-                    entry = build_block_entry_arrow((file_id, block_id, pid), part, cfg)
-                    entry["data_path"] = src
-                    entry["byte_size"] = 0
-                    key = (block_id, pid)
-                    if key not in acc:
-                        acc[key] = entry
-                    else:  # same file+partition seen again in a later batch
-                        cur = acc[key]
-                        cur["row_count"] += entry["row_count"]
-                        cur["token_count"] += entry["token_count"]
-                        for fld in ("field_bloom", "token_bloom", "fieldtoken_bloom",
-                                    "file_field_bloom", "file_token_bloom",
-                                    "file_fieldtoken_bloom"):
-                            cur[fld] = bloom.merge_serialized([cur[fld], entry[fld]])
-                        for m, pick in (("minmax_min", min), ("minmax_max", max)):
-                            for f2, v in entry[m].items():
-                                cur[m][f2] = pick(cur[m].get(f2, v), v)
+            if len(srcs) == 1:
+                per_src.setdefault(srcs[0], []).append(tbl)
+            else:
+                for src in srcs:
+                    per_src.setdefault(src, []).append(
+                        tbl.filter(pc.equal(tbl["_src"], src))
+                    )
 
-        for entry in acc.values():
+        acc: dict[tuple[str, str], BlockAccumulator] = {}
+        for src, parts in per_src.items():
+            whole = pa.concat_tables(parts).combine_chunks()
+            for pid in pc.unique(whole["partition_id"]).to_pylist():
+                part = whole.filter(pc.equal(whole["partition_id"], pid))
+                state = BlockAccumulator(cfg)
+                state.add(part.drop_columns(["_src"]))
+                acc[(src, pid)] = state
+
+        for (src, pid), state in acc.items():
+            dirslug = _slug(os.path.basename(os.path.dirname(src)))
+            file_id = f"{_slug(pid)}-{build_tag}-x{dirslug}"
+            block_id = f"{_slug(pid)}-{build_tag}-{_slug(os.path.basename(src))}"
+            entry = state.entry((file_id, block_id, pid))
+            entry["data_path"] = src
+            entry["byte_size"] = 0
             entry["minmax_min"] = list(entry["minmax_min"].items())
             entry["minmax_max"] = list(entry["minmax_max"].items())
             yield pa.RecordBatch.from_pylist([entry], schema=STAGING_PA_SCHEMA)

@@ -207,4 +207,4 @@ if __name__ == "__main__":
     if a.worker:
         worker(a.cores, a.input, a.root)
     else:
-        orchestrate([(2, 8), (8, 32)] if a.wide else [(2, 8)])
+        orchestrate([(1, 4), (2, 8), (8, 32)] if a.wide else [(1, 4)])
