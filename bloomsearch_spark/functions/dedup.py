@@ -53,13 +53,38 @@ def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def shingles_col(text_col: str, n: int = 3):
-    """Distinct word n-gram shingles as an array column (pure Catalyst)."""
-    toks = F.split(F.lower(F.col(text_col).cast("string")), WS)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
-    )
-    return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(F.array()))
+    """Distinct word n-gram shingles as an array column (first-occurrence
+    order), via an Arrow-batched pandas UDF.
+
+    A pure-Catalyst formulation (transform(sequence, i ->
+    concat_ws(element_at...))) exists but re-evaluates the split() inside
+    the lambda per element — measured ~30x slower; the UDF does one split
+    and a linear join pass per document."""
+
+    @F.pandas_udf("array<string>")
+    def sh(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return []
+            toks = str(t).lower().split()
+            if len(toks) < n:
+                return []
+            return list(dict.fromkeys(
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            ))
+
+        return texts.map(one)
+
+    return sh(F.col(text_col).cast("string"))
+
+
+def _parallelize(df: DataFrame) -> DataFrame:
+    """Small inputs often arrive as 1-2 parquet partitions; fan out so the
+    self-join/signature stages use the cluster (no-op at real scale)."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
 
 
 def ngram_jaccard_pairs(
@@ -77,6 +102,7 @@ def ngram_jaccard_pairs(
     only data-sized shuffle; candidate pairs are bounded by shared-shingle
     co-occurrence, not |docs|^2.
     """
+    df = _parallelize(df)
     sh = df.select(F.col(id_col).alias("doc"), shingles_col(text_col, n).alias("sh"))
     sizes = sh.select("doc", F.size("sh").alias("n_sh"))
     u = sh.select("doc", F.explode("sh").alias("s"))
@@ -171,7 +197,7 @@ def minhash_lsh_pairs(
     id_col: str,
     threshold: float = 0.8,
     num_hashes: int = 128,
-    bands: int = 16,
+    bands: int = 32,  # 32x4: P(candidate | J=0.8) = 1-(1-0.8^4)^32 ≈ 1-5e-8
     n: int = 3,
     seed: int = 42,
 ) -> DataFrame:
@@ -184,6 +210,7 @@ def minhash_lsh_pairs(
     1-(1-t^r)^b LSH curve (≈1 for t well above threshold).
     """
     rows = num_hashes // bands
+    df = _parallelize(df)
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, n, seed)
     bands_df = sigs.select(
         "doc",
@@ -273,7 +300,7 @@ def simhash_pairs(
     if blocks <= max_hamming:
         raise ValueError("need blocks > max_hamming for pigeonhole completeness")
     width = 64 // blocks
-    sigs = simhash_signatures(df, text_col, id_col)
+    sigs = simhash_signatures(_parallelize(df), text_col, id_col)
     banded = sigs.select(
         "doc",
         "simhash",
