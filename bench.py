@@ -130,7 +130,16 @@ def main() -> None:
         timed("bs_miss", lambda: run_q(new_query().token("qqqzzz_absent").build()))
 
         # ---- 2. source-code table: build throughput + prune ratio ---------
-        code = generate_df(spark, code_rows)
+        # materialize the synthetic input first so build_code times the
+        # INDEX BUILD, not row generation (generation would otherwise run
+        # twice inside the build's count + staging jobs)
+        code_dir = tempfile.mkdtemp(prefix="bench-codesrc-")
+        roots.append(code_dir)
+        code_path = os.path.join(code_dir, "code.parquet")
+        generate_df(spark, code_rows).repartition(64).write.mode("overwrite").parquet(
+            code_path
+        )
+        code = spark.read.parquet(code_path)
         code_root = tempfile.mkdtemp(prefix="bench-code-")
         roots.append(code_root)
         code_cfg = IndexConfig(

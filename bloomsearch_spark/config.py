@@ -50,6 +50,7 @@ class IndexConfig:
     block_expr: str | None = None
     minmax_fields: tuple[str, ...] = ()
     max_block_rows: int = DEFAULT_BLOCK_ROWS
+    max_block_bytes: int | None = None  # MaxRowGroupBytes (10 MB default there)
     blocks_per_file: int = 10
     block_fpr: float = DEFAULT_FPR
     file_fpr: float = DEFAULT_FPR
@@ -88,6 +89,7 @@ class IndexConfig:
             "block_expr": self.block_expr,
             "minmax_fields": list(self.minmax_fields),
             "max_block_rows": self.max_block_rows,
+            "max_block_bytes": self.max_block_bytes,
             "blocks_per_file": self.blocks_per_file,
             "block_fpr": self.block_fpr,
             "file_fpr": self.file_fpr,
@@ -107,6 +109,7 @@ class IndexConfig:
             block_expr=d.get("block_expr"),
             minmax_fields=tuple(d.get("minmax_fields", ())),
             max_block_rows=d.get("max_block_rows", DEFAULT_BLOCK_ROWS),
+            max_block_bytes=d.get("max_block_bytes"),
             blocks_per_file=d.get("blocks_per_file", 10),
             block_fpr=d.get("block_fpr", DEFAULT_FPR),
             file_fpr=d.get("file_fpr", DEFAULT_FPR),

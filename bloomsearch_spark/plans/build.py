@@ -235,18 +235,30 @@ def _make_map_build_fn(cfg: IndexConfig, data_dir: str, build_tag: str):
             entry["minmax_max"] = list(entry["minmax_max"].items())
             return pa.RecordBatch.from_pylist([entry], schema=STAGING_PA_SCHEMA)
 
+        nbytes: dict[str, int] = {}
         for batch in batches:
             tbl = pa.Table.from_batches([batch])
             for pid in pc.unique(tbl["partition_id"]).to_pylist():
                 sub = tbl.filter(pc.equal(tbl["partition_id"], pid))
                 buffers.setdefault(pid, []).append(sub)
                 counts[pid] = counts.get(pid, 0) + len(sub)
-                while counts[pid] >= cfg.max_block_rows:
+                nbytes[pid] = nbytes.get(pid, 0) + sub.nbytes
+                # flush on EITHER cap — rows or bytes (the reference's
+                # MaxRowGroupRows / MaxRowGroupBytes, bloom_tree_engine.go:615-628)
+                while counts[pid] >= cfg.max_block_rows or (
+                    cfg.max_block_bytes is not None
+                    and nbytes[pid] >= cfg.max_block_bytes
+                    and counts[pid] > 0
+                ):
                     whole = pa.concat_tables(buffers[pid]).combine_chunks()
-                    block = whole.slice(0, cfg.max_block_rows)
-                    rest = whole.slice(cfg.max_block_rows)
+                    if cfg.max_block_bytes is not None and counts[pid] < cfg.max_block_rows:
+                        block, rest = whole, whole.slice(0, 0)
+                    else:
+                        block = whole.slice(0, cfg.max_block_rows)
+                        rest = whole.slice(cfg.max_block_rows)
                     buffers[pid] = [rest] if len(rest) else []
                     counts[pid] = len(rest)
+                    nbytes[pid] = rest.nbytes if len(rest) else 0
                     yield flush(pid, block)
         for pid, parts in buffers.items():  # final partial blocks (Stop/flush)
             if counts.get(pid, 0):

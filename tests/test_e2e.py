@@ -205,6 +205,46 @@ def test_regex_and_token(spark, index, oracle_pdf):
     assert _result_keys(got) == _keys(expected)
 
 
+def test_regex_field_guard_prunes(spark, index):
+    """A regex on a nonexistent field must prune everything BEFORE any data
+    read — the regex -> field-existence bloom guard (Q14), proven by stats
+    like the reference's BloomFilterSkipped test
+    (bloom_tree_engine_test.go:1944-2028)."""
+    q = new_query().field_regex("no_such_field", ".*anything.*").build()
+    got, stats = search(spark, index, q, with_stats=True)
+    assert got.count() == 0
+    assert stats.files_after_file_bloom == 0  # guard killed every file
+    assert stats.blocks_after_block_bloom == 0
+
+
+def test_byte_based_flush(spark, tmp_root):
+    """Blocks also flush on a byte cap (MaxRowGroupBytes analog,
+    bloom_tree_engine.go:615-628): with a tiny byte cap, blocks come out
+    far smaller than max_block_rows."""
+    from bloomsearch_spark import IndexConfig, build_index
+    from bloomsearch_spark.sources.synthetic import generate_df
+
+    cfg = IndexConfig(
+        indexed_fields=("content",),
+        partition_expr="''",
+        max_block_rows=100_000,
+        max_block_bytes=64 * 1024,
+        blocks_per_file=4,
+        sha_col="content",
+    )
+    idx = build_index(spark, generate_df(spark, 2_000), tmp_root, cfg)
+    blocks = idx.blocks().toPandas()
+    assert blocks["row_count"].sum() == 2_000
+    assert blocks["row_count"].max() < 100_000  # byte cap fired first
+    assert len(blocks) > 2
+    q = new_query().token("needle_alpha").build()
+    from bloomsearch_spark.sources.synthetic import generate_pdf
+
+    pdf = generate_pdf(2_000)
+    expect = sum("needle_alpha" in c.lower().split() for c in pdf["content"])
+    assert search(spark, idx, q).count() == expect
+
+
 def test_invalid_regex_raises():
     with pytest.raises(Exception):
         new_query().field_regex("path", "[unclosed").build()
