@@ -27,12 +27,16 @@ from bloomsearch_spark import (
     And,
     Between,
     Eq,
+    FieldRegex,
     FieldToken,
     Gte,
+    In,
     IndexConfig,
     MinMax,
+    NotBetween,
     Or,
     Partition,
+    RegexOr,
     build_index,
     compact_blocks,
     merge_files,
@@ -210,6 +214,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bs_token_postmerge": _bs(
             "merged", lambda: new_query().token("spark").build()
         ),
+        "bs_partition_in": _bs(
+            "main",
+            lambda: new_query()
+            .match_prefilter(Partition(In("de", "es")))
+            .field_token("text", "join")
+            .build(),
+        ),
+        "bs_minmax_notbetween": _bs(
+            "rowblocks",
+            lambda: new_query()
+            .match_prefilter(MinMax("doc_id", NotBetween(100, 400)))
+            .build(),
+        ),
+        "bs_regex_or": _bs(
+            "main",
+            lambda: new_query()
+            .match_regex(
+                RegexOr(FieldRegex("source", "^src2$"), FieldRegex("source", "^src9$"))
+            )
+            .build(),
+        ),
+        # schemaless JSON engine path over the events.props column
+        "bs_props_token": _bs_props,
         # --- dedup family ---
         "dd_exact": lambda spark, sf: exact_duplicates(
             _docs(spark, sf), "text", "doc_id"
@@ -244,7 +271,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     decode / 1->N frame sampling) ---
         "mm_decode": _mm_decode,
         "mm_frames": _mm_frames,
+        # --- event-time windowed aggregation (batch form; streaming twin
+        #     with watermark in streaming/windows.py) ---
+        "evt_window": _evt_window,
     }
+
+
+def _evt_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomsearch_spark.streaming.windows import windowed_event_stats
+
+    # window bounds are formatted as strings; pin the session tz so the
+    # formatting matches the tz-naive DuckDB oracle regardless of host tz
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return windowed_event_stats(events, window="10 minutes")
+
+
+_PROPS_CACHE: dict[str, BloomIndex] = {}
+
+
+def _bs_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemaless-JSON engine path: index events.props documents (field 'k'
+    discovered by structural walking) and run a field:token search."""
+    key = os.path.abspath(sf_dir)
+    if key not in _PROPS_CACHE:
+        cfg = IndexConfig(
+            json_col="props",
+            partition_expr="event_type",
+            max_block_rows=512,
+            blocks_per_file=4,
+            block_fpr=0.01,
+            file_fpr=0.01,
+            file_expected_items=10_000,
+            sha_col="props",
+        )
+        events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+            "event_id", "event_type", "props"
+        )
+        root = tempfile.mkdtemp(prefix="bsidx-props-")
+        _PROPS_CACHE[key] = build_index(spark, events, root, cfg)
+    idx = _PROPS_CACHE[key]
+    q = new_query().field_token("k", "42").build()
+    return search(spark, idx, q).select("event_id", "event_type", "props")
 
 
 def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -415,6 +483,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bs_minmax_between": f"{sel} WHERE n_chars BETWEEN 100 AND 200",
         "bs_minmax_gte": f"{sel} WHERE doc_id >= 450",
+        "bs_partition_in": (
+            f"{sel} WHERE lang IN ('de', 'es') AND {_tok('text', 'join')}"
+        ),
+        "bs_minmax_notbetween": (
+            f"{sel} WHERE doc_id < 100 OR doc_id > 400"
+        ),
+        "bs_regex_or": (
+            f"{sel} WHERE regexp_matches(source, '^src2$') "
+            "OR regexp_matches(source, '^src9$')"
+        ),
+        "bs_props_token": (
+            "SELECT event_id, event_type, props FROM events "
+            "WHERE json_extract_string(props, '$.k') = '42'"
+        ),
+        "evt_window": (
+            "SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S')"
+            " AS window_start, event_type, CAST(count(*) AS BIGINT) AS n_events, "
+            "round(sum(value), 6) AS sum_value, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM events GROUP BY 1, 2"
+        ),
         "bs_regex": f"{sel} WHERE regexp_matches(text, 'vector (fast|slow)')",
         "bs_regex_and_token": (
             f"{sel} WHERE {_any_field_tok('stream')} AND regexp_matches(source, '^src1$')"
