@@ -96,7 +96,13 @@ def commit_version(root: str, version: str) -> None:
 
 @dataclass
 class BloomIndex:
-    """Handle to a committed index: root dir + resolved manifest version."""
+    """Handle to a committed index: root dir + resolved manifest version.
+
+    The blocks/files manifests are memoized (and Spark-cached) on the
+    handle: every query probes them, they are manifest-sized (1 row per
+    block/file), and a version is immutable — repeated queries skip the
+    parquet re-read.  Pass ``cache=False`` to ``blocks()``/``files()`` for
+    one-off reads (e.g. before a merge commit)."""
 
     spark: SparkSession
     root: str
@@ -117,15 +123,35 @@ class BloomIndex:
     def version_dir(self) -> str:
         return os.path.join(_manifest_dir(self.root), self.version)
 
-    def blocks(self) -> DataFrame:
-        return self.spark.read.schema(BLOCKS_SCHEMA).parquet(
-            os.path.join(self.version_dir, "blocks.parquet")
-        )
+    def blocks(self, cache: bool = True) -> DataFrame:
+        df = getattr(self, "_blocks_df", None)
+        if df is None:
+            df = self.spark.read.schema(BLOCKS_SCHEMA).parquet(
+                os.path.join(self.version_dir, "blocks.parquet")
+            )
+            if cache:
+                df = df.cache()
+                self._blocks_df = df
+        return df
 
-    def files(self) -> DataFrame:
-        return self.spark.read.schema(FILES_SCHEMA).parquet(
-            os.path.join(self.version_dir, "files.parquet")
-        )
+    def files(self, cache: bool = True) -> DataFrame:
+        df = getattr(self, "_files_df", None)
+        if df is None:
+            df = self.spark.read.schema(FILES_SCHEMA).parquet(
+                os.path.join(self.version_dir, "files.parquet")
+            )
+            if cache:
+                df = df.cache()
+                self._files_df = df
+        return df
+
+    def unpersist(self) -> None:
+        """Release cached manifest memory (e.g. before dropping the handle)."""
+        for attr in ("_blocks_df", "_files_df"):
+            df = getattr(self, attr, None)
+            if df is not None:
+                df.unpersist()
+                setattr(self, attr, None)
 
     def lineage(self) -> DataFrame:
         return self.spark.read.schema(LINEAGE_SCHEMA).parquet(
@@ -133,8 +159,12 @@ class BloomIndex:
         )
 
     def meta(self) -> dict:
-        with open(os.path.join(self.version_dir, "meta.json")) as f:
-            return json.load(f)
+        m = getattr(self, "_meta", None)
+        if m is None:
+            with open(os.path.join(self.version_dir, "meta.json")) as f:
+                m = json.load(f)
+            self._meta = m
+        return m
 
     @property
     def config(self) -> IndexConfig:
