@@ -105,6 +105,9 @@ def main() -> None:
             return search(spark, doc_idx, q).count()
 
         timed("bs_token", lambda: run_q(new_query().token("spark").build()))
+        # same query warm (cached manifests, reused workers) — the
+        # steady-state per-query latency
+        timed("bs_token_warm", lambda: run_q(new_query().token("spark").build()))
         timed(
             "bs_field_token",
             lambda: run_q(new_query().field_token("text", "vector").build()),

@@ -366,6 +366,13 @@ def build_index(
         new_files = prev.files().unionByName(new_files)
         new_lineage = prev.lineage().unionByName(new_lineage)
 
+    # cluster the block manifest by partition_id: the partition prefilter is
+    # a PUSHED parquet filter on this file (PLANS.md §1), so clustering
+    # turns it into row-group pruning — at 10^7 blocks a partition query
+    # reads only its slice of the manifest
+    new_blocks = new_blocks.repartition("partition_id").sortWithinPartitions(
+        "partition_id"
+    )
     for name, d in (("blocks", new_blocks), ("files", new_files), ("lineage", new_lineage)):
         out = os.path.join(vdir, f"{name}.parquet")
         if not _stage_done(out):
