@@ -73,6 +73,22 @@ class IndexConfig:
     # partitioned by the same key, e.g. an Iceberg table partitioned by lang).
     cluster_input: bool = False
 
+    def __post_init__(self):
+        if self.compression not in ("none", "snappy", "zstd"):
+            raise ValueError(
+                f"compression must be none|snappy|zstd, got {self.compression!r}"
+            )
+        if self.max_block_rows <= 0 or self.blocks_per_file <= 0:
+            raise ValueError("max_block_rows and blocks_per_file must be > 0")
+        for p in (self.block_fpr, self.file_fpr):
+            if not (0.0 < p < 1.0):
+                raise ValueError(f"false positive rate must be in (0,1), got {p}")
+        if self.json_col is not None and self.indexed_fields:
+            raise ValueError(
+                "json_col (schemaless) and indexed_fields (fixed schema) are "
+                "mutually exclusive"
+            )
+
     @property
     def block_params(self) -> BloomParams:
         return BloomParams(self.max_block_rows, self.block_fpr)

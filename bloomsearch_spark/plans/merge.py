@@ -72,36 +72,43 @@ def plan_file_merge(
     files_pdf: pd.DataFrame,
     max_blocks_per_file: int,
     max_files_per_merge: int = 10,
+    max_file_bytes: int | None = None,
 ) -> dict[str, str]:
     """Greedy packing of mergeable files -> {old_file_id: merged_file_id}.
 
     Mergeable = identical (partition_id, expected_items, fpr) — the bloom
     param equality gate of identifyFileMergeGroups
     (bloom_tree_engine.go:1490-1588); smallest files first; a group closes
-    at ``max_blocks_per_file`` blocks or ``max_files_per_merge`` members.
+    at ``max_blocks_per_file`` blocks, ``max_files_per_merge`` members, or
+    ``max_file_bytes`` combined data bytes (MaxFileSize, :1520-1533).
     Only groups with >= 2 members merge.
     """
     mapping: dict[str, str] = {}
     gi = 0
+    has_bytes = "byte_size" in files_pdf.columns
     for (pid, n, p), grp in files_pdf.groupby(
         ["partition_id", "expected_items", "fpr"], sort=False
     ):
         grp = grp.sort_values("block_count")
         members: list[str] = []
         blocks = 0
+        nbytes = 0
         for _, row in grp.iterrows():
+            row_bytes = int(row.byte_size) if has_bytes else 0
             if members and (
                 blocks + row.block_count > max_blocks_per_file
                 or len(members) >= max_files_per_merge
+                or (max_file_bytes is not None and nbytes + row_bytes > max_file_bytes)
             ):
                 if len(members) >= 2:
                     gi += 1
                     tgt = f"{members[0]}-m{gi}"
                     for m in members:
                         mapping[m] = tgt
-                members, blocks = [], 0
+                members, blocks, nbytes = [], 0, 0
             members.append(row.file_id)
             blocks += int(row.block_count)
+            nbytes += row_bytes
         if len(members) >= 2:
             gi += 1
             tgt = f"{members[0]}-m{gi}"
@@ -152,6 +159,7 @@ def merge_files(
     index: BloomIndex,
     max_blocks_per_file: int = 64,
     max_files_per_merge: int = 10,
+    max_file_bytes: int | None = None,
 ) -> tuple[BloomIndex, MergeStats]:
     """Metadata-only file compaction: fewer, larger logical files; zero
     data movement.  Commits and returns a new manifest version.
@@ -162,12 +170,14 @@ def merge_files(
     files = index.files()
     blocks = index.blocks()
     files_pdf = files.select(
-        "file_id", "partition_id", "block_count", "expected_items", "fpr"
+        "file_id", "partition_id", "block_count", "byte_size", "expected_items", "fpr"
     ).toPandas()
     stats.files_before = len(files_pdf)
     stats.blocks_before = stats.blocks_after = blocks.count()
 
-    mapping = plan_file_merge(files_pdf, max_blocks_per_file, max_files_per_merge)
+    mapping = plan_file_merge(
+        files_pdf, max_blocks_per_file, max_files_per_merge, max_file_bytes
+    )
     if not mapping:
         stats.files_after = stats.files_before
         return index, stats

@@ -170,6 +170,53 @@ def test_expire_blocks_minmax(spark, tmp_root):
     assert vacuum(live) == stats.blocks_before - stats.blocks_after
 
 
+def test_mixed_codec_compact_consolidates(spark, tmp_root):
+    """Blocks written under different codecs consolidate into the final
+    config's codec (mixed-codec merge, bloom_tree_engine_test.go:1530-1663)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    df = generate_df(spark, N_ROWS)
+    h1 = df.filter(F.xxhash64("commit") % 2 == 0)
+    h2 = df.subtract(h1)
+    build_index(spark, h1, tmp_root, CFG)  # snappy
+    cfg_zstd = IndexConfig(**{**CFG.__dict__, "compression": "zstd"})
+    idx = build_index(spark, h2, tmp_root, cfg_zstd, mode="append")
+
+    def codecs(index):
+        out = set()
+        for r in index.blocks().select("data_path").collect():
+            f = glob.glob(os.path.join(index.data_dir, r.data_path, "*.parquet"))[0]
+            md = pq.ParquetFile(f).metadata
+            out.add(md.row_group(0).column(0).compression)
+        return out
+
+    assert len(codecs(idx)) == 2  # genuinely mixed before compaction
+    before = [_results(spark, idx, qf) for qf in QUERIES]
+    merged, _ = merge_files(spark, idx, max_blocks_per_file=1000,
+                            max_files_per_merge=1000)
+    compacted, stats = compact_blocks(spark, merged, max_block_rows=2000)
+    assert stats.blocks_rewritten > 0
+    vacuum(compacted)
+    # all rewritten blocks now use the final config codec (zstd)
+    assert codecs(compacted) <= {"ZSTD"}
+    after = [_results(spark, compacted, qf) for qf in QUERIES]
+    assert before == after
+    assert verify_integrity(spark, compacted) == 0
+
+
+def test_merge_byte_cap(spark, fresh_index):
+    """MaxFileSize analog: a tiny byte cap forbids large merge groups."""
+    merged, st = merge_files(spark, fresh_index, max_blocks_per_file=10_000,
+                             max_files_per_merge=10_000, max_file_bytes=1)
+    assert st.groups_merged == 0  # nothing fits under 1 byte
+    big, st2 = merge_files(spark, fresh_index, max_blocks_per_file=10_000,
+                           max_files_per_merge=10_000, max_file_bytes=10**12)
+    assert st2.groups_merged >= 1
+
+
 def test_append_then_merge_roundtrip(spark, tmp_root):
     """Incremental ingest (append) then compaction — the reference's
     steady-state loop (ingest -> flush -> merge)."""
