@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from bloomsearch_spark import IndexConfig, build_index, new_query, search
 from bloomsearch_spark.functions.dedup import exact_duplicates, minhash_lsh_pairs
-from bloomsearch_spark.functions.similarity import brute_force_topk
+from bloomsearch_spark.functions.similarity import brute_force_topk, ivf_topk, lsh_topk
 from bloomsearch_spark.functions.text import text_stats
 from bloomsearch_spark.sources.synthetic import generate_df
 
@@ -188,6 +188,31 @@ def main() -> None:
 
         timed("code_miss", miss)
 
+        # prune-ratio funnel over a query set at p=0.01 (BASELINE metric):
+        # point lookups on unique path tokens + misses
+        def prune_funnel():
+            targets = [
+                r.path.lower()
+                for r in code.select("path").orderBy(F.xxhash64("path")).limit(3).collect()
+            ]
+            ratios = []
+            for t in targets:
+                _, st = search(
+                    spark, code_idx,
+                    new_query().field_token("path", t).build(), with_stats=True,
+                )
+                ratios.append(st.prune_ratio)
+            for t in ("zz_m1", "zz_m2", "zz_m3"):
+                _, st = search(
+                    spark, code_idx, new_query().token(t).build(), with_stats=True
+                )
+                ratios.append(st.prune_ratio)
+            extras["prune_ratio_avg"] = round(sum(ratios) / len(ratios), 6)
+            extras["prune_ratio_min"] = round(min(ratios), 6)
+            return len(ratios)
+
+        timed("prune_funnel", prune_funnel)
+
         # ---- 3. pipeline operators ----------------------------------------
         embs = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
         timed("dd_exact", lambda: exact_duplicates(docs, "text", "doc_id").count())
@@ -195,12 +220,32 @@ def main() -> None:
             "dd_minhash",
             lambda: minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.8, n=3).count(),
         )
-        timed(
+        queries_df = embs.filter(F.col("vec_id") < 5)
+        bf = timed(
             "sim_topk",
-            lambda: brute_force_topk(
-                embs, embs.filter(F.col("vec_id") < 5), k=10
-            ).count(),
+            lambda: {
+                (r.query_id, r.neighbor_id)
+                for r in brute_force_topk(embs, queries_df, k=10).collect()
+            },
         )
+        # approximate-op quality: recall vs the exact top-k (these ops have
+        # rows-only driver checks; recall quantifies them)
+        lsh = timed(
+            "sim_lsh_topk",
+            lambda: {
+                (r.query_id, r.neighbor_id)
+                for r in lsh_topk(embs, queries_df, k=10).collect()
+            },
+        )
+        ivf = timed(
+            "sim_ivf_topk",
+            lambda: {
+                (r.query_id, r.neighbor_id)
+                for r in ivf_topk(embs, queries_df, k=10).collect()
+            },
+        )
+        extras["lsh_recall"] = round(len(lsh & bf) / len(bf), 4) if bf else None
+        extras["ivf_recall"] = round(len(ivf & bf) / len(bf), 4) if bf else None
         timed("txt_stats", lambda: text_stats(docs, "text").count())
 
         total = round(sum(timings.values()), 4)

@@ -94,15 +94,25 @@ def lsh_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 12,
-    n_tables: int = 8,
+    n_planes: int | None = None,
+    n_tables: int = 24,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: multi-table random-hyperplane LSH candidates,
     exact cosine re-rank.  Shuffles only (table, bucket) keys; each query
     scores its union-of-buckets candidates instead of the full corpus —
-    the 100 TB path (corpus bucketing is a one-time build; queries probe)."""
+    the 100 TB path (corpus bucketing is a one-time build; queries probe).
+
+    ``n_planes=None`` auto-sizes buckets to ~256 vectors each
+    (planes = log2(n/256)): selectivity tracks corpus size, and the
+    multi-table union keeps recall high (measured 1.0 at 2k vectors with
+    the defaults; see BENCH.md).  More planes = faster + lower recall."""
     dim = len(corpus.select(vec_col).first()[0])
+    if n_planes is None:
+        import math
+
+        n = corpus.count()
+        n_planes = max(4, math.ceil(math.log2(max(n, 512) / 256)))
     planes = _hyperplanes(dim, n_planes, n_tables, seed)
     budf = lsh_bucket_udf(planes)
 
