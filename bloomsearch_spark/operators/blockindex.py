@@ -20,8 +20,6 @@ from __future__ import annotations
 
 import json
 import math
-from typing import Any
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -32,7 +30,6 @@ from ..config import IndexConfig
 from ..tokenizer import (
     FIELD_TOKEN_SEP,
     doc_index_entries,
-    explode_tokens,
     stringify_series,
 )
 

@@ -22,7 +22,7 @@ shape is part of the public API surface.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass
 from typing import Optional, Sequence
 
 from pyspark.sql import Column
