@@ -63,11 +63,12 @@ class IndexConfig:
     # Zero bytes of row data are copied; the build is a single read pass.
     # Set automatically by build_external_index.
     external_data: bool = False
-    # If True, the build does ONE salted repartition by partition_id so each
-    # task sees ~max_block_rows*blocks_per_file rows of a single partition
-    # (full blocks from unclustered input; the north rule's explicit salting
-    # — same-partition rows spread over ceil(rows/task_target) salt buckets,
-    # so a dominant partition never forms a hot task).  If False (default),
+    # If True, the build does ONE salted repartition by (partition_id, salt)
+    # where salt = row-hash mod task count: a dominant partition spreads
+    # over every task (no hot task on skew) and large partitions produce
+    # full blocks.  The scatter is global, so the tail cost is at most one
+    # partial block per (partition, task) pair touched — many tiny
+    # partitions fragment rather than co-locate.  If False (default),
     # the build is map-only with ZERO data shuffle; block fill then depends
     # on how the input is clustered (ideal when the source table is already
     # partitioned by the same key, e.g. an Iceberg table partitioned by lang).

@@ -52,7 +52,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..config import IndexConfig
+from ..config import DEFAULT_BLOCK_ROWS, IndexConfig
 from ..operators.blockindex import build_block_entry, rollup_file_entry
 from ..sources import manifest as mf
 
@@ -271,6 +271,42 @@ def _stage_done(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
+def _estimate_rows(spark: SparkSession, df: DataFrame) -> int:
+    """Row-count estimate WITHOUT a Spark job: sum parquet footer
+    ``num_rows`` over the plan's input files (footer reads are O(KB) each,
+    driver-side).  >256 files: read a sample of footers and extrapolate by
+    byte size.  Non-parquet / in-memory sources fall back to a
+    parallelism-derived guess — only task sizing depends on this, never
+    correctness (blocks still flush at the row cap inside each task)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    local = []
+    for f in files:
+        if f.startswith("file:"):
+            p = f[5:]
+            while p.startswith("//"):
+                p = p[1:]
+            local.append(p)
+    if local and len(local) == len(files):
+        try:
+            import pyarrow.parquet as papq
+
+            if len(local) <= 256:
+                return max(1, sum(papq.read_metadata(p).num_rows for p in local))
+            sample = local[:256]
+            srows = sum(papq.read_metadata(p).num_rows for p in sample)
+            sbytes = sum(os.path.getsize(p) for p in sample)
+            tbytes = sum(os.path.getsize(p) for p in local)
+            return max(1, int(srows * (tbytes / max(1, sbytes))))
+        except Exception:
+            pass
+    # in-memory / non-local source: size for the session's parallelism
+    par = spark.sparkContext.defaultParallelism
+    return par * DEFAULT_BLOCK_ROWS
+
+
 def build_index(
     spark: SparkSession,
     df: DataFrame,
@@ -278,11 +314,16 @@ def build_index(
     cfg: IndexConfig,
     source_desc: str = "",
     mode: str = "overwrite",
+    meta_extra: dict | None = None,
 ) -> mf.BloomIndex:
     """Build (or append to) a bloom index over ``df`` and commit it.
 
     ``mode='append'`` adds new files alongside the current manifest's
     (incremental ingest); ``mode='overwrite'`` starts a fresh index.
+    ``meta_extra`` keys land in meta.json BEFORE the CURRENT swap — callers
+    that need commit-coupled metadata (e.g. the streaming batch watermark)
+    must pass it here rather than stamping after commit, or a crash between
+    commit and stamp breaks their invariant.
     Returns a handle to the committed version.
     """
     if mode not in ("overwrite", "append"):
@@ -318,13 +359,22 @@ def build_index(
         if cfg.cluster_input:
             # one salted repartition: same-partition rows land together in
             # task-sized salt buckets -> full blocks, no hot task on skew.
+            # The salt scatters a partition's rows over ALL `want` buckets
+            # (per-row hash), so a dominant partition never forms a hot
+            # task; the cost is at most ONE partial tail block per
+            # (partition, task) pair actually touched — tiny partitions
+            # fragment rather than co-locate (documented tradeoff; set
+            # cluster_input=False for already-clustered sources).
             # Task count = enough for full files, but never fewer than 128
             # (so small inputs still parallelize) and never more than one
-            # block per task; deterministic, so the SAME physical layout is
-            # produced at any cluster size (scaling-rule requirement).
+            # block per task; sized from PARQUET FOOTER metadata on the
+            # driver (no Spark job — a df.count() here would be one extra
+            # full scan of a 100 TB source), deterministic for fixed input,
+            # so the SAME physical layout is produced at any cluster size
+            # (scaling-rule requirement).
             import math
 
-            n_rows = df.count()
+            n_rows = _estimate_rows(spark, df)
             per_task = cfg.max_block_rows * cfg.blocks_per_file
             want = max(1, math.ceil(n_rows / per_task))
             max_tasks = max(1, math.ceil(n_rows / cfg.max_block_rows))
@@ -385,6 +435,7 @@ def build_index(
             "build_id": build_id,
             "source_desc": source_desc,
             "source_columns": list(df.columns),
+            **(meta_extra or {}),
         },
     )
     mf.commit_version(root, version)

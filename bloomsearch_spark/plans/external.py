@@ -45,6 +45,17 @@ from ..sources import manifest as mf
 from .build import STAGING_PA_SCHEMA, STAGING_SCHEMA, _slug, _stage_done
 
 
+def _uri_slug(uri: str) -> str:
+    """Filesystem-safe slug of a source URI: readable basename prefix +
+    sha1 of the WHOLE uri (uniqueness across directories)."""
+    import hashlib
+    import re
+
+    base = re.sub(r"[^A-Za-z0-9_.-]", "_", os.path.basename(uri.rstrip("/"))[:32])
+    h = hashlib.sha1(uri.encode()).hexdigest()[:12]
+    return f"{base}-{h}"
+
+
 def _make_external_fn(cfg: IndexConfig, build_tag: str):
     """mapInArrow body: accumulate one partial staging row per
     (source file, partition value) seen in this task's splits.  State is a
@@ -77,9 +88,12 @@ def _make_external_fn(cfg: IndexConfig, build_tag: str):
                 acc[(src, pid)] = state
 
         for (src, pid), state in acc.items():
-            dirslug = _slug(os.path.basename(os.path.dirname(src)))
-            file_id = f"{_slug(pid)}-{build_tag}-x{dirslug}"
-            block_id = f"{_slug(pid)}-{build_tag}-{_slug(os.path.basename(src))}"
+            # ids hash the FULL source URI (not the basename): hive/dataset
+            # layouts reuse basenames (part-0.parquet) across directories,
+            # and a basename-keyed block_id would OR-merge distinct files
+            # into one block, dropping all but one data_path from the scan.
+            file_id = f"{_slug(pid)}-{build_tag}-x{_uri_slug(os.path.dirname(src))}"
+            block_id = f"{_slug(pid)}-{build_tag}-{_uri_slug(src)}"
             entry = state.entry((file_id, block_id, pid))
             entry["data_path"] = src
             entry["byte_size"] = 0
@@ -192,7 +206,20 @@ def verify_external_integrity(spark: SparkSession, index: mf.BloomIndex) -> int:
     cfg = index.config
     blocks = index.blocks().select("data_path", "partition_id", "row_count")
     paths = [r.data_path for r in blocks.select("data_path").distinct().collect()]
-    data = spark.read.parquet(*paths)
+    # a REMOVED source file must count as a mismatch, not blow up the read:
+    # filter paths through a Hadoop-FS existence check (scheme-agnostic);
+    # missing files simply contribute no actual rows, so the full_outer join
+    # below counts their blocks as mismatching.
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    existing = []
+    for p in paths:
+        hp = jvm.org.apache.hadoop.fs.Path(p)
+        if hp.getFileSystem(hconf).exists(hp):
+            existing.append(p)
+    if not existing:
+        return blocks.count()
+    data = spark.read.parquet(*existing)
     actual = (
         data.withColumn("data_path", F.input_file_name())
         .withColumn(

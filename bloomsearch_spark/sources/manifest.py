@@ -180,9 +180,16 @@ class BloomIndex:
 
 
 def write_meta(version_dir: str, config: IndexConfig, extra: dict | None = None) -> None:
+    """Write meta.json atomically (tmp + os.replace): concurrent readers of
+    an already-visible version dir must never observe a truncated file."""
     os.makedirs(version_dir, exist_ok=True)
     meta = {"config": config.to_dict(), "created_at": time.time()}
     if extra:
         meta.update(extra)
-    with open(os.path.join(version_dir, "meta.json"), "w") as f:
+    final = os.path.join(version_dir, "meta.json")
+    tmp = final + f".tmp.{os.getpid()}.{time.monotonic_ns()}"
+    with open(tmp, "w") as f:
         json.dump(meta, f, indent=2)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, final)

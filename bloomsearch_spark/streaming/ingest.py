@@ -47,17 +47,21 @@ def append_batch(
         last = prev.meta().get("last_stream_batch", -1)
         if batch_id <= last:
             return False
-    idx = build_index(
-        spark, df, root, cfg, source_desc=f"{source_desc}-batch-{batch_id}", mode=mode
+    # the batch-id watermark is threaded INTO the build so it is persisted
+    # in meta.json before commit_version swaps CURRENT — a crash anywhere
+    # leaves either no new version (replay rebuilds it) or a committed
+    # version that already carries the watermark (replay is a no-op).
+    # Stamping after commit would open a window where a replayed batch
+    # appends duplicate rows.
+    build_index(
+        spark,
+        df,
+        root,
+        cfg,
+        source_desc=f"{source_desc}-batch-{batch_id}",
+        mode=mode,
+        meta_extra={"last_stream_batch": batch_id},
     )
-    # stamp the batch id into the committed meta (idempotency watermark)
-    meta = idx.meta()
-    meta["last_stream_batch"] = batch_id
-    import json
-    import os
-
-    with open(os.path.join(idx.version_dir, "meta.json"), "w") as f:
-        json.dump(meta, f, indent=2)
     return True
 
 

@@ -272,3 +272,28 @@ def test_block_sizes_bounded_despite_skew(spark, index):
 def test_source_columns_only_in_results(spark, index):
     q = new_query().token("needle_alpha").build()
     assert search(spark, index, q).columns == ["repo", "path", "commit", "lang", "content"]
+
+
+def test_cluster_input_build_no_count_prepass(spark, tmp_path_factory, oracle_pdf):
+    """cluster_input sizes its salted repartition from parquet FOOTER
+    metadata on the driver (no extra full-scan count() job, VERDICT r01
+    item 5) and still produces a correct, full-block index."""
+    from bloomsearch_spark.plans.build import _estimate_rows
+
+    src = str(tmp_path_factory.mktemp("clsrc"))
+    generate_df(spark, N_ROWS).repartition(6).write.mode("overwrite").parquet(src)
+    df = spark.read.parquet(src)
+    # footer estimate is EXACT for <=256 files — same `want` as the old
+    # df.count() pre-pass, hence identical physical layout
+    assert _estimate_rows(spark, df) == N_ROWS
+
+    cfg = IndexConfig(**{**CFG.__dict__, "cluster_input": True})
+    root = str(tmp_path_factory.mktemp("clidx"))
+    idx = build_index(spark, df, root, cfg)
+    q = new_query().token("needle_alpha").build()
+    got = _result_keys(search(spark, idx, q))
+    expect = _keys(oracle_pdf.iloc[needle_rows("needle_alpha", N_ROWS)])
+    assert got == expect
+    # clustered: same-partition rows co-locate into full blocks
+    blocks = idx.blocks().toPandas()
+    assert blocks["row_count"].sum() == N_ROWS

@@ -115,6 +115,55 @@ def test_external_integrity_recount(spark, ext_index):
     assert verify_integrity(spark, ext_index) == 0
 
 
+def test_multidir_same_basename_not_collapsed(spark, tmp_path_factory):
+    """pyarrow/hive layouts reuse basenames (part-0.parquet) across
+    directories; block ids must key on the FULL source uri or blocks of
+    distinct files collapse and searches silently drop rows
+    (ADVICE r01, plans/external.py)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = tmp_path_factory.mktemp("multidir")
+    pdf = generate_pdf(200)
+    half = len(pdf) // 2
+    for sub, part in (("d1", pdf.iloc[:half]), ("d2", pdf.iloc[half:])):
+        d = base / sub
+        d.mkdir()
+        pq.write_table(
+            pa.Table.from_pandas(part, preserve_index=False),
+            str(d / "part-0.parquet"),  # SAME basename in both dirs
+        )
+    root = str(tmp_path_factory.mktemp("multidiridx"))
+    idx = build_external_index(
+        spark, [str(base / "d1"), str(base / "d2")], root, CFG
+    )
+    blocks = idx.blocks().toPandas()
+    # both physical files must appear as distinct blocks
+    assert blocks["data_path"].nunique() == 2
+    assert blocks["row_count"].sum() == len(pdf)
+    got = search(spark, idx, new_query().build()).count()
+    assert got == len(pdf)
+    # token present in both halves must return rows from both files
+    tok = search(spark, idx, new_query().field_token("lang", "go").build()).toPandas()
+    assert len(tok) == int((pdf["lang"] == "go").sum())
+
+
+def test_integrity_detects_removed_source_file(spark, tmp_path_factory):
+    """A deleted source file counts its blocks as mismatches instead of
+    raising (ADVICE r01, verify_external_integrity)."""
+    src = str(tmp_path_factory.mktemp("rmsrc"))
+    generate_df(spark, 1_000).repartition(4).write.mode("overwrite").parquet(src)
+    root = str(tmp_path_factory.mktemp("rmidx"))
+    idx = build_external_index(spark, src, root, CFG)
+    assert verify_integrity(spark, idx) == 0
+    victim = glob.glob(os.path.join(src, "*.parquet"))[0]
+    n_victim_blocks = int(
+        (idx.blocks().toPandas()["data_path"].str.endswith(os.path.basename(victim))).sum()
+    )
+    os.remove(victim)
+    assert verify_integrity(spark, idx) == n_victim_blocks
+
+
 def test_merge_files_works_compact_refuses(spark, ext_index):
     merged, st = merge_files(spark, ext_index, max_blocks_per_file=1000,
                              max_files_per_merge=1000)

@@ -83,3 +83,7 @@ def test_replayed_batch_is_noop(spark, tmp_root):
     assert append_batch(spark, df, tmp_root, CFG, batch_id=1) is True
     idx2 = BloomIndex.load(spark, tmp_root)
     assert idx2.blocks().agg(F.sum("row_count")).collect()[0][0] == 600
+    # the watermark is part of the committed meta (written BEFORE the
+    # CURRENT swap, so a crash can never commit rows without it)
+    assert idx2.meta()["last_stream_batch"] == 1
+    assert idx.meta()["last_stream_batch"] == 0
