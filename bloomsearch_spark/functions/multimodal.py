@@ -202,27 +202,48 @@ def sample_frames(
     schema = f"{out_schema}, frame_idx int, frame binary"
 
     def fn(batches):
+        # Vectorized 1->N explode: FAKE1VID frames are fixed-width 16-byte
+        # slices, so the whole batch demuxes as numpy offset arithmetic
+        # over ONE concatenated buffer — the per-batch template the real
+        # pyav path would follow (decode a batch, gather frames by offset),
+        # with zero per-row Python (CLAUDE.md hot-path rule).
+        empty = pd.DataFrame(columns=[*keep, "frame_idx", "frame"])
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                raw = r[binary_col]
-                if raw is None:
-                    continue
-                if raw[:8] != _FAKE_VIDEO_MAGIC:
-                    raise NotImplementedError(
-                        "real video demux requires PyAV (not installed); "
-                        "only the FAKE1VID container is available"
-                    )
-                n = struct.unpack("<I", raw[8:12])[0]
-                blob = raw[12:]
-                for i in range(0, n, every_n):
-                    frame = blob[i * 16 : (i + 1) * 16]
-                    rows.append(
-                        {**{k: r[k] for k in keep}, "frame_idx": i, "frame": frame}
-                    )
-            yield pd.DataFrame(
-                rows, columns=[*keep, "frame_idx", "frame"]
-            ) if rows else pd.DataFrame(columns=[*keep, "frame_idx", "frame"])
+            pdf = pdf[pdf[binary_col].notna()].reset_index(drop=True)
+            if not len(pdf):
+                yield empty
+                continue
+            raws = pdf[binary_col].to_numpy(dtype=object)
+            if any(r[:8] != _FAKE_VIDEO_MAGIC for r in raws):
+                raise NotImplementedError(
+                    "real video demux requires PyAV (not installed); "
+                    "only the FAKE1VID container is available"
+                )
+            buf = np.frombuffer(b"".join(raws), dtype=np.uint8)
+            blob_lens = np.fromiter((len(r) for r in raws), dtype=np.int64, count=len(raws))
+            blob_starts = np.zeros(len(raws), dtype=np.int64)
+            np.cumsum(blob_lens[:-1], out=blob_starts[1:])
+            # frame counts from each 4-byte LE header at offset 8
+            n_frames = (
+                buf[blob_starts[:, None] + (8 + np.arange(4))[None, :]]
+                .astype(np.int64)
+                @ (1 << (8 * np.arange(4, dtype=np.int64)))
+            )
+            counts = (n_frames + every_n - 1) // every_n  # sampled per row
+            total = int(counts.sum())
+            if total == 0:
+                yield empty
+                continue
+            row_of = np.repeat(np.arange(len(raws)), counts)
+            cum = np.zeros(len(raws), dtype=np.int64)
+            np.cumsum(counts[:-1], out=cum[1:])
+            frame_idx = (np.arange(total) - cum[row_of]) * every_n
+            starts = blob_starts[row_of] + 12 + frame_idx * 16
+            gathered = buf[starts[:, None] + np.arange(16)[None, :]]  # (total, 16)
+            out = pdf[keep].iloc[row_of].reset_index(drop=True)
+            out["frame_idx"] = frame_idx.astype(np.int32)
+            out["frame"] = [g.tobytes() for g in gathered]
+            yield out
 
     return df.select(*keep, binary_col).mapInPandas(fn, schema)
 

@@ -97,6 +97,8 @@ def lsh_topk(
     n_planes: int | None = None,
     n_tables: int = 24,
     seed: int = 42,
+    dim: int | None = None,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: multi-table random-hyperplane LSH candidates,
     exact cosine re-rank.  Shuffles only (table, bucket) keys; each query
@@ -106,12 +108,15 @@ def lsh_topk(
     ``n_planes=None`` auto-sizes buckets to ~256 vectors each
     (planes = log2(n/256)): selectivity tracks corpus size, and the
     multi-table union keeps recall high (measured 1.0 at 2k vectors with
-    the defaults; see BENCH.md).  More planes = faster + lower recall."""
-    dim = len(corpus.select(vec_col).first()[0])
+    the defaults; see BENCH.md).  More planes = faster + lower recall.
+    Pass ``dim``/``n_hint`` to skip the plan-time first()/count() probes
+    when the caller knows the embedding dimension / corpus size."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     if n_planes is None:
         import math
 
-        n = corpus.count()
+        n = n_hint if n_hint is not None else corpus.count()
         n_planes = max(4, math.ceil(math.log2(max(n, 512) / 256)))
     planes = _hyperplanes(dim, n_planes, n_tables, seed)
     budf = lsh_bucket_udf(planes)
@@ -241,20 +246,88 @@ def ivf_topk(
     )
 
 
+def neardup_candidates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int | None = None,
+    n_tables: int = 32,
+    seed: int = 42,
+    dim: int | None = None,
+    n_hint: int | None = None,
+) -> DataFrame:
+    """Candidate (id_a, id_b, va, vb) pairs sharing an LSH (table, bucket)
+    — the scale path for near-dup detection: the join shuffles only
+    (table_id, bucket) keys and fans out per bucket, so candidates grow
+    ~O(N * bucket_size * tables) instead of N²/2.  ``dim``/``n_hint`` skip
+    the plan-time first()/count() probes when the caller knows them."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    if n_planes is None:
+        import math
+
+        n = n_hint if n_hint is not None else df.count()
+        # target ~8 vectors per bucket: deep buckets keep candidates near-
+        # linear; the 32-table union keeps recall ~1 for cosine >= 0.9
+        # (per-table collision p = (1 - theta/pi)^planes, miss = (1-p)^32)
+        n_planes = max(4, math.ceil(math.log2(max(n, 64) / 8)))
+    planes = _hyperplanes(dim, n_planes, n_tables, seed)
+    budf = lsh_bucket_udf(planes)
+    tagged = df.select(
+        F.col(id_col).alias("vid"),
+        _as_double(F.col(vec_col)).alias("v"),
+        F.posexplode(budf(F.col(vec_col))).alias("table_id", "bucket"),
+    )
+    a = tagged.alias("a")
+    b = tagged.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_planes: int | None = None,
+    n_tables: int = 32,
+    seed: int = 42,
+    dim: int | None = None,
+    n_hint: int | None = None,
+    brute_force: bool = False,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold (brute self-join; for large N use
-    lsh buckets by swapping the join for (table,bucket) equi-join)."""
-    a = df.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb"))
+    """All pairs with cosine >= threshold.
+
+    Default plan: LSH-bucketed candidate equi-join (``neardup_candidates``)
+    + exact cosine verify — precision is exact (every emitted pair is
+    re-scored), recall is the multi-table LSH curve (~1 at near-dup
+    thresholds; deterministic for a fixed seed).  This replaces the r01
+    O(N²) crossJoin that could never finish at 100 TB.
+    ``brute_force=True`` keeps the exact all-pairs plan for small N /
+    recall oracles."""
+    if brute_force:
+        a = df.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va"))
+        b = df.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb"))
+        cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        cand = neardup_candidates(
+            df, id_col, vec_col, n_planes, n_tables, seed, dim, n_hint
+        )
     return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
+        cand.select(
             "id_a",
             "id_b",
             F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("sim"),
