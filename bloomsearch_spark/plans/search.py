@@ -34,11 +34,45 @@ from ..sources.manifest import BloomIndex
 # to a broadcast semi-join (keeps the driver list bounded at huge scale)
 MAX_COLLECTED_BLOCKS = 100_000
 
+_AQE_EMPTY_RULE = "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
+
+
+class _keep_observations:
+    """Context manager: exclude AQE empty-relation propagation for the
+    duration of a stats-mode collect, so fully-pruned funnels still execute
+    their CollectMetrics nodes (otherwise AQE folds the plan to an empty
+    relation and the Observations never fill)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        conf = self.spark.conf
+        self.prev = conf.get("spark.sql.adaptive.optimizer.excludedRules", None)
+        rules = [r for r in (self.prev or "").split(",") if r]
+        if _AQE_EMPTY_RULE not in rules:
+            rules.append(_AQE_EMPTY_RULE)
+        conf.set("spark.sql.adaptive.optimizer.excludedRules", ",".join(rules))
+
+    def __exit__(self, *exc):
+        if self.prev is None:
+            self.spark.conf.unset("spark.sql.adaptive.optimizer.excludedRules")
+        else:
+            self.spark.conf.set("spark.sql.adaptive.optimizer.excludedRules", self.prev)
+
 
 @dataclass
 class QueryStats:
     """Prune-funnel counters (the reference's BlockStats / BloomFilterSkipped,
-    bloom_tree_engine.go:137-147, 1078-1095)."""
+    bloom_tree_engine.go:137-147, 1078-1095).
+
+    ONE-PASS collection: the counters ride the query's own manifest probe
+    job as ``Observation`` metrics (CollectMetrics plan nodes over the
+    blocks/files manifests) plus the length of the surviving-path list the
+    scan collects anyway — zero extra Spark jobs, matching the reference's
+    stats-streamed-during-scan design (bloom_tree_engine.go:1078-1095).
+    The r01 implementation re-derived each funnel stage with 4-5 separate
+    count() jobs per stats-enabled query."""
 
     total_files: int = 0
     total_blocks: int = 0
@@ -46,6 +80,39 @@ class QueryStats:
     files_after_file_bloom: int = 0
     blocks_after_block_bloom: int = 0
     extra: dict = field(default_factory=dict)
+    _obs_blocks: object | None = field(default=None, repr=False)
+    _obs_files: object | None = field(default=None, repr=False)
+    _fallback: tuple | None = field(default=None, repr=False)
+
+    def _finalize(self) -> None:
+        """Pull the observed metrics (the triggering action has already run
+        by the time search() returns).  When the whole funnel pruned to
+        empty, AQE's empty-relation propagation removes the CollectMetrics
+        nodes from the executed plan and ``Observation.get`` raises — fall
+        back to recomputing those counters with count() jobs (rare, and the
+        manifests are cached + no data scan happened for such queries)."""
+        blocks, pre, files, fpred = self._fallback or (None, None, None, None)
+        if self._obs_blocks is not None:
+            try:
+                m = self._obs_blocks.get
+                self.total_blocks = int(m["total_blocks"])
+                self.blocks_after_prefilter = int(m["blocks_after_prefilter"])
+            except Exception:
+                if blocks is not None:
+                    self.total_blocks = blocks.count()
+                    self.blocks_after_prefilter = blocks.filter(pre).count()
+            self._obs_blocks = None
+        if self._obs_files is not None:
+            try:
+                m = self._obs_files.get
+                self.total_files = int(m["total_files"])
+                self.files_after_file_bloom = int(m["files_after_file_bloom"])
+            except Exception:
+                if files is not None:
+                    self.total_files = files.count()
+                    self.files_after_file_bloom = files.filter(fpred).count()
+            self._obs_files = None
+        self._fallback = None
 
     @property
     def prune_ratio(self) -> float:
@@ -67,34 +134,87 @@ def prune_blocks(
     files = index.files()
 
     pre = compile_prefilter(query.prefilter)
-    blocks_f = blocks.filter(pre)
-
     prune_tree = query.prune_bloom()
+
+    if stats is not None:
+        # funnel counters as CollectMetrics nodes: filled by whatever action
+        # executes this plan (the scan's path collect) — no extra jobs
+        from pyspark.sql import Observation
+
+        obs_b = Observation()
+        blocks_f = (
+            blocks.withColumn("_pre", pre)
+            .observe(
+                obs_b,
+                F.count(F.lit(1)).alias("total_blocks"),
+                F.coalesce(F.sum(F.col("_pre").cast("long")), F.lit(0)).alias(
+                    "blocks_after_prefilter"
+                ),
+            )
+            .filter(F.col("_pre"))
+            .drop("_pre")
+        )
+        stats._obs_blocks = obs_b
+    else:
+        blocks_f = blocks.filter(pre)
+
     if prune_tree is not None:
-        files_f = files.filter(probe_filter(prune_tree)).select("file_id")
+        fpred = probe_filter(prune_tree)
+        if stats is not None:
+            obs_f = Observation()
+            files_f = (
+                files.withColumn("_fok", fpred)
+                .observe(
+                    obs_f,
+                    F.count(F.lit(1)).alias("total_files"),
+                    F.coalesce(F.sum(F.col("_fok").cast("long")), F.lit(0)).alias(
+                        "files_after_file_bloom"
+                    ),
+                )
+                .filter(F.col("_fok"))
+                .select("file_id")
+            )
+            stats._obs_files = obs_f
+        else:
+            files_f = files.filter(fpred).select("file_id")
         # file manifest << block manifest: broadcast the survivors
         blocks_f = blocks_f.join(F.broadcast(files_f), "file_id", "left_semi")
         blocks_f = blocks_f.filter(probe_filter(prune_tree))
-
-    if stats is not None:
+    elif stats is not None:
+        # match-all: the files manifest is not part of the plan; one cheap
+        # count over the (cached, manifest-sized) files df
         stats.total_files = files.count()
-        stats.total_blocks = blocks.count()
-        stats.blocks_after_prefilter = blocks.filter(pre).count()
-        if prune_tree is not None:
-            stats.files_after_file_bloom = files.filter(probe_filter(prune_tree)).count()
-        else:
-            stats.files_after_file_bloom = stats.total_files
+        stats.files_after_file_bloom = stats.total_files
+    if stats is not None:
+        stats._fallback = (
+            blocks,
+            pre,
+            files,
+            probe_filter(prune_tree) if prune_tree is not None else None,
+        )
     return blocks_f
 
 
-def scan_blocks(index: BloomIndex, surviving: DataFrame) -> DataFrame:
+def scan_blocks(
+    index: BloomIndex, surviving: DataFrame, stats: QueryStats | None = None
+) -> DataFrame:
     """Read only the surviving blocks' data directories (via ``data_path``,
-    which stays valid across metadata-only merges)."""
+    which stays valid across metadata-only merges).
+
+    With ``stats``, the path collect is unlimited (stats mode must see every
+    survivor to count them — and its collect is the action that fills the
+    upstream funnel Observations; a LIMIT would short-circuit them)."""
     spark = index.spark
     if index.meta().get("external", False):
-        return _scan_external(index, surviving)
+        return _scan_external(index, surviving, stats)
     keys_df = surviving.select("data_path")
-    keys = keys_df.limit(MAX_COLLECTED_BLOCKS + 1).collect()
+    if stats is not None:
+        with _keep_observations(spark):
+            keys = keys_df.collect()
+        stats.blocks_after_block_bloom = len(keys)
+        stats._finalize()
+    else:
+        keys = keys_df.limit(MAX_COLLECTED_BLOCKS + 1).collect()
     if len(keys) > MAX_COLLECTED_BLOCKS:
         # huge survivor set: scan the data root, prune via broadcast semi-join
         # on the relative path reconstructed from the hive partition dirs
@@ -111,7 +231,9 @@ def scan_blocks(index: BloomIndex, surviving: DataFrame) -> DataFrame:
     return spark.read.option("basePath", index.data_dir).parquet(*paths)
 
 
-def _scan_external(index: BloomIndex, surviving: DataFrame) -> DataFrame:
+def _scan_external(
+    index: BloomIndex, surviving: DataFrame, stats: QueryStats | None = None
+) -> DataFrame:
     """Pruned scan for a zero-copy external index: read the surviving
     SOURCE files; since several partition-blocks can share one physical
     file, re-derive (data_path, partition_id) per row and semi-join against
@@ -120,7 +242,13 @@ def _scan_external(index: BloomIndex, surviving: DataFrame) -> DataFrame:
     spark = index.spark
     cfg = index.config
     pairs = surviving.select("data_path", "partition_id")
-    keys = pairs.limit(MAX_COLLECTED_BLOCKS + 1).collect()
+    if stats is not None:
+        with _keep_observations(spark):
+            keys = pairs.collect()
+        stats.blocks_after_block_bloom = len(keys)
+        stats._finalize()
+    else:
+        keys = pairs.limit(MAX_COLLECTED_BLOCKS + 1).collect()
     if len(keys) > MAX_COLLECTED_BLOCKS:
         paths = [
             r.data_path
@@ -162,7 +290,7 @@ def search(
     cfg = index.config
     stats = QueryStats() if with_stats else None
     surviving = prune_blocks(index, query, stats)
-    data = scan_blocks(index, surviving)
+    data = scan_blocks(index, surviving, stats)
 
     if cfg.json_col is not None:
         pred = json_verify_udf(query.bloom, query.regex)(F.col(cfg.json_col))
@@ -178,7 +306,6 @@ def search(
         out = out.select(*[c for c in source_columns if c in out.columns])
 
     if with_stats:
-        stats.blocks_after_block_bloom = surviving.count()
         return out, stats
     return out
 
