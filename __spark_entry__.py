@@ -137,13 +137,34 @@ _CFG_ROWBLOCKS = IndexConfig(
 )
 
 
+# pluggable-tokenizer flavor (reference ValueTokenizerFunc): index a derived
+# "lang@source" tag column with the code-identifier tokenizer — tokens like
+# "fr" are only reachable because the tokenizer splits on '@'
+_CFG_CUSTOMTOK = IndexConfig(
+    indexed_fields=("tag",),
+    partition_expr="lang",
+    max_block_rows=64,
+    blocks_per_file=4,
+    block_fpr=0.01,
+    file_fpr=0.01,
+    file_expected_items=50_000,
+    tokenizer="code_identifiers",
+    sha_col="tag",
+)
+
+
 def _index(spark: SparkSession, sf_dir: str, flavor: str) -> BloomIndex:
     key = (os.path.abspath(sf_dir), flavor)
     if key not in _INDEX_CACHE:
-        cfg = _CFG_ROWBLOCKS if flavor == "rowblocks" else _CFG_MAIN
+        cfg = {"rowblocks": _CFG_ROWBLOCKS, "customtok": _CFG_CUSTOMTOK}.get(
+            flavor, _CFG_MAIN
+        )
+        df = _docs(spark, sf_dir)
+        if flavor == "customtok":
+            df = df.withColumn("tag", F.concat_ws("@", "lang", "source"))
         root = tempfile.mkdtemp(prefix=f"bsidx-{flavor}-")
         idx = build_index(
-            spark, _docs(spark, sf_dir), root, cfg, source_desc=f"documents@{sf_dir}"
+            spark, df, root, cfg, source_desc=f"documents@{sf_dir}"
         )
         if flavor == "merged":
             # full compaction cycle (M1-M8): file merge -> block
@@ -234,6 +255,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # vacuumed index (M1-M8) — merge must preserve query semantics
         "bs_token_postmerge": _bs(
             "merged", lambda: new_query().token("spark").build()
+        ),
+        # pluggable code-identifier tokenizer (ValueTokenizerFunc analog):
+        # token "fr" exists only because the tokenizer splits "fr@srcN"
+        "bs_token_customtok": _bs(
+            "customtok", lambda: new_query().token("fr").build()
         ),
         "bs_partition_in": _bs(
             "main",
@@ -503,6 +529,16 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bs_token": f"{sel} WHERE {_any_field_tok('spark')}",
         "bs_token_postmerge": f"{sel} WHERE {_any_field_tok('spark')}",
+        # duckdb replica of the code_identifiers tokenizer over the derived
+        # tag column (acronym + camel boundary splits, non-ident separator)
+        "bs_token_customtok": (
+            f"SELECT {DOC_COLS}, lang || '@' || source AS tag FROM documents "
+            "WHERE list_contains(list_filter(string_split_regex(lower("
+            "regexp_replace(regexp_replace(lang || '@' || source, "
+            "'([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g'), "
+            "'([a-z0-9])([A-Z])', '\\1 \\2', 'g')), "
+            "'[^a-z0-9_]+'), t -> t <> ''), 'fr')"
+        ),
         "bs_token_miss": f"{sel} WHERE {_any_field_tok('qqqzzz_absent_token')}",
         "bs_field": f"{sel} WHERE text IS NOT NULL",
         "bs_field_miss": f"{sel} WHERE 1 = 0",

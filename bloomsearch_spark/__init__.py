@@ -48,13 +48,15 @@ from .plans.merge import (
 )
 from .plans.search import QueryStats, search, verify_integrity
 from .sources.manifest import BloomIndex
+from .tokenizer import Tokenizer, get_tokenizer, register_tokenizer
 
 __all__ = [
     "And", "Between", "BloomExpr", "BloomIndex", "BloomParams", "Condition",
     "Eq", "Field", "FieldRegex", "FieldToken", "Gt", "Gte", "In", "IndexConfig",
     "Lt", "Lte", "MergeStats", "MinMax", "Ne", "NotBetween", "NotIn", "Or",
     "Partition", "PrefilterAnd", "PrefilterOr", "Query", "QueryBuilder",
-    "QueryStats", "RegexAnd", "RegexOr", "Token", "build_external_index",
-    "build_index", "compact_blocks", "expire_blocks", "merge_files",
-    "new_query", "search", "sizing", "vacuum", "verify_integrity",
+    "QueryStats", "RegexAnd", "RegexOr", "Token", "Tokenizer",
+    "build_external_index", "build_index", "compact_blocks", "expire_blocks",
+    "get_tokenizer", "merge_files", "new_query", "register_tokenizer",
+    "search", "sizing", "vacuum", "verify_integrity",
 ]

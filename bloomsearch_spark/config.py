@@ -56,6 +56,15 @@ class IndexConfig:
     file_fpr: float = DEFAULT_FPR
     file_expected_items: int = DEFAULT_FILE_EXPECTED_ITEMS
     compression: str = "snappy"  # none | snappy | zstd (file_format.go:147-151)
+    # zstd compression level for block data files (reference
+    # ZstdCompressionLevel, bloom_tree_engine.go:46-80); None = pyarrow
+    # default.  Only meaningful with compression="zstd".
+    zstd_level: int | None = None
+    # Named value tokenizer (the reference's ValueTokenizerFunc,
+    # tokenizer.go:86-99): must be registered via
+    # tokenizer.register_tokenizer on build AND query sides; the name is
+    # persisted in meta.json so verify re-derives tokens identically.
+    tokenizer: str = "whitespace_lower"
     sha_col: str | None = None  # column to sha256 for the per-row invariant
     # External-data mode (build_external_index): the index OVERLAYS the
     # source parquet files in place — a "block" is one (source file,
@@ -79,6 +88,14 @@ class IndexConfig:
             raise ValueError(
                 f"compression must be none|snappy|zstd, got {self.compression!r}"
             )
+        if self.zstd_level is not None:
+            if self.compression != "zstd":
+                raise ValueError("zstd_level requires compression='zstd'")
+            if not (1 <= self.zstd_level <= 22):
+                raise ValueError(f"zstd_level must be in [1, 22], got {self.zstd_level}")
+        from .tokenizer import get_tokenizer
+
+        get_tokenizer(self.tokenizer)  # raises KeyError if unregistered
         if self.max_block_rows <= 0 or self.blocks_per_file <= 0:
             raise ValueError("max_block_rows and blocks_per_file must be > 0")
         for p in (self.block_fpr, self.file_fpr):
@@ -112,6 +129,8 @@ class IndexConfig:
             "file_fpr": self.file_fpr,
             "file_expected_items": self.file_expected_items,
             "compression": self.compression,
+            "zstd_level": self.zstd_level,
+            "tokenizer": self.tokenizer,
             "sha_col": self.sha_col,
             "external_data": self.external_data,
             "cluster_input": self.cluster_input,
@@ -132,6 +151,8 @@ class IndexConfig:
             file_fpr=d.get("file_fpr", DEFAULT_FPR),
             file_expected_items=d.get("file_expected_items", DEFAULT_FILE_EXPECTED_ITEMS),
             compression=d.get("compression", "snappy"),
+            zstd_level=d.get("zstd_level"),
+            tokenizer=d.get("tokenizer", "whitespace_lower"),
             sha_col=d.get("sha_col"),
             external_data=d.get("external_data", False),
             cluster_input=d.get("cluster_input", False),

@@ -30,7 +30,9 @@ from ..config import IndexConfig
 from ..tokenizer import (
     FIELD_TOKEN_SEP,
     doc_index_entries,
+    get_tokenizer,
     stringify_series,
+    unique_tokens_fallback,
 )
 
 
@@ -58,28 +60,13 @@ def _index_entries_json(pdf: pd.DataFrame, cfg: IndexConfig) -> tuple[list, list
         if raw is None:
             continue
         doc = json.loads(raw) if isinstance(raw, str) else raw
-        f, t, p = doc_index_entries(doc)
+        f, t, p = doc_index_entries(doc, value_fn=get_tokenizer(cfg.tokenizer).value_fn)
         fields.update(f)
         tokens.update(t)
         pairs.update(p)
     return sorted(fields), np.asarray(sorted(tokens), dtype=object), np.asarray(
         sorted(pairs), dtype=object
     )
-
-
-def _unique_tokens_arrow(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """lower + whitespace-split + flatten + unique, entirely in Arrow
-    kernels (contiguous string buffers — no per-token Python objects until
-    the final small unique set).  Empty boundary splits are dropped from
-    the unique set, matching ``str.split()``/Go ``strings.Fields``."""
-    if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
-        arr = pa.array(arr, type=pa.string(), from_pandas=True)
-    if not pa.types.is_string(arr.type) and not pa.types.is_large_string(arr.type):
-        arr = pc.cast(arr, pa.string())
-    toks = pc.list_flatten(pc.utf8_split_whitespace(pc.utf8_lower(arr)))
-    uniq = pc.unique(toks).drop_null()
-    uniq = pc.filter(uniq, pc.not_equal(uniq, ""))
-    return uniq.to_numpy(zero_copy_only=False).astype(object)
 
 
 def _col_for_tokens(tbl: pa.Table, col: str) -> pa.ChunkedArray | pa.Array:
@@ -109,7 +96,11 @@ def _index_entries_arrow(tbl: pa.Table, cfg: IndexConfig) -> tuple[list, np.ndar
         arr = tbl[col]
         if arr.null_count < len(arr):
             fields.append(col)
-        uniq = _unique_tokens_arrow(_col_for_tokens(tbl, col))
+        tok = get_tokenizer(cfg.tokenizer)
+        if tok.arrow_unique is not None:
+            uniq = tok.arrow_unique(_col_for_tokens(tbl, col))
+        else:
+            uniq = unique_tokens_fallback(_col_for_tokens(tbl, col), tok)
         if len(uniq):
             token_arrays.append(uniq)
             pair_arrays.append(

@@ -32,23 +32,38 @@ from pyspark.sql import functions as F
 
 from ..query import BloomExpr, RegexExpr
 from ..tokenizer import (
+    WHITESPACE_LOWER,
+    Tokenizer,
     doc_field_values,
     doc_has_field,
     doc_has_field_token,
     doc_has_token,
     go_format_value,
+    tokens_udf,
 )
 
-_WS = r"\s+"
 
-
-def _token_in_col(col: str, token: str) -> Column:
+def _token_in_col(col: str, token: str, tokenizer: Tokenizer) -> Column:
+    """token-membership test using the INDEX's configured tokenizer — the
+    verify stage must re-derive tokens exactly as the build inserted them
+    (the reference stores one ValueTokenizerFunc on the engine config).
+    Prefers the tokenizer's Catalyst face (whole-stage codegen); falls back
+    to an Arrow-batched pandas UDF over value_fn for python-only custom
+    tokenizers."""
     c = F.col(col).cast("string")
-    return F.coalesce(F.array_contains(F.split(F.lower(c), _WS), token), F.lit(False))
+    toks = (
+        tokenizer.sql_tokens(c)
+        if tokenizer.sql_tokens is not None
+        else tokens_udf(tokenizer)(c)
+    )
+    return F.coalesce(F.array_contains(toks, token), F.lit(False))
 
 
 def compile_bloom_verify(
-    expr: Optional[BloomExpr], indexed_fields: Sequence[str], columns: Sequence[str]
+    expr: Optional[BloomExpr],
+    indexed_fields: Sequence[str],
+    columns: Sequence[str],
+    tokenizer: Tokenizer = WHITESPACE_LOWER,
 ) -> Column:
     """Bloom tree -> exact Catalyst predicate over fixed-schema rows.
 
@@ -64,12 +79,12 @@ def compile_bloom_verify(
     if expr.kind == "AND":
         out = F.lit(True)
         for ch in expr.children:
-            out = out & compile_bloom_verify(ch, indexed_fields, columns)
+            out = out & compile_bloom_verify(ch, indexed_fields, columns, tokenizer)
         return out
     if expr.kind == "OR":
         out = F.lit(False)
         for ch in expr.children:
-            out = out | compile_bloom_verify(ch, indexed_fields, columns)
+            out = out | compile_bloom_verify(ch, indexed_fields, columns, tokenizer)
         return out
     if expr.kind == "FIELD":
         return F.col(expr.field).isNotNull() if expr.field in cols else F.lit(False)
@@ -77,12 +92,12 @@ def compile_bloom_verify(
         out = F.lit(False)
         for c in indexed_fields:
             if c in cols:
-                out = out | _token_in_col(c, expr.token)
+                out = out | _token_in_col(c, expr.token, tokenizer)
         return out
     if expr.kind == "FIELD_TOKEN":
         if expr.field not in cols:
             return F.lit(False)
-        return _token_in_col(expr.field, expr.token)
+        return _token_in_col(expr.field, expr.token, tokenizer)
     raise AssertionError(expr.kind)
 
 
@@ -112,19 +127,19 @@ def compile_regex_verify(expr: Optional[RegexExpr], columns: Sequence[str]) -> C
 # ---------------------------------------------------------------------------
 
 
-def _doc_matches_bloom(doc, expr: Optional[BloomExpr]) -> bool:
+def _doc_matches_bloom(doc, expr: Optional[BloomExpr], value_fn) -> bool:
     if expr is None:
         return True
     if expr.kind == "AND":
-        return all(_doc_matches_bloom(doc, ch) for ch in expr.children)
+        return all(_doc_matches_bloom(doc, ch, value_fn) for ch in expr.children)
     if expr.kind == "OR":
-        return any(_doc_matches_bloom(doc, ch) for ch in expr.children)
+        return any(_doc_matches_bloom(doc, ch, value_fn) for ch in expr.children)
     if expr.kind == "FIELD":
         return doc_has_field(doc, expr.field)
     if expr.kind == "TOKEN":
-        return doc_has_token(doc, expr.token)
+        return doc_has_token(doc, expr.token, value_fn)
     if expr.kind == "FIELD_TOKEN":
-        return doc_has_field_token(doc, expr.field, expr.token)
+        return doc_has_field_token(doc, expr.field, expr.token, value_fn=value_fn)
     raise AssertionError(expr.kind)
 
 
@@ -142,8 +157,13 @@ def _doc_matches_regex(doc, expr: Optional[RegexExpr], cache: dict) -> bool:
     return any(pat.search(go_format_value(v)) for v in doc_field_values(doc, expr.field))
 
 
-def json_verify_udf(bloom_expr: Optional[BloomExpr], regex_expr: Optional[RegexExpr]):
+def json_verify_udf(
+    bloom_expr: Optional[BloomExpr],
+    regex_expr: Optional[RegexExpr],
+    tokenizer: Tokenizer = WHITESPACE_LOWER,
+):
     """Pandas UDF over the JSON column: exact structural verification."""
+    value_fn = tokenizer.value_fn
 
     @F.pandas_udf("boolean")
     def verify(raw: pd.Series) -> pd.Series:
@@ -153,7 +173,7 @@ def json_verify_udf(bloom_expr: Optional[BloomExpr], regex_expr: Optional[RegexE
             if r is None:
                 return False
             doc = json.loads(r) if isinstance(r, str) else r
-            return _doc_matches_bloom(doc, bloom_expr) and _doc_matches_regex(
+            return _doc_matches_bloom(doc, bloom_expr, value_fn) and _doc_matches_regex(
                 doc, regex_expr, cache
             )
 

@@ -55,6 +55,7 @@ from pyspark.sql import functions as F
 from ..config import DEFAULT_BLOCK_ROWS, IndexConfig
 from ..operators.blockindex import build_block_entry, rollup_file_entry
 from ..sources import manifest as mf
+from ..tokenizer import get_tokenizer, register_tokenizer
 
 STAGING_SCHEMA = (
     "file_id string, block_id string, partition_id string, "
@@ -68,6 +69,15 @@ STAGING_SCHEMA = (
 )
 
 _CODEC = {"none": None, "snappy": "snappy", "zstd": "zstd"}
+
+
+def codec_kwargs(cfg: IndexConfig) -> dict:
+    """pq.write_table kwargs for the configured codec (+ zstd level knob,
+    the reference's ZstdCompressionLevel, bloom_tree_engine.go:46-80)."""
+    kw = {"compression": _CODEC[cfg.compression] or "NONE"}
+    if cfg.compression == "zstd" and cfg.zstd_level is not None:
+        kw["compression_level"] = cfg.zstd_level
+    return kw
 
 INTERNAL_COLS = ("partition_id", "content_sha", "file_id", "block_id", "_block_seq")
 
@@ -131,9 +141,14 @@ def _make_block_fn(cfg: IndexConfig, data_dir: str, arrow_schema_bytes: bytes):
     commit.  temp-file + atomic rename makes retried/speculative attempts
     harmless.  ``data_dir`` must be shared storage on a real cluster.
     """
-    codec = _CODEC[cfg.compression]
+    ckw = codec_kwargs(cfg)
+    # resolve the tokenizer on the DRIVER and ship the object in the
+    # closure: a user-registered tokenizer exists only in the driver's
+    # registry, not in fresh executor interpreters
+    tok = get_tokenizer(cfg.tokenizer)
 
     def fn(key, pdf):
+        register_tokenizer(tok)
         entry = build_block_entry(key, pdf, cfg)
         file_id, block_id, _ = key
         rel = os.path.join(f"file_id={file_id}", f"block_id={block_id}")
@@ -145,7 +160,7 @@ def _make_block_fn(cfg: IndexConfig, data_dir: str, arrow_schema_bytes: bytes):
         tbl = pa.Table.from_pandas(body, schema=schema, preserve_index=False)
         final = os.path.join(d, "part-0.parquet")
         tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.parquet")
-        pq.write_table(tbl, tmp, compression=codec or "NONE")
+        pq.write_table(tbl, tmp, **ckw)
         os.replace(tmp, final)
         entry["byte_size"] = os.path.getsize(final)
         return entry
@@ -206,11 +221,13 @@ def _make_map_build_fn(cfg: IndexConfig, data_dir: str, build_tag: str):
 
     from ..operators.blockindex import build_block_entry_arrow
 
-    codec = _CODEC[cfg.compression]
+    ckw = codec_kwargs(cfg)
+    tok = get_tokenizer(cfg.tokenizer)  # ship the object (see _make_block_fn)
 
     def fn(batches):
         from pyspark import TaskContext
 
+        register_tokenizer(tok)
         tid = TaskContext.get().partitionId()
         buffers: dict[str, list[pa.Table]] = {}
         counts: dict[str, int] = {}
@@ -228,7 +245,7 @@ def _make_map_build_fn(cfg: IndexConfig, data_dir: str, build_tag: str):
             os.makedirs(d, exist_ok=True)
             final = os.path.join(d, "part-0.parquet")
             tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.parquet")
-            pq.write_table(tbl, tmp, compression=codec or "NONE")
+            pq.write_table(tbl, tmp, **ckw)
             os.replace(tmp, final)
             entry["byte_size"] = os.path.getsize(final)
             entry["minmax_min"] = list(entry["minmax_min"].items())

@@ -62,7 +62,12 @@ def _make_external_fn(cfg: IndexConfig, build_tag: str):
     ``BlockAccumulator`` per key — bitsets allocate once and mutate in
     place across batches (no per-batch alloc/merge churn)."""
 
+    from ..tokenizer import get_tokenizer, register_tokenizer
+
+    tok = get_tokenizer(cfg.tokenizer)  # ship the object to executors
+
     def fn(batches):
+        register_tokenizer(tok)
         # buffer zero-copy batch slices per source file; tokenize each
         # (file, partition) ONCE over the concatenated table (small slices
         # amortize badly through unique()/hashing)

@@ -240,7 +240,7 @@ def plan_block_merge(
     return mapping
 
 
-def _make_consolidate_fn(data_dir: str, codec: str):
+def _make_consolidate_fn(data_dir: str, codec_kw: dict):
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         block_id = key[0]
         if len(pdf) == 1:  # singleton group: pass the manifest row through
@@ -261,7 +261,7 @@ def _make_consolidate_fn(data_dir: str, codec: str):
         d = os.path.join(data_dir, rel)
         os.makedirs(d, exist_ok=True)
         tmp = os.path.join(d, f".tmp-{os.getpid()}-{time.monotonic_ns()}.parquet")
-        pq.write_table(tbl, tmp, compression=codec)
+        pq.write_table(tbl, tmp, **codec_kw)
         final = os.path.join(d, "part-0.parquet")
         os.replace(tmp, final)
 
@@ -342,9 +342,10 @@ def compact_blocks(
         .withColumn("merge_block_id", F.coalesce("merged", "block_id"))
         .drop("merged")
     )
-    codec = {"none": "NONE", "snappy": "snappy", "zstd": "zstd"}[cfg.compression]
+    from .build import codec_kwargs
+
     new_blocks = staged.groupBy("merge_block_id").applyInPandas(
-        _make_consolidate_fn(index.data_dir, codec), mf.BLOCKS_SCHEMA
+        _make_consolidate_fn(index.data_dir, codec_kwargs(cfg)), mf.BLOCKS_SCHEMA
     )
     return _commit(spark, index, new_blocks, index.files(), op="compact", stats=stats)
 

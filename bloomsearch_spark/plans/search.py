@@ -29,6 +29,7 @@ from ..operators.probe import probe_filter
 from ..operators.verify import compile_bloom_verify, compile_regex_verify, json_verify_udf
 from ..query import Query, compile_prefilter
 from ..sources.manifest import BloomIndex
+from ..tokenizer import get_tokenizer
 
 # above this many surviving blocks, switch from an explicit path-list scan
 # to a broadcast semi-join (keeps the driver list bounded at huge scale)
@@ -292,11 +293,12 @@ def search(
     surviving = prune_blocks(index, query, stats)
     data = scan_blocks(index, surviving, stats)
 
+    tok = get_tokenizer(cfg.tokenizer)
     if cfg.json_col is not None:
-        pred = json_verify_udf(query.bloom, query.regex)(F.col(cfg.json_col))
+        pred = json_verify_udf(query.bloom, query.regex, tok)(F.col(cfg.json_col))
     else:
         cols = data.columns
-        pred = compile_bloom_verify(query.bloom, cfg.indexed_fields, cols) & (
+        pred = compile_bloom_verify(query.bloom, cfg.indexed_fields, cols, tok) & (
             compile_regex_verify(query.regex, cols)
         )
     out = data.filter(pred)

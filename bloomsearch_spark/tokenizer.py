@@ -99,6 +99,169 @@ def explode_tokens(s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     return row_idx, flat
 
 
+# ---------------------------------------------------------------------------
+# Pluggable value tokenizers (the reference's ValueTokenizerFunc injection
+# point, tokenizer.go:86-99; config field bloom_tree_engine.go:99).
+#
+# A tokenizer is registered by NAME and the name is persisted in the index
+# meta.json, so the query/verify side always re-derives tokens exactly the
+# way the build side inserted them (the reference stores the func on the
+# engine config; a distributed build must serialize a name, not a closure).
+# Three faces, kept semantically identical per tokenizer:
+#   value_fn     one primitive -> [tokens]   (JSON walkers / slow fallback)
+#   sql_tokens   string Column -> array<string> Column (JVM verify path)
+#   arrow_unique string array -> unique token ndarray (vectorized build)
+# Only value_fn is required; missing fast faces fall back to value_fn via
+# Arrow-batched pandas UDFs (slower, still correct).
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass as _dataclass
+from typing import Callable, Optional
+
+
+@_dataclass(frozen=True)
+class Tokenizer:
+    name: str
+    value_fn: Callable[[Any], list]
+    sql_tokens: Optional[Callable] = None  # Column -> Column(array<string>)
+    arrow_unique: Optional[Callable] = None  # pa array -> np.ndarray of uniques
+
+
+_TOKENIZERS: dict[str, Tokenizer] = {}
+
+
+def register_tokenizer(tok: Tokenizer) -> Tokenizer:
+    """Register (or replace) a named tokenizer.  Build AND query sides must
+    both have it registered; the index stores only the name."""
+    _TOKENIZERS[tok.name] = tok
+    return tok
+
+
+def get_tokenizer(name: str) -> Tokenizer:
+    try:
+        return _TOKENIZERS[name]
+    except KeyError:
+        raise KeyError(
+            f"tokenizer {name!r} is not registered (register_tokenizer() must "
+            f"run before building/querying an index that uses it); "
+            f"known: {sorted(_TOKENIZERS)}"
+        ) from None
+
+
+def _ws_sql_tokens(c):
+    from pyspark.sql import functions as F
+
+    return F.split(F.lower(c), r"\s+")
+
+
+def _ws_arrow_unique(arr) -> np.ndarray:
+    """lower + whitespace-split + flatten + unique, entirely in Arrow
+    kernels (contiguous string buffers — no per-token Python objects until
+    the final small unique set).  Empty boundary splits are dropped,
+    matching ``str.split()``/Go ``strings.Fields``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        arr = pa.array(arr, type=pa.string(), from_pandas=True)
+    if not pa.types.is_string(arr.type) and not pa.types.is_large_string(arr.type):
+        arr = pc.cast(arr, pa.string())
+    toks = pc.list_flatten(pc.utf8_split_whitespace(pc.utf8_lower(arr)))
+    uniq = pc.unique(toks).drop_null()
+    uniq = pc.filter(uniq, pc.not_equal(uniq, ""))
+    return uniq.to_numpy(zero_copy_only=False).astype(object)
+
+
+WHITESPACE_LOWER = register_tokenizer(
+    Tokenizer(
+        name="whitespace_lower",
+        value_fn=tokenize_value,
+        sql_tokens=_ws_sql_tokens,
+        arrow_unique=_ws_arrow_unique,
+    )
+)
+
+# -- code-identifier tokenizer: camelCase boundaries become spaces, then
+#    lowercase and split on every non-[a-z0-9_] run — "parseHTTPBody" ->
+#    [parse, http, body], "hello@world.com" -> [hello, world, com].  The
+#    kind of identifier-aware tokenizer a user of the reference would plug
+#    in via ValueTokenizerFunc for indexing source code.
+
+_ACRONYM = r"([A-Z]+)([A-Z][a-z])"  # HTTPBody -> HTTP Body (applied first)
+_CAMEL = r"([a-z0-9])([A-Z])"  # parseHTTP -> parse HTTP
+_NON_IDENT = r"[^a-z0-9_]+"
+
+
+def _code_value_fn(v: Any) -> list[str]:
+    import re
+
+    s = re.sub(_CAMEL, r"\1 \2", re.sub(_ACRONYM, r"\1 \2", go_format_value(v)))
+    return [t for t in re.split(_NON_IDENT, s.lower()) if t]
+
+
+def _code_sql_tokens(c):
+    from pyspark.sql import functions as F
+
+    s = F.regexp_replace(F.regexp_replace(c, _ACRONYM, r"$1 $2"), _CAMEL, r"$1 $2")
+    toks = F.split(F.lower(s), _NON_IDENT)
+    return F.filter(toks, lambda t: t != F.lit(""))
+
+
+def _code_arrow_unique(arr) -> np.ndarray:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        arr = pa.array(arr, type=pa.string(), from_pandas=True)
+    if not pa.types.is_string(arr.type) and not pa.types.is_large_string(arr.type):
+        arr = pc.cast(arr, pa.string())
+    arr = pc.replace_substring_regex(arr, pattern=_ACRONYM, replacement=r"\1 \2")
+    arr = pc.replace_substring_regex(arr, pattern=_CAMEL, replacement=r"\1 \2")
+    toks = pc.list_flatten(
+        pc.split_pattern_regex(pc.utf8_lower(arr), pattern=_NON_IDENT)
+    )
+    uniq = pc.unique(toks).drop_null()
+    uniq = pc.filter(uniq, pc.not_equal(uniq, ""))
+    return uniq.to_numpy(zero_copy_only=False).astype(object)
+
+
+CODE_IDENTIFIERS = register_tokenizer(
+    Tokenizer(
+        name="code_identifiers",
+        value_fn=_code_value_fn,
+        sql_tokens=_code_sql_tokens,
+        arrow_unique=_code_arrow_unique,
+    )
+)
+
+
+def tokens_udf(tokenizer: Tokenizer):
+    """Arrow-batched pandas UDF: string column -> array<string> of tokens
+    via ``value_fn`` — the generic fallback when a custom tokenizer has no
+    ``sql_tokens`` face."""
+    from pyspark.sql import functions as F
+
+    fn = tokenizer.value_fn
+
+    @F.pandas_udf("array<string>")
+    def toks(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: [] if v is None else fn(v))
+
+    return toks
+
+
+def unique_tokens_fallback(arr, tokenizer: Tokenizer) -> np.ndarray:
+    """Unique tokens of a string array via value_fn (build-side fallback
+    when a custom tokenizer has no ``arrow_unique`` face)."""
+    s = arr.to_pandas() if hasattr(arr, "to_pandas") else pd.Series(arr)
+    out: set = set()
+    fn = tokenizer.value_fn
+    for v in s:
+        if v is not None:
+            out.update(fn(v))
+    return np.asarray(sorted(out), dtype=object)
+
+
 def unique_fields(doc: dict, delimiter: str = ".") -> dict[str, list[Any]]:
     """Flatten one nested document to {path: [unique primitive values]}.
 
@@ -128,10 +291,13 @@ def unique_fields(doc: dict, delimiter: str = ".") -> dict[str, list[Any]]:
     return {p: list(vals.values()) for p, vals in out.items()}
 
 
-def doc_index_entries(doc: dict) -> tuple[list[str], list[str], list[str]]:
+def doc_index_entries(
+    doc: dict, value_fn: Callable[[Any], list] = tokenize_value
+) -> tuple[list[str], list[str], list[str]]:
     """One document -> (field paths, tokens, field::token keys) for indexing.
 
-    The three search domains of README.md:113-166.
+    The three search domains of README.md:113-166.  ``value_fn`` is the
+    configured value tokenizer (defaults to the reference's lower+ws).
     """
     fields: list[str] = []
     tokens: set[str] = set()
@@ -139,7 +305,7 @@ def doc_index_entries(doc: dict) -> tuple[list[str], list[str], list[str]]:
     for path, values in unique_fields(doc).items():
         fields.append(path)
         for v in values:
-            for tok in tokenize_value(v):
+            for tok in value_fn(v):
                 tokens.add(tok)
                 pairs.add(f"{path}{FIELD_TOKEN_SEP}{tok}")
     return fields, sorted(tokens), sorted(pairs)
@@ -169,17 +335,25 @@ def doc_has_field(doc: dict, path: str, delimiter: str = ".") -> bool:
     return walk(doc, 0)
 
 
-def doc_has_token(doc: Any, token: str) -> bool:
+def doc_has_token(
+    doc: Any, token: str, value_fn: Callable[[Any], list] = tokenize_value
+) -> bool:
     """Token-equality walk over every primitive anywhere in the doc
     (tokenizer.go:152-194)."""
     if isinstance(doc, dict):
-        return any(doc_has_token(v, token) for v in doc.values())
+        return any(doc_has_token(v, token, value_fn) for v in doc.values())
     if isinstance(doc, (list, tuple)):
-        return any(doc_has_token(v, token) for v in doc)
-    return token in tokenize_value(doc)
+        return any(doc_has_token(v, token, value_fn) for v in doc)
+    return token in value_fn(doc)
 
 
-def doc_has_field_token(doc: dict, path: str, token: str, delimiter: str = ".") -> bool:
+def doc_has_field_token(
+    doc: dict,
+    path: str,
+    token: str,
+    delimiter: str = ".",
+    value_fn: Callable[[Any], list] = tokenize_value,
+) -> bool:
     """field::token walk: token under that specific path (arrays descended,
     indices ignored — the documented "information loss" semantics,
     tokenizer_test.go:238-277)."""
@@ -189,7 +363,7 @@ def doc_has_field_token(doc: dict, path: str, token: str, delimiter: str = ".") 
         if isinstance(v, (list, tuple)):
             return any(walk(item, i) for item in v)
         if i == len(parts):
-            return not isinstance(v, dict) and token in tokenize_value(v)
+            return not isinstance(v, dict) and token in value_fn(v)
         if isinstance(v, dict):
             return parts[i] in v and walk(v[parts[i]], i + 1)
         return False

@@ -78,3 +78,36 @@ def test_overfilled_file_bloom_is_visible(spark, tmp_root):
     # implied FPR orders of magnitude above the configured 0.01 — visible
     assert m["max_file_token_fill"] > 0.6
     assert m["max_file_token_est_fpr"] > 0.05
+
+
+@pytest.mark.parametrize("level", [1, 19])
+def test_zstd_level_roundtrip(spark, tmp_root, level):
+    """ZstdCompressionLevel knob (reference bloom_tree_engine.go:46-80):
+    both extremes round-trip; level 19 must not out-size level 1 output."""
+    cfg = IndexConfig(
+        indexed_fields=("repo", "path", "lang", "content"),
+        partition_expr="lang",
+        max_block_rows=500,
+        blocks_per_file=4,
+        compression="zstd",
+        zstd_level=level,
+        sha_col="content",
+    )
+    idx = build_index(spark, generate_df(spark, N), tmp_root, cfg)
+    pdf = generate_pdf(N)
+    expect = sum("needle_alpha" in c.lower().split() for c in pdf["content"])
+    assert search(spark, idx, new_query().token("needle_alpha").build()).count() == expect
+    assert verify_integrity(spark, idx) == 0
+    total = idx.blocks().agg(F.sum("byte_size")).collect()[0][0]
+    sizes = getattr(test_zstd_level_roundtrip, "_sizes", {})
+    sizes[level] = total
+    test_zstd_level_roundtrip._sizes = sizes
+    if len(sizes) == 2:
+        assert sizes[19] <= sizes[1]
+
+
+def test_zstd_level_validation():
+    with pytest.raises(ValueError, match="zstd_level requires"):
+        IndexConfig(indexed_fields=("x",), compression="snappy", zstd_level=3)
+    with pytest.raises(ValueError, match="in \\[1, 22\\]"):
+        IndexConfig(indexed_fields=("x",), compression="zstd", zstd_level=99)

@@ -297,3 +297,76 @@ def test_cluster_input_build_no_count_prepass(spark, tmp_path_factory, oracle_pd
     # clustered: same-partition rows co-locate into full blocks
     blocks = idx.blocks().toPandas()
     assert blocks["row_count"].sum() == N_ROWS
+
+
+def test_custom_tokenizer_end_to_end(spark, tmp_path_factory):
+    """Pluggable tokenizer (reference ValueTokenizerFunc, tokenizer.go:86-99):
+    build with the code-identifier tokenizer, search tokens only IT can
+    produce; the stored tokenizer name drives both build and verify sides,
+    compared against a per-row python oracle."""
+    from bloomsearch_spark.tokenizer import CODE_IDENTIFIERS
+
+    rows = [
+        (0, "parseHTTPBody failed", "go"),
+        (1, "call user@example.com now", "py"),
+        (2, "plain words only", "md"),
+        (3, "HTTPServer::restart", "rs"),
+        (4, "body of evidence", "md"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string, lang string")
+    cfg = IndexConfig(
+        indexed_fields=("content",),
+        partition_expr="lang",
+        max_block_rows=2,
+        blocks_per_file=2,
+        tokenizer="code_identifiers",
+        sha_col="content",
+    )
+    root = str(tmp_path_factory.mktemp("toki"))
+    idx = build_index(spark, df, root, cfg)
+    # the committed meta carries the tokenizer name
+    assert idx.config.tokenizer == "code_identifiers"
+
+    def oracle(token):
+        return {
+            r[0] for r in rows if token in CODE_IDENTIFIERS.value_fn(r[1])
+        }
+
+    for token in ("http", "body", "example", "restart", "com", "parse", "zz_absent"):
+        got = {
+            r.doc_id
+            for r in search(spark, idx, new_query().token(token).build()).collect()
+        }
+        assert got == oracle(token), token
+    # whitespace tokenizer would NOT find these (punctuation kept inside)
+    assert oracle("example") == {1} and oracle("http") == {0, 3}
+
+
+def test_python_only_tokenizer_fallback(spark, tmp_path_factory):
+    """A registered tokenizer with only value_fn works end-to-end via the
+    pandas-UDF fallback faces on both build and verify sides."""
+    from bloomsearch_spark import register_tokenizer
+    from bloomsearch_spark.tokenizer import Tokenizer, go_format_value
+
+    register_tokenizer(
+        Tokenizer(
+            name="csv_lower",
+            value_fn=lambda v: [
+                t.strip() for t in go_format_value(v).lower().split(",") if t.strip()
+            ],
+        )
+    )
+    rows = [(0, "Alpha,beta gamma", "a"), (1, "beta gamma,delta", "b")]
+    df = spark.createDataFrame(rows, "doc_id long, content string, lang string")
+    cfg = IndexConfig(
+        indexed_fields=("content",), partition_expr="lang",
+        tokenizer="csv_lower", sha_col="content",
+    )
+    root = str(tmp_path_factory.mktemp("csvtok"))
+    idx = build_index(spark, df, root, cfg)
+    got = {
+        r.doc_id
+        for r in search(spark, idx, new_query().token("beta gamma").build()).collect()
+    }
+    assert got == {0, 1}  # "beta gamma" is ONE csv token
+    assert search(spark, idx, new_query().token("beta").build()).count() == 0

@@ -126,3 +126,72 @@ def test_doc_has_field_token_numbers_and_bools():
 def test_doc_field_values_for_regex():
     vals = tk.doc_field_values(DOC, "items.category")
     assert vals == ["electronics", "books"]
+
+
+# --- pluggable tokenizer (the reference's ValueTokenizerFunc injection
+#     point, tokenizer.go:86-99) — golden cases for the built-in
+#     code-identifier tokenizer across all three faces, mirroring the
+#     tokenizer_test.go:99-173 golden-table style
+
+
+CODE_GOLDEN = [
+    ("hello world 123", ["hello", "world", "123"]),
+    ("hello@world.com!test", ["hello", "world", "com", "test"]),
+    ("hello-world_test", ["hello", "world_test"]),
+    ("parseHTTPBody", ["parse", "http", "body"]),  # camel boundary split
+    ("Foo::barBaz.qux", ["foo", "bar", "baz", "qux"]),
+    ("snake_case stays", ["snake_case", "stays"]),
+    ("", []),
+    (42.0, ["42"]),
+    (True, ["true"]),
+]
+
+
+@pytest.mark.parametrize("value,expected", CODE_GOLDEN)
+def test_code_tokenizer_value_fn(value, expected):
+    assert tk.CODE_IDENTIFIERS.value_fn(value) == expected
+
+
+def test_code_tokenizer_arrow_face_matches_value_fn():
+    vals = [v for v, _ in CODE_GOLDEN if isinstance(v, str)]
+    uniq = set(tk.CODE_IDENTIFIERS.arrow_unique(pd.Series(vals)))
+    expect = set()
+    for v in vals:
+        expect.update(tk.CODE_IDENTIFIERS.value_fn(v))
+    assert uniq == expect
+
+
+def test_code_tokenizer_sql_face_matches_value_fn(spark):
+    from pyspark.sql import functions as F
+
+    vals = [v for v, _ in CODE_GOLDEN if isinstance(v, str) and v]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {
+        r.s: list(r.toks)
+        for r in df.select(
+            "s", tk.CODE_IDENTIFIERS.sql_tokens(F.col("s")).alias("toks")
+        ).collect()
+    }
+    for v in vals:
+        assert got[v] == tk.CODE_IDENTIFIERS.value_fn(v), v
+
+
+def test_unregistered_tokenizer_rejected():
+    from bloomsearch_spark import IndexConfig
+
+    with pytest.raises(KeyError, match="not registered"):
+        IndexConfig(indexed_fields=("x",), tokenizer="no_such_tokenizer")
+
+
+def test_custom_registered_tokenizer_roundtrip():
+    """A user-registered python-only tokenizer (no fast faces) validates in
+    IndexConfig and survives the meta dict round-trip by name."""
+    from bloomsearch_spark import IndexConfig, register_tokenizer
+
+    register_tokenizer(
+        tk.Tokenizer(name="csv_fields", value_fn=lambda v: [
+            t for t in tk.go_format_value(v).lower().split(",") if t
+        ])
+    )
+    cfg = IndexConfig(indexed_fields=("x",), tokenizer="csv_fields")
+    assert IndexConfig.from_dict(cfg.to_dict()).tokenizer == "csv_fields"
