@@ -64,6 +64,10 @@ from bloomsearch_spark.functions.multimodal import (
     with_media_metadata,
 )
 from bloomsearch_spark.functions.text import text_stats
+from bloomsearch_spark.sketches.countmin import cms_sketch
+from bloomsearch_spark.sketches.hll import approx_distinct
+from bloomsearch_spark.sketches.kll import kll_sketch
+from bloomsearch_spark.sketches.tdigest import td_sketch
 from bloomsearch_spark.sources.manifest import BloomIndex
 
 DOC_COLS = "doc_id, text, lang, source, n_chars"
@@ -82,8 +86,8 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _embs_with_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings table augmented with deterministic near-dup twins: every
-    10th vector gets a copy with +0.5 on its first component (cosine vs the
-    original ~0.999).  The synthetic corpus's organic pair sims top out at
+    10th vector gets a copy with +0.02 on its first component (cosine vs the
+    original ~0.9998).  The synthetic corpus's organic pair sims top out at
     ~0.6, so these twins are the only pairs above 0.9 — a realistic
     near-dup population for the LSH-bucketed pair join, reproducible in
     ANSI SQL for the oracle."""
@@ -94,7 +98,7 @@ def _embs_with_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = base.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.concat(
-            F.array(F.element_at("embedding", 1) + F.lit(0.5)),
+            F.array(F.element_at("embedding", 1) + F.lit(0.02)),
             F.slice("embedding", 2, F.size("embedding") - 1),
         ).alias("embedding"),
     )
@@ -151,6 +155,80 @@ _CFG_CUSTOMTOK = IndexConfig(
     tokenizer="code_identifiers",
     sha_col="tag",
 )
+
+
+# ---------------------------------------------------------------------------
+# mergeable-sketch queries (north rule: HLL / count-min / t-digest / KLL).
+# Oracle design: each query computes the EXACT answer in Spark alongside the
+# sketch estimate and returns a boolean asserting the sketch's PUBLISHED
+# error bound; the DuckDB oracle recomputes the exact answer and asserts
+# TRUE — a bound violation hash-mismatches and fails the correctness gate.
+# ---------------------------------------------------------------------------
+
+_CMS_TOKENS = ["stream", "query", "vector", "filter", "zz_absent_token"]
+_TD_QS = [0.05, 0.25, 0.5, 0.75, 0.95]
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+
+
+def _sk_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _doc_tokens(spark, sf_dir)
+    est = approx_distinct(toks, "tok", ("lang",), p=12)
+    exact = toks.groupBy("lang").agg(F.countDistinct("tok").alias("n_exact"))
+    return exact.join(est, "lang").select(
+        "lang",
+        "n_exact",
+        (F.abs(F.col("estimate") - F.col("n_exact")) <= 4.0 * F.col("rse") * F.col("n_exact"))
+        .alias("hll_ok"),
+    )
+
+
+def _sk_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _doc_tokens(spark, sf_dir)
+    sk = cms_sketch(toks, "tok", eps=0.001, delta=0.01)
+    import numpy as np
+
+    est = {t: int(e) for t, e in zip(_CMS_TOKENS, sk.point(np.array(_CMS_TOKENS, dtype=object)))}
+    exact = {
+        r.tok: r.n
+        for r in toks.filter(F.col("tok").isin(_CMS_TOKENS))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    rows = [
+        (
+            t,
+            int(exact.get(t, 0)),
+            bool(exact.get(t, 0) <= est[t] <= exact.get(t, 0) + sk.eps * sk.n_items),
+        )
+        for t in _CMS_TOKENS
+    ]
+    return spark.createDataFrame(rows, "tok string, n_exact long, cms_ok boolean")
+
+
+def _sk_quantile_query(build, value_col, table, bound):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet")).select(value_col)
+        sk = build(df, value_col)
+        n = df.count()
+        conds = [
+            (F.count(F.when(F.col(value_col) <= float(sk.quantile(qq)), 1)) / n).alias(f"r{i}")
+            for i, qq in enumerate(_TD_QS)
+        ]
+        [ranks] = df.agg(*conds).collect()
+        rows = [
+            (float(qq), bool(abs(ranks[i] - qq) <= bound)) for i, qq in enumerate(_TD_QS)
+        ]
+        return spark.createDataFrame(rows, "q double, rank_ok boolean")
+
+    return q
 
 
 def _index(spark: SparkSession, sf_dir: str, flavor: str) -> BloomIndex:
@@ -314,6 +392,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": lambda spark, sf: ivf_topk(
             _embs(spark, sf), _embs(spark, sf).filter(F.col("vec_id") < 5), k=10
         ),
+        # --- mergeable sketch family (HLL / CMS / t-digest / KLL) ---
+        "sk_hll_distinct": _sk_hll_distinct,
+        "sk_cms_counts": _sk_cms_counts,
+        "sk_tdigest_q": _sk_quantile_query(td_sketch, "l_extendedprice", "lineitem", 0.01),
+        "sk_kll_q": _sk_quantile_query(kll_sketch, "value", "events", 0.015),
         # --- text analysis family ---
         "txt_stats": lambda spark, sf: text_stats(_docs(spark, sf), "text"),
         # --- multimodal family (deterministic FAKE1 codec; real binary
@@ -471,7 +554,7 @@ d AS (
   SELECT vec_id, v FROM base
   UNION ALL
   SELECT vec_id + 1000000 AS vec_id,
-         list_concat([v[1] + 0.5], v[2:]) AS v
+         list_concat([v[1] + 0.02], v[2:]) AS v
   FROM base WHERE vec_id % 10 = 0
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -578,6 +661,32 @@ def oracle_sql() -> dict[str, str]:
         "dd_exact": (
             "SELECT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint, "
             "min(doc_id) AS rep_id, count(*) AS dup_count FROM documents GROUP BY 1"
+        ),
+        # sketch-family bound checks: oracle recomputes the EXACT answer and
+        # asserts TRUE; the Spark side's booleans ride the sketch estimates,
+        # so a bound violation hash-mismatches
+        "sk_hll_distinct": (
+            "SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS n_exact, "
+            "TRUE AS hll_ok FROM ("
+            "  SELECT lang, unnest(list_filter(string_split_regex(lower(text), "
+            "'\\s+'), t -> t <> '')) AS tok FROM documents) GROUP BY lang"
+        ),
+        "sk_cms_counts": (
+            "WITH toks AS (SELECT unnest(list_filter(string_split_regex("
+            "lower(text), '\\s+'), t -> t <> '')) AS tok FROM documents), "
+            "wanted(tok) AS (VALUES ('stream'), ('query'), ('vector'), "
+            "('filter'), ('zz_absent_token')) "
+            "SELECT w.tok, CAST(coalesce(n, 0) AS BIGINT) AS n_exact, "
+            "TRUE AS cms_ok FROM wanted w LEFT JOIN "
+            "(SELECT tok, count(*) AS n FROM toks GROUP BY tok) c ON w.tok = c.tok"
+        ),
+        "sk_tdigest_q": (
+            "SELECT CAST(q AS DOUBLE) AS q, TRUE AS rank_ok FROM (VALUES "
+            "(0.05), (0.25), (0.5), (0.75), (0.95)) t(q)"
+        ),
+        "sk_kll_q": (
+            "SELECT CAST(q AS DOUBLE) AS q, TRUE AS rank_ok FROM (VALUES "
+            "(0.05), (0.25), (0.5), (0.75), (0.95)) t(q)"
         ),
         "dd_jaccard": _JACCARD_ORACLE,
         # deterministic LSH with these (seeds, bands) has recall 1 on the

@@ -248,6 +248,75 @@ def main() -> None:
         extras["ivf_recall"] = round(len(ivf & bf) / len(bf), 4) if bf else None
         timed("txt_stats", lambda: text_stats(docs, "text").count())
 
+        # LSH near-dup pair join: candidate funnel vs the N^2/2 crossJoin
+        # it replaced (VERDICT r01 item 1) — planted twins, recall vs exact
+        def neardup():
+            from bloomsearch_spark.functions.similarity import (
+                embedding_neardup_pairs,
+                neardup_candidates,
+            )
+
+            base = embs.select(
+                "vec_id",
+                F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+            )
+            dup = base.filter(F.col("vec_id") % 10 == 0).select(
+                (F.col("vec_id") + 1_000_000).alias("vec_id"),
+                F.concat(
+                    F.array(F.element_at("embedding", 1) + F.lit(0.02)),
+                    F.slice("embedding", 2, F.size("embedding") - 1),
+                ).alias("embedding"),
+            )
+            aug = base.unionByName(dup)
+            n = aug.count()
+            pairs = {
+                (r.id_a, r.id_b) for r in embedding_neardup_pairs(aug, 0.9).collect()
+            }
+            cand = neardup_candidates(aug).count()
+            extras["neardup_candidates"] = cand
+            extras["neardup_vs_n2_ratio"] = round(cand / (n * (n - 1) / 2), 6)
+            # ground truth is analytic: organic pair sims top out ~0.6, so
+            # the >=0.9 set is exactly the planted twins
+            planted = {
+                (r.vec_id, r.vec_id + 1_000_000)
+                for r in base.filter(F.col("vec_id") % 10 == 0).select("vec_id").collect()
+            }
+            extras["neardup_recall"] = (
+                round(len(pairs & planted) / len(planted), 4) if planted else None
+            )
+            return len(pairs)
+
+        timed("sim_neardup_lsh", neardup)
+
+        # ---- 4. mergeable sketches (HLL / CMS / t-digest / KLL) ------------
+        from bloomsearch_spark.sketches.countmin import cms_sketch
+        from bloomsearch_spark.sketches.hll import approx_distinct
+        from bloomsearch_spark.sketches.kll import kll_sketch
+        from bloomsearch_spark.sketches.tdigest import td_sketch
+
+        toks = docs.select(
+            "lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+        ).filter(F.col("tok") != "")
+
+        def hll_bench():
+            est = {r.lang: r.estimate for r in approx_distinct(toks, "tok", ("lang",)).collect()}
+            exact = {
+                r.lang: r.n
+                for r in toks.groupBy("lang").agg(F.countDistinct("tok").alias("n")).collect()
+            }
+            errs = [abs(est[k] - v) / v for k, v in exact.items() if v]
+            extras["hll_max_rel_err"] = round(max(errs), 5)
+            return len(est)
+
+        timed("sk_hll", hll_bench)
+        timed("sk_cms", lambda: cms_sketch(toks, "tok", eps=0.001, delta=0.01).n_items)
+
+        li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).select(
+            "l_extendedprice"
+        )
+        timed("sk_tdigest", lambda: td_sketch(li, "l_extendedprice").quantile(0.5))
+        timed("sk_kll", lambda: kll_sketch(li, "l_extendedprice").quantile(0.5))
+
         total = round(sum(timings.values()), 4)
         print(
             json.dumps(

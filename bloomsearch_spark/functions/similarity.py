@@ -261,6 +261,24 @@ def neardup_candidates(
     (table_id, bucket) keys and fans out per bucket, so candidates grow
     ~O(N * bucket_size * tables) instead of N²/2.  ``dim``/``n_hint`` skip
     the plan-time first()/count() probes when the caller knows them."""
+    return _neardup_raw_candidates(
+        df, id_col, vec_col, n_planes, n_tables, seed, dim, n_hint
+    ).dropDuplicates(["id_a", "id_b"])
+
+
+def _neardup_raw_candidates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int | None = None,
+    n_tables: int = 32,
+    seed: int = 42,
+    dim: int | None = None,
+    n_hint: int | None = None,
+) -> DataFrame:
+    """Bucket-collision pairs WITHOUT cross-table dedup (a pair colliding
+    in k tables appears k times) — callers either dedup ids (tiny rows
+    after scoring) or count distinct."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     if n_planes is None:
@@ -293,7 +311,6 @@ def neardup_candidates(
             F.col("a.v").alias("va"),
             F.col("b.v").alias("vb"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -323,14 +340,18 @@ def embedding_neardup_pairs(
         b = df.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb"))
         cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     else:
-        cand = neardup_candidates(
+        # score RAW bucket collisions map-side, dedup AFTER the threshold
+        # filter: duplicate (multi-table) pairs re-score cheaply in codegen,
+        # while deduping first would shuffle both vectors per candidate —
+        # the dedup then touches only tiny surviving (id, id, sim) rows
+        cand = _neardup_raw_candidates(
             df, id_col, vec_col, n_planes, n_tables, seed, dim, n_hint
         )
-    return (
-        cand.select(
-            "id_a",
-            "id_b",
-            F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("sim"),
-        )
-        .filter(F.col("sim") >= threshold)
-    )
+    scored = cand.select(
+        "id_a",
+        "id_b",
+        F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("sim"),
+    ).filter(F.col("sim") >= threshold)
+    if brute_force:
+        return scored
+    return scored.dropDuplicates(["id_a", "id_b"])

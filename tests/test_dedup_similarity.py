@@ -121,7 +121,7 @@ def embs(spark):
 
 
 def test_neardup_lsh_recall_and_candidates(spark, embs):
-    """Planted near-dup twins (+0.5 on one component, cosine ~0.999): the
+    """Planted near-dup twins (+0.02 on one component, cosine ~0.9998): the
     LSH-bucketed default must find every one (multi-table miss prob ~1e-15)
     with candidate pairs far below N^2/2 (VERDICT r01 item 1)."""
     base = embs.select(
@@ -130,7 +130,7 @@ def test_neardup_lsh_recall_and_candidates(spark, embs):
     dup = base.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.concat(
-            F.array(F.element_at("embedding", 1) + F.lit(0.5)),
+            F.array(F.element_at("embedding", 1) + F.lit(0.02)),
             F.slice("embedding", 2, F.size("embedding") - 1),
         ).alias("embedding"),
     )
