@@ -106,6 +106,37 @@ def worker(cores: int, input_dir: str, root: str) -> None:
     spark.stop()
 
 
+def _memcpy_worker(q, mb: int, reps: int) -> None:
+    import numpy as _np
+
+    src = _np.ones(mb * 1024 * 1024 // 8, dtype=_np.float64)
+    dst = _np.empty_like(src)
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _np.copyto(dst, src)
+        dt = time.perf_counter() - t0
+        best = max(best, (mb / 1024) / dt)
+    q.put(best)
+
+
+def _memcpy_control(procs: int, mb: int = 256, reps: int = 3) -> float:
+    """Aggregate copy bandwidth (GB/s) of ``procs`` concurrent numpy
+    memcpys — the same-minute hardware control for the scaling numbers
+    (if raw memcpy does not scale, no data-dense workload can)."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    ps = [ctx.Process(target=_memcpy_worker, args=(q, mb, reps)) for _ in range(procs)]
+    for p in ps:
+        p.start()
+    vals = [q.get() for _ in ps]
+    for p in ps:
+        p.join()
+    return round(sum(vals), 2)
+
+
 def _run_worker(cores: int, input_dir: str, root: str) -> dict:
     out = subprocess.run(
         [
@@ -148,7 +179,12 @@ def orchestrate(pairs: list[tuple[int, int]]) -> None:
 
     try:
         results = {}
+        controls = {}
         for lo, hi in pairs:
+            # same-minute hardware control: aggregate memcpy bandwidth at
+            # both parallelism levels, bracketing the measured pair
+            controls[f"memcpy_gbps_{lo}p"] = _memcpy_control(lo)
+            controls[f"memcpy_gbps_{hi}p"] = _memcpy_control(hi)
             runs: dict[int, list[dict]] = {lo: [], hi: []}
             for _ in range(REPS):  # interleaved to cancel host drift
                 for cores in (lo, hi):
@@ -189,6 +225,7 @@ def orchestrate(pairs: list[tuple[int, int]]) -> None:
                     "files": runs[hi][0]["files"],
                     "reps": REPS,
                     "pairs": results,
+                    "controls": controls,
                 }
             )
         )
@@ -200,11 +237,18 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker", action="store_true")
     ap.add_argument("--wide", action="store_true", help="also measure 8->32")
+    ap.add_argument(
+        "--pairs", help="explicit N:4N pairs, e.g. '2:8,8:32' (overrides --wide)"
+    )
     ap.add_argument("--cores", type=int)
     ap.add_argument("--input")
     ap.add_argument("--root")
     a = ap.parse_args()
     if a.worker:
         worker(a.cores, a.input, a.root)
+    elif a.pairs:
+        orchestrate(
+            [tuple(int(x) for x in p.split(":")) for p in a.pairs.split(",")]
+        )
     else:
         orchestrate([(1, 4), (2, 8), (8, 32)] if a.wide else [(1, 4)])
