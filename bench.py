@@ -318,6 +318,18 @@ def main() -> None:
         timed("sk_kll", lambda: kll_sketch(li, "l_extendedprice").quantile(0.5))
 
         total = round(sum(timings.values()), 4)
+        # like-for-like comparability across rounds: the round-1 suite was
+        # these 17 stages; round 2 added 5 more (sketches + neardup funnel),
+        # so the raw total is not a regression signal by itself
+        _R01_STAGES = (
+            "build_docs", "bs_token", "bs_token_warm", "bs_field_token",
+            "bs_and", "bs_or", "bs_miss", "build_code", "code_needle",
+            "code_miss", "prune_funnel", "dd_exact", "dd_minhash",
+            "sim_topk", "sim_lsh_topk", "sim_ivf_topk", "txt_stats",
+        )
+        extras["suite_wall_r01_stages"] = round(
+            sum(timings[s] for s in _R01_STAGES if s in timings), 4
+        )
         print(
             json.dumps(
                 {

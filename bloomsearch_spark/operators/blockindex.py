@@ -175,15 +175,24 @@ class BlockAccumulator:
         )
 
 
-def build_block_entry_arrow(key: tuple, tbl: pa.Table, cfg: IndexConfig) -> dict:
+def build_block_entry_arrow(
+    key: tuple, tbl: pa.Table, cfg: IndexConfig, file_sets: list | None = None
+) -> dict:
     """Arrow-native twin of ``build_block_entry``: one block table in, one
     staging-row dict out (zero pandas, zero per-row Python objects on the
     fixed-schema path; the schemaless JSON path necessarily walks each
-    document)."""
+    document).
+
+    ``file_sets``: when the CALLER owns the file-level bitsets (the map
+    build's per-task running file accumulator), tokens are inserted
+    directly into them and the returned entry carries NO file-bloom bytes —
+    file-sized partials (~MBs each) then never serialize per block."""
     file_id, block_id, partition_id = key
     bp, fp = cfg.block_params, cfg.file_params
     block_sets = [bloom.new_bitset(bp) for _ in range(3)]
-    file_sets = [bloom.new_bitset(fp) for _ in range(3)]
+    caller_owns_file = file_sets is not None
+    if file_sets is None:
+        file_sets = [bloom.new_bitset(fp) for _ in range(3)]
 
     if cfg.json_col is not None:
         pdf = tbl.select([cfg.json_col]).to_pandas()
@@ -195,7 +204,8 @@ def build_block_entry_arrow(key: tuple, tbl: pa.Table, cfg: IndexConfig) -> dict
                 [block_sets[i], file_sets[i]], entries, [bp, fp]
             )
         return _entry_dict(
-            key, len(tbl), n_tokens, mn_map, mx_map, cfg, block_sets, file_sets
+            key, len(tbl), n_tokens, mn_map, mx_map, cfg, block_sets,
+            None if caller_owns_file else file_sets,
         )
 
     fields, tokens, pairs = _index_entries_arrow(tbl, cfg)
@@ -206,7 +216,8 @@ def build_block_entry_arrow(key: tuple, tbl: pa.Table, cfg: IndexConfig) -> dict
         )
     mn_map, mx_map = _minmax_maps_arrow(tbl, cfg)
     return _entry_dict(
-        key, len(tbl), n_tokens, mn_map, mx_map, cfg, block_sets, file_sets
+        key, len(tbl), n_tokens, mn_map, mx_map, cfg, block_sets,
+        None if caller_owns_file else file_sets,
     )
 
 
@@ -218,6 +229,7 @@ def _entry_dict(key, n_rows, n_tokens, mn_map, mx_map, cfg, block_sets, file_set
         "partition_id": partition_id,
         "row_count": n_rows,
         "token_count": n_tokens,
+        "block_count": 1,
         "minmax_min": mn_map,
         "minmax_max": mx_map,
         "expected_items": cfg.max_block_rows,
@@ -227,9 +239,9 @@ def _entry_dict(key, n_rows, n_tokens, mn_map, mx_map, cfg, block_sets, file_set
         "fieldtoken_bloom": block_sets[2].tobytes(),
         "file_expected_items": cfg.file_expected_items,
         "file_fpr": cfg.file_fpr,
-        "file_field_bloom": file_sets[0].tobytes(),
-        "file_token_bloom": file_sets[1].tobytes(),
-        "file_fieldtoken_bloom": file_sets[2].tobytes(),
+        "file_field_bloom": file_sets[0].tobytes() if file_sets else None,
+        "file_token_bloom": file_sets[1].tobytes() if file_sets else None,
+        "file_fieldtoken_bloom": file_sets[2].tobytes() if file_sets else None,
     }
 
 
@@ -292,6 +304,7 @@ def build_block_entry(
                 "partition_id": partition_id,
                 "row_count": len(pdf),
                 "token_count": n_tokens,
+                "block_count": 1,
                 "minmax_min": mn_map,
                 "minmax_max": mx_map,
                 "expected_items": cfg.max_block_rows,

@@ -57,10 +57,14 @@ from ..operators.blockindex import build_block_entry, rollup_file_entry
 from ..sources import manifest as mf
 from ..tokenizer import get_tokenizer, register_tokenizer
 
+# staging rows are BLOCK rows (block_id set) or, on the map path, completed
+# FILE rows (block_id null, file blooms + block_count set) — files never
+# span tasks there, so file rollup happens in-task and the ~MB-scale
+# file-bloom partials never serialize per block nor shuffle
 STAGING_SCHEMA = (
     "file_id string, block_id string, partition_id string, "
     "data_path string, "
-    "row_count long, token_count long, byte_size long, "
+    "row_count long, token_count long, byte_size long, block_count long, "
     "minmax_min map<string,long>, minmax_max map<string,long>, "
     "expected_items long, fpr double, "
     "field_bloom binary, token_bloom binary, fieldtoken_bloom binary, "
@@ -188,6 +192,7 @@ STAGING_PA_SCHEMA = pa.schema(
         ("row_count", pa.int64()),
         ("token_count", pa.int64()),
         ("byte_size", pa.int64()),
+        ("block_count", pa.int64()),
         ("minmax_min", pa.map_(pa.string(), pa.int64())),
         ("minmax_max", pa.map_(pa.string(), pa.int64())),
         ("expected_items", pa.int64()),
@@ -224,6 +229,8 @@ def _make_map_build_fn(cfg: IndexConfig, data_dir: str, build_tag: str):
     ckw = codec_kwargs(cfg)
     tok = get_tokenizer(cfg.tokenizer)  # ship the object (see _make_block_fn)
 
+    from .. import bloom
+
     def fn(batches):
         from pyspark import TaskContext
 
@@ -232,13 +239,60 @@ def _make_map_build_fn(cfg: IndexConfig, data_dir: str, build_tag: str):
         buffers: dict[str, list[pa.Table]] = {}
         counts: dict[str, int] = {}
         seqs: dict[str, int] = {}
+        # per-(pid) RUNNING file accumulator: file ids are task-local on
+        # this path (t{tid}-f{seq//bpf}), so the file-level rollup happens
+        # right here — completed file rows are emitted directly and the
+        # MB-scale file-bloom partials never leave the task (the r01 design
+        # serialized 3 file-sized partials PER BLOCK and shuffled them into
+        # a groupBy rollup: measured ~4 s of the 13 s 8-core build)
+        filestate: dict[str, dict] = {}
 
-        def flush(pid: str, tbl: pa.Table) -> pa.RecordBatch:
+        def finish_file(pid: str) -> pa.RecordBatch:
+            fs = filestate.pop(pid)
+            entry = {
+                "file_id": fs["file_id"],
+                "block_id": None,
+                "partition_id": pid,
+                "data_path": None,
+                "row_count": fs["rows"],
+                "token_count": fs["tokens"],
+                "byte_size": fs["bytes"],
+                "block_count": fs["blocks"],
+                "minmax_min": list(fs["mn"].items()),
+                "minmax_max": list(fs["mx"].items()),
+                "expected_items": None,
+                "fpr": None,
+                "field_bloom": None,
+                "token_bloom": None,
+                "fieldtoken_bloom": None,
+                "file_expected_items": cfg.file_expected_items,
+                "file_fpr": cfg.file_fpr,
+                "file_field_bloom": fs["sets"][0].tobytes(),
+                "file_token_bloom": fs["sets"][1].tobytes(),
+                "file_fieldtoken_bloom": fs["sets"][2].tobytes(),
+            }
+            return pa.RecordBatch.from_pylist([entry], schema=STAGING_PA_SCHEMA)
+
+        def flush(pid: str, tbl: pa.Table) -> list[pa.RecordBatch]:
+            out: list[pa.RecordBatch] = []
             seq = seqs.get(pid, 0)
             seqs[pid] = seq + 1
             file_id = f"{_slug(pid)}-{build_tag}-t{tid}-f{seq // cfg.blocks_per_file}"
             block_id = f"{file_id}-b{seq}"
-            entry = build_block_entry_arrow((file_id, block_id, pid), tbl, cfg)
+            fs = filestate.get(pid)
+            if fs is not None and fs["file_id"] != file_id:
+                out.append(finish_file(pid))
+                fs = None
+            if fs is None:
+                fs = filestate[pid] = {
+                    "file_id": file_id,
+                    "sets": [bloom.new_bitset(cfg.file_params) for _ in range(3)],
+                    "rows": 0, "tokens": 0, "bytes": 0, "blocks": 0,
+                    "mn": {}, "mx": {},
+                }
+            entry = build_block_entry_arrow(
+                (file_id, block_id, pid), tbl, cfg, file_sets=fs["sets"]
+            )
             rel = os.path.join(f"file_id={file_id}", f"block_id={block_id}")
             entry["data_path"] = rel
             d = os.path.join(data_dir, rel)
@@ -248,9 +302,18 @@ def _make_map_build_fn(cfg: IndexConfig, data_dir: str, build_tag: str):
             pq.write_table(tbl, tmp, **ckw)
             os.replace(tmp, final)
             entry["byte_size"] = os.path.getsize(final)
+            fs["rows"] += entry["row_count"]
+            fs["tokens"] += entry["token_count"]
+            fs["bytes"] += entry["byte_size"]
+            fs["blocks"] += 1
+            for f2, v in entry["minmax_min"].items():
+                fs["mn"][f2] = min(fs["mn"].get(f2, v), v)
+            for f2, v in entry["minmax_max"].items():
+                fs["mx"][f2] = max(fs["mx"].get(f2, v), v)
             entry["minmax_min"] = list(entry["minmax_min"].items())
             entry["minmax_max"] = list(entry["minmax_max"].items())
-            return pa.RecordBatch.from_pylist([entry], schema=STAGING_PA_SCHEMA)
+            out.append(pa.RecordBatch.from_pylist([entry], schema=STAGING_PA_SCHEMA))
+            return out
 
         nbytes: dict[str, int] = {}
         for batch in batches:
@@ -276,10 +339,12 @@ def _make_map_build_fn(cfg: IndexConfig, data_dir: str, build_tag: str):
                     buffers[pid] = [rest] if len(rest) else []
                     counts[pid] = len(rest)
                     nbytes[pid] = rest.nbytes if len(rest) else 0
-                    yield flush(pid, block)
+                    yield from flush(pid, block)
         for pid, parts in buffers.items():  # final partial blocks (Stop/flush)
             if counts.get(pid, 0):
-                yield flush(pid, pa.concat_tables(parts).combine_chunks())
+                yield from flush(pid, pa.concat_tables(parts).combine_chunks())
+        for pid in list(filestate):  # close every open file
+            yield finish_file(pid)
 
     return fn
 
@@ -411,13 +476,28 @@ def build_index(
 
     st = spark.read.parquet(staging)
 
-    new_blocks = st.select(
+    new_blocks = st.filter(F.col("block_id").isNotNull()).select(
         "file_id", "block_id", "partition_id", "data_path", "row_count", "token_count",
         "byte_size", "minmax_min", "minmax_max", "expected_items", "fpr",
         "field_bloom", "token_bloom", "fieldtoken_bloom",
     )
-    new_files = st.groupBy("file_id").applyInPandas(rollup_file_entry, mf.FILES_SCHEMA)
-    new_lineage = st.select(
+    if cfg.block_expr is None:
+        # map path: the tasks already emitted one completed file row per
+        # file (files are task-local) — a pure projection, no shuffle and
+        # no re-read of MB-scale file-bloom partials
+        new_files = st.filter(F.col("block_id").isNull()).select(
+            "file_id", "partition_id", "block_count", "row_count", "token_count",
+            "byte_size", "minmax_min", "minmax_max",
+            F.col("file_expected_items").alias("expected_items"),
+            F.col("file_fpr").alias("fpr"),
+            F.col("file_field_bloom").alias("field_bloom"),
+            F.col("file_token_bloom").alias("token_bloom"),
+            F.col("file_fieldtoken_bloom").alias("fieldtoken_bloom"),
+        )
+    else:
+        # clustered path: a file's blocks span tasks -> grouped OR-rollup
+        new_files = st.groupBy("file_id").applyInPandas(rollup_file_entry, mf.FILES_SCHEMA)
+    new_lineage = st.filter(F.col("block_id").isNotNull()).select(
         F.lit(build_id).alias("build_id"),
         "file_id", "block_id", "partition_id",
         F.lit(source_desc).alias("source_desc"),

@@ -22,6 +22,7 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+import pandas as pd  # module-level: pandas_udf type-hint resolution
 
 _C = 2.0 / 3.0
 
@@ -177,3 +178,23 @@ def kll_sketch(df, value_col: str, k: int = 200) -> "KLL":
     """One global KLL over a numeric column, returned to the driver."""
     [row] = kll_merged(kll_partials(df, value_col, (), k), ()).collect()
     return KLL.from_bytes(row.sketch)
+
+
+def kll_group_quantiles(df, value_col: str, key_cols, qs, k: int = 200):
+    """Per-group quantile estimates: (keys..., q double, value double)."""
+    from pyspark.sql import functions as F
+
+    qs = [float(q) for q in qs]
+    merged = kll_merged(kll_partials(df, value_col, key_cols, k), key_cols)
+
+    @F.pandas_udf("array<double>")
+    def extract(blobs: pd.Series) -> pd.Series:
+        return blobs.map(lambda b: [KLL.from_bytes(b).quantile(q) for q in qs])
+
+    out = merged.select(*key_cols, extract("sketch").alias("vals"))
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(q) for q in qs]).alias("q"), F.col("vals").alias("value")
+    )
+    return out.select(*key_cols, F.explode(pairs).alias("p")).select(
+        *key_cols, F.col("p.q").alias("q"), F.col("p.value").alias("value")
+    )

@@ -22,6 +22,7 @@ import math
 import struct
 
 import numpy as np
+import pandas as pd  # module-level: pandas_udf type-hint resolution
 
 _BUF = 4096
 
@@ -177,3 +178,27 @@ def td_sketch(df, value_col: str, delta: float = 200.0) -> "TDigest":
     (centroid list is ~delta entries)."""
     [row] = td_merged(td_partials(df, value_col, (), delta), ()).collect()
     return TDigest.from_bytes(row.sketch)
+
+
+def td_group_quantiles(df, value_col: str, key_cols, qs, delta: float = 200.0):
+    """Per-group quantile estimates: (keys..., q double, value double) —
+    one row per (group, q).  Sketches stay distributed until the final
+    manifest-sized merge; extraction is a tiny UDF over merged blobs."""
+    from pyspark.sql import functions as F
+
+    qs = [float(q) for q in qs]
+    merged = td_merged(td_partials(df, value_col, key_cols, delta), key_cols)
+
+    @F.pandas_udf("array<double>")
+    def extract(blobs: pd.Series) -> pd.Series:
+        return blobs.map(
+            lambda b: [TDigest.from_bytes(b).quantile(q) for q in qs]
+        )
+
+    out = merged.select(*key_cols, extract("sketch").alias("vals"))
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(q) for q in qs]).alias("q"), F.col("vals").alias("value")
+    )
+    return out.select(*key_cols, F.explode(pairs).alias("p")).select(
+        *key_cols, F.col("p.q").alias("q"), F.col("p.value").alias("value")
+    )

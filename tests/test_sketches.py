@@ -232,3 +232,25 @@ def test_spark_quantiles_lineitem(spark, build):
         v = sk.quantile(q)
         rank = li.filter(F.col("l_extendedprice") <= v).count() / n
         assert abs(rank - q) <= 0.02, (q, v, rank)
+
+
+def test_spark_group_quantiles(spark):
+    """Per-group quantiles: each (group, q) estimate's exact rank within the
+    sketch bound, for both t-digest and KLL."""
+    from bloomsearch_spark.sketches.kll import kll_group_quantiles
+    from bloomsearch_spark.sketches.tdigest import td_group_quantiles
+
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    pdf = li.toPandas()
+    qs = (0.1, 0.5, 0.9)
+    for fn, bound in ((td_group_quantiles, 0.01), (kll_group_quantiles, 0.015)):
+        got = fn(li, "l_extendedprice", ("l_returnflag",), qs).collect()
+        assert len(got) == pdf["l_returnflag"].nunique() * len(qs)
+        for r in got:
+            vals = np.sort(
+                pdf.loc[pdf["l_returnflag"] == r.l_returnflag, "l_extendedprice"].values
+            )
+            rank = np.searchsorted(vals, r.value) / len(vals)
+            assert abs(rank - r.q) <= max(bound, 3.0 / len(vals)), r
