@@ -182,6 +182,16 @@ def probe_many(
     return out
 
 
+def leaf_positions(key: str | list[str], params: BloomParams) -> np.ndarray:
+    """(t, k) bit positions for query key(s) under ``params`` — computable
+    at PLAN time on the driver, which lets the query probe compile to pure
+    Catalyst byte tests (no bloom bytes ever reach Python)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    m, k = params.mk
+    h1, h2 = _base_hashes(np.asarray(keys, dtype=object))
+    return _positions(h1, h2, m, k)
+
+
 def merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """OR-merge two equal-sized bitsets (M4). Errors on size mismatch,
     mirroring bloom_tree_engine.go:1412-1420."""

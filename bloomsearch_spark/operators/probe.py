@@ -77,14 +77,63 @@ def bloom_probe_udf(expr: BloomExpr):
     return probe
 
 
-def probe_filter(expr: BloomExpr | None) -> Column:
+_FILTER_NAME = {"field": "field_bloom", "token": "token_bloom", "fieldtoken": "fieldtoken_bloom"}
+
+
+def _jvm_leaf(col_name: str, key, params: bloom.BloomParams) -> Column:
+    """Pure-Catalyst bitset probe for one leaf: the query key's k bit
+    positions are plan-time constants, so membership is an AND of k
+    single-byte tests — ``conv(hex(substring(bloom, off, 1)), 16, 10) &
+    mask != 0`` — all inside whole-stage codegen.  A null/empty bitset
+    cannot disqualify -> True (nil-filter semantics,
+    bloom_tree_engine.go:885-907)."""
+    positions = bloom.leaf_positions(key, params).reshape(-1)
+    test = F.lit(True)
+    for pos in positions.tolist():
+        byte_off = int(pos) // 8
+        mask = 1 << (int(pos) % 8)
+        byte_int = F.conv(
+            F.hex(F.expr(f"substring({col_name}, {byte_off + 1}, 1)")), 16, 10
+        ).cast("int")
+        test = test & (byte_int.bitwiseAND(F.lit(mask)) != 0)
+    c = F.col(col_name)
+    return F.when(c.isNull() | (F.length(c) == 0), F.lit(True)).otherwise(test)
+
+
+def _jvm_tree(expr: BloomExpr, params: bloom.BloomParams) -> Column:
+    if expr.kind == "AND":
+        out = F.lit(True)
+        for ch in expr.children:
+            out = out & _jvm_tree(ch, params)
+        return out
+    if expr.kind == "OR":
+        out = F.lit(False)
+        for ch in expr.children:
+            out = out | _jvm_tree(ch, params)
+        return out
+    which, key = expr.probe_key()
+    return _jvm_leaf(_FILTER_NAME[which], key, params)
+
+
+def probe_filter(expr: BloomExpr | None, params: bloom.BloomParams | None = None) -> Column:
     """Filter Column for a manifest DataFrame (blocks or files level).
 
     ``None`` (no bloom query) prunes nothing — bloom only disqualifies
     (bloom_tree_engine.go:830-835).
+
+    ``params``: when the caller knows the manifest is PARAM-HOMOGENEOUS
+    (one (expected_items, fpr) across all rows — the common case;
+    ``BloomIndex.uniform_params`` checks and caches it), the probe compiles
+    to pure Catalyst byte tests: the bloom bytes never leave the JVM, where
+    the generic pandas-UDF path ships every bitset through Arrow per query
+    (measured 0.75 s for 192 file rows x 350 KB vs ~job-overhead-only for
+    the JVM path).  Mixed-param manifests fall back to the UDF, which
+    groups rows by (m, k) at runtime.
     """
     if expr is None:
         return F.lit(True)
+    if params is not None:
+        return _jvm_tree(expr, params)
     udf = bloom_probe_udf(expr)
     return udf(
         F.col("expected_items"),

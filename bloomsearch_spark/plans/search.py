@@ -160,7 +160,10 @@ def prune_blocks(
         blocks_f = blocks.filter(pre)
 
     if prune_tree is not None:
-        fpred = probe_filter(prune_tree)
+        # param-homogeneous manifests (the common case) compile the bloom
+        # probe to pure-JVM byte tests — no bitset bytes reach Python
+        fpred = probe_filter(prune_tree, index.uniform_params("files"))
+        bparams = index.uniform_params("blocks")
         if stats is not None:
             obs_f = Observation()
             files_f = (
@@ -180,7 +183,7 @@ def prune_blocks(
             files_f = files.filter(fpred).select("file_id")
         # file manifest << block manifest: broadcast the survivors
         blocks_f = blocks_f.join(F.broadcast(files_f), "file_id", "left_semi")
-        blocks_f = blocks_f.filter(probe_filter(prune_tree))
+        blocks_f = blocks_f.filter(probe_filter(prune_tree, bparams))
     elif stats is not None:
         # match-all: the files manifest is not part of the plan; one cheap
         # count over the (cached, manifest-sized) files df
@@ -226,6 +229,15 @@ def scan_blocks(
         )
         return data.join(F.broadcast(keys_df), ["data_path"], "left_semi")
     if not keys:
+        # empty survivor set: derive the scan schema from ONE block dir —
+        # listing the whole data root for a limit(0) costs seconds at 10^3+
+        # blocks (measured 3.2 s for a miss query over 960 blocks)
+        some = index.blocks().select("data_path").limit(1).collect()
+        if some:
+            one = index.block_paths([some[0].data_path])[0]
+            return (
+                spark.read.option("basePath", index.data_dir).parquet(one).limit(0)
+            )
         data = spark.read.option("basePath", index.data_dir).parquet(index.data_dir)
         return data.limit(0)
     paths = index.block_paths([r.data_path for r in keys])

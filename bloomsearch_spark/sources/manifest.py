@@ -145,6 +145,32 @@ class BloomIndex:
                 self._files_df = df
         return df
 
+    def uniform_params(self, level: str) -> "IndexConfig | None":
+        """The single (expected_items, fpr) of this level's manifest, or
+        None when rows mix params (heterogeneous appends).  Cached per
+        handle (a version is immutable); homogeneous params let the query
+        probe compile to pure-JVM byte tests instead of a pandas UDF."""
+        cache = getattr(self, "_uniform", None)
+        if cache is None:
+            cache = self._uniform = {}
+        if level not in cache:
+            df = self.files() if level == "files" else self.blocks()
+            rows = (
+                df.select("expected_items", "fpr")
+                .filter("expected_items IS NOT NULL")
+                .distinct()
+                .limit(2)
+                .collect()
+            )
+            from ..bloom import BloomParams
+
+            cache[level] = (
+                BloomParams(int(rows[0].expected_items), float(rows[0].fpr))
+                if len(rows) == 1
+                else None
+            )
+        return cache[level]
+
     def unpersist(self) -> None:
         """Release cached manifest memory (e.g. before dropping the handle)."""
         for attr in ("_blocks_df", "_files_df"):

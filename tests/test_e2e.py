@@ -370,3 +370,27 @@ def test_python_only_tokenizer_fallback(spark, tmp_path_factory):
     }
     assert got == {0, 1}  # "beta gamma" is ONE csv token
     assert search(spark, idx, new_query().token("beta").build()).count() == 0
+
+
+def test_jvm_probe_equals_udf_probe(spark, index):
+    """The plan-time-compiled Catalyst bloom probe (param-homogeneous fast
+    path) must select exactly the same manifest rows as the generic pandas
+    UDF probe, for every leaf kind and tree shape."""
+    from bloomsearch_spark.operators.probe import probe_filter
+
+    queries = [
+        new_query().token("needle_alpha").build(),
+        new_query().field("lang").build(),
+        new_query().field_token("lang", "go").build(),
+        new_query().match(And(Token("needle_alpha"), FieldToken("lang", "py"))).build(),
+        new_query().match(Or(Token("needle_alpha"), Token("needle_beta"))).build(),
+        new_query().token("zz_absent").build(),
+    ]
+    blocks = index.blocks()
+    params = index.uniform_params("blocks")
+    assert params is not None
+    for q in queries:
+        tree = q.prune_bloom()
+        jvm = {r.block_id for r in blocks.filter(probe_filter(tree, params)).select("block_id").collect()}
+        udf = {r.block_id for r in blocks.filter(probe_filter(tree)).select("block_id").collect()}
+        assert jvm == udf, q
