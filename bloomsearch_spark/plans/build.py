@@ -525,6 +525,15 @@ def build_index(
         if not _stage_done(out):
             d.write.mode("overwrite").parquet(out)
 
+    # record bloom-param uniformity so queries can skip the probe job and
+    # compile the pure-JVM bloom probe without touching the manifest
+    up = {
+        "blocks": [cfg.max_block_rows, cfg.block_fpr],
+        "files": [cfg.file_expected_items, cfg.file_fpr],
+    }
+    if mode == "append" and mf.current_version(root) is not None:
+        prev_up = mf.BloomIndex.load(spark, root).meta().get("uniform_params") or {}
+        up = {lvl: (v if prev_up.get(lvl) == v else None) for lvl, v in up.items()}
     mf.write_meta(
         vdir,
         cfg,
@@ -532,6 +541,7 @@ def build_index(
             "build_id": build_id,
             "source_desc": source_desc,
             "source_columns": list(df.columns),
+            "uniform_params": up,
             **(meta_extra or {}),
         },
     )

@@ -198,6 +198,10 @@ def build_external_index(
             "source_desc": source_desc,
             "source_columns": list(df.columns),
             "external": True,
+            "uniform_params": {
+                "blocks": [cfg.max_block_rows, cfg.block_fpr],
+                "files": [cfg.file_expected_items, cfg.file_fpr],
+            },
         },
     )
     mf.commit_version(root, version)

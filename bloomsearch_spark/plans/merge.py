@@ -421,6 +421,10 @@ def _commit(
             "source_desc": f"{op} of {index.version}",
             "source_columns": meta.get("source_columns"),
             "parent_version": index.version,
+            # merges only combine equal-param blooms (M2/M3 gates), so the
+            # parent's uniformity carries over unchanged
+            "uniform_params": meta.get("uniform_params"),
+            **({"external": True} if meta.get("external") else {}),
         },
     )
     mf.commit_version(index.root, version)

@@ -154,6 +154,15 @@ class BloomIndex:
         if cache is None:
             cache = self._uniform = {}
         if level not in cache:
+            from ..bloom import BloomParams as _BP
+
+            # builds/merges record uniformity in meta.json (zero jobs);
+            # absent/None (old manifests, heterogeneous appends) -> probe
+            # the manifest with one tiny distinct job
+            known = (self.meta().get("uniform_params") or {}).get(level)
+            if known:
+                cache[level] = _BP(int(known[0]), float(known[1]))
+                return cache[level]
             df = self.files() if level == "files" else self.blocks()
             rows = (
                 df.select("expected_items", "fpr")

@@ -172,6 +172,9 @@ def test_merge_files_works_compact_refuses(spark, ext_index):
         assert _keys(search(spark, merged, QUERIES[0]())) == _keys(
             search(spark, ext_index, QUERIES[0]())
         )
+    # the merged version must STAY an external index (meta flag carries
+    # over — losing it would send the scan down the internal-path branch)
+    assert merged.meta().get("external", False) is True
     with pytest.raises(ValueError, match="external"):
         compact_blocks(spark, merged)
     # vacuum must never touch external source files
