@@ -1,0 +1,62 @@
+"""Custom stateful streaming operator: per-key APPROX DISTINCT via an HLL
+sketch held in ``applyInPandasWithState`` state.
+
+The brief's "custom stateful operators" shape: Spark has no built-in
+running-distinct-count with bounded state (``approx_count_distinct`` only
+works inside complete/windowed aggregations), but a mergeable sketch makes
+it a few lines — group state = one serialized HLL per key (2^p bytes,
+CONSTANT regardless of stream length), each micro-batch folds its values
+into the registers with the same numpy kernel the batch pipeline uses and
+emits the refreshed estimate.
+
+Because the state IS the sketch, the operator inherits the sketch algebra:
+state restored from a checkpoint and updated with replayed data converges
+to the identical registers (max-merge idempotence), and the streaming
+estimate is BITWISE equal to a batch ``HLL`` over the same values (tested).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+from ..sketches.hll import HLL
+
+
+def streaming_approx_distinct(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+    p: int = 12,
+) -> DataFrame:
+    """(key, estimate, n_seen) stream, refreshed every micro-batch.
+
+    ``stream_df`` must be a streaming DataFrame; use outputMode("update").
+    """
+    out_schema = f"{key_col} string, estimate double, n_seen long"
+    state_schema = "sketch binary, n_seen long"
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            blob, n_seen = state.get
+            h = HLL.from_bytes(bytes(blob))
+        else:
+            h, n_seen = HLL(p), 0
+        for pdf in pdfs:
+            vals = pdf[value_col].dropna().to_numpy()
+            if len(vals):
+                h.add_values(vals.astype(object))
+                n_seen += len(vals)
+        state.update((h.to_bytes(), n_seen))
+        yield pd.DataFrame(
+            [{key_col: key[0], "estimate": h.estimate(), "n_seen": n_seen}]
+        )
+
+    return (
+        stream_df.select(key_col, value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )

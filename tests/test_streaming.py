@@ -87,3 +87,56 @@ def test_replayed_batch_is_noop(spark, tmp_root):
     # CURRENT swap, so a crash can never commit rows without it)
     assert idx2.meta()["last_stream_batch"] == 1
     assert idx.meta()["last_stream_batch"] == 0
+
+
+def test_streaming_approx_distinct_stateful(spark, tmp_path):
+    """applyInPandasWithState custom operator: per-key running distinct via
+    HLL state.  The final streaming estimate must equal a batch HLL over
+    the same values EXACTLY (same registers, max-merge idempotence) and sit
+    within the published bound of the true distinct count."""
+    import numpy as np
+
+    from bloomsearch_spark.sketches.hll import HLL
+    from bloomsearch_spark.streaming.stateful import streaming_approx_distinct
+
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet").select(
+        F.col("event_type").cast("string").alias("k"),
+        F.col("user_id").cast("string").alias("v"),
+    )
+    src = str(tmp_path / "src")
+    # several files -> several micro-batches (maxFilesPerTrigger=1)
+    events.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("k string, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_approx_distinct(stream, "k", "v", p=12)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sad")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = spark.sql(
+        "SELECT k, estimate, n_seen FROM sad ORDER BY n_seen"
+    ).toPandas()
+    # last emission per key = final state
+    final = res.groupby("k").last()
+
+    pdf = events.toPandas()
+    for k, grp in pdf.groupby("k"):
+        vals = grp["v"].dropna().to_numpy()
+        batch = HLL(12)
+        batch.add_values(vals.astype(object))
+        assert final.loc[k, "n_seen"] == len(vals)
+        # bitwise-identical accumulation -> identical estimate
+        assert final.loc[k, "estimate"] == batch.estimate()
+        exact = len(np.unique(vals))
+        assert abs(final.loc[k, "estimate"] - exact) <= 4 * batch.rse * exact
+    # multiple micro-batches actually happened (update mode re-emits keys)
+    assert len(res) > final.shape[0]
