@@ -173,9 +173,12 @@ def train_ivf_centroids(
     vec_col: str = "embedding",
 ) -> np.ndarray:
     """Deterministic coarse quantizer: init = the n_cells lowest-id vectors,
-    then Lloyd iterations computed distributively (assign via one matmul
-    UDF; new centroids via posexplode + per-(cell, dim) mean — manifest-
-    sized aggregation, never a driver-side pass over the corpus)."""
+    then Lloyd iterations computed distributively.  Assignment is one
+    matmul UDF; per-cell sums are computed as PARTIAL (cell, sum_vec,
+    count) rows per task via mapInPandas (map-side combine: one numpy
+    reduction per batch, n_cells rows shuffled per task instead of a
+    dim-fold posexplode of the whole corpus) and reduced on the driver —
+    n_cells x dim doubles, never a corpus-sized pass."""
     init = (
         corpus.orderBy(id_col)
         .limit(n_cells)
@@ -183,20 +186,43 @@ def train_ivf_centroids(
         .collect()
     )
     centroids = np.stack([np.asarray(r.v, dtype=np.float64) for r in init])
+    dim = centroids.shape[1]
     for _ in range(iters):
-        assign = corpus.select(
-            _as_double(F.col(vec_col)).alias("v"),
-            F.element_at(_nearest_cells_udf(centroids, 1)(F.col(vec_col)), 1).alias("cell"),
-        )
-        means = (
-            assign.select("cell", F.posexplode("v").alias("dim", "x"))
-            .groupBy("cell", "dim")
-            .agg(F.avg("x").alias("m"))
+        cell_of = _nearest_cells_udf(centroids, 1)
+
+        def partial_sums(pdfs):
+            sums = np.zeros((n_cells, dim), dtype=np.float64)
+            counts = np.zeros(n_cells, dtype=np.int64)
+            for pdf in pdfs:
+                cells = np.fromiter((c[0] for c in pdf["cell"]), dtype=np.int64, count=len(pdf))
+                mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+                np.add.at(sums, cells, mat)
+                np.add.at(counts, cells, 1)
+            hit = np.flatnonzero(counts)
+            yield pd.DataFrame(
+                {
+                    "cell": hit.astype(int),
+                    "s": [sums[c].tolist() for c in hit],
+                    "n": counts[hit],
+                }
+            )
+
+        parts = (
+            corpus.select(
+                _as_double(F.col(vec_col)).alias("v"),
+                cell_of(F.col(vec_col)).alias("cell"),
+            )
+            .mapInPandas(partial_sums, "cell int, s array<double>, n long")
             .collect()
         )
+        sums = np.zeros((n_cells, dim), dtype=np.float64)
+        counts = np.zeros(n_cells, dtype=np.int64)
+        for r in parts:
+            sums[r.cell] += np.asarray(r.s, dtype=np.float64)
+            counts[r.cell] += r.n
         nxt = centroids.copy()  # cells that lost all members keep old centroid
-        for r in means:
-            nxt[r.cell, r.dim] = r.m
+        nonzero = counts > 0
+        nxt[nonzero] = sums[nonzero] / counts[nonzero, None]
         centroids = nxt
     return centroids
 

@@ -520,10 +520,26 @@ def build_index(
     new_blocks = new_blocks.repartition("partition_id").sortWithinPartitions(
         "partition_id"
     )
-    for name, d in (("blocks", new_blocks), ("files", new_files), ("lineage", new_lineage)):
+    # the three manifest writes are independent manifest-sized jobs; submit
+    # them concurrently from driver threads so the post-staging fixed cost
+    # is max(job) instead of sum(jobs) — this is part of the build's
+    # NON-parallel term in the scaling fit (BENCH.md §2), so shrinking it
+    # raises N->4N efficiency directly
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write(arg):
+        name, d = arg
         out = os.path.join(vdir, f"{name}.parquet")
         if not _stage_done(out):
             d.write.mode("overwrite").parquet(out)
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        list(
+            ex.map(
+                _write,
+                (("blocks", new_blocks), ("files", new_files), ("lineage", new_lineage)),
+            )
+        )
 
     # record bloom-param uniformity so queries can skip the probe job and
     # compile the pure-JVM bloom probe without touching the manifest
