@@ -229,6 +229,18 @@ def sample_frames(
                 .astype(np.int64)
                 @ (1 << (8 * np.arange(4, dtype=np.int64)))
             )
+            # the header frame count is untrusted input: a truncated blob
+            # would otherwise make the offset gather silently read bytes
+            # from the NEXT row's blob (or IndexError at the buffer end)
+            need = 12 + n_frames * 16
+            bad = np.flatnonzero(blob_lens < need)
+            if len(bad):
+                i = int(bad[0])
+                raise ValueError(
+                    f"truncated FAKE1VID blob: header declares "
+                    f"{int(n_frames[i])} frames ({int(need[i])} bytes) but "
+                    f"blob is {int(blob_lens[i])} bytes"
+                )
             counts = (n_frames + every_n - 1) // every_n  # sampled per row
             total = int(counts.sum())
             if total == 0:

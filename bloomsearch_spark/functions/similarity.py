@@ -130,16 +130,24 @@ def lsh_topk(
 
     cb = with_buckets(corpus, "neighbor_id")
     qb = with_buckets(queries, "query_id")
-    cand = (
+    # score RAW bucket collisions map-side, dedup cross-table duplicates
+    # AFTER scoring: a .distinct() over (ids, vectors) would hash+shuffle
+    # two full embeddings per candidate, while re-scoring a duplicate is a
+    # cheap codegen dot product and the dedup then touches only tiny
+    # (query_id, neighbor_id, sim) rows — same plan as
+    # embedding_neardup_pairs (sim is deterministic per pair, so the
+    # surviving row is identical whichever collision produced it)
+    scored = (
         cb.join(F.broadcast(qb), ["table_id", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "query_id_v", "neighbor_id", "neighbor_id_v")
-        .distinct()
-    )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine_col(F.col("query_id_v"), F.col("neighbor_id_v")), 6).alias("sim"),
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_col(F.col("query_id_v"), F.col("neighbor_id_v")), 6
+            ).alias("sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (

@@ -52,7 +52,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..config import DEFAULT_BLOCK_ROWS, IndexConfig
+from ..config import IndexConfig
 from ..operators.blockindex import build_block_entry, rollup_file_entry
 from ..sources import manifest as mf
 from ..tokenizer import get_tokenizer, register_tokenizer
@@ -357,9 +357,15 @@ def _estimate_rows(spark: SparkSession, df: DataFrame) -> int:
     """Row-count estimate WITHOUT a Spark job: sum parquet footer
     ``num_rows`` over the plan's input files (footer reads are O(KB) each,
     driver-side).  >256 files: read a sample of footers and extrapolate by
-    byte size.  Non-parquet / in-memory sources fall back to a
-    parallelism-derived guess — only task sizing depends on this, never
-    correctness (blocks still flush at the row cap inside each task)."""
+    byte size.  Non-parquet / in-memory sources fall back to ``df.count()``
+    — one (cheap, source-sized) job, but DETERMINISTIC, so the physical
+    layout never depends on cluster size (scaling-rule requirement; a
+    parallelism-derived guess here would break it).  Caveat (documented):
+    footer counts are raw-file counts — filters/joins on ``df`` are not
+    reflected, so a selective plan oversizes ``want`` and produces smaller
+    blocks/files than configured.  Only layout granularity depends on this,
+    never correctness (blocks still flush at the row cap inside each task);
+    pre-materialize a heavily-filtered source if exact sizing matters."""
     try:
         files = df.inputFiles()
     except Exception:
@@ -384,9 +390,8 @@ def _estimate_rows(spark: SparkSession, df: DataFrame) -> int:
             return max(1, int(srows * (tbytes / max(1, sbytes))))
         except Exception:
             pass
-    # in-memory / non-local source: size for the session's parallelism
-    par = spark.sparkContext.defaultParallelism
-    return par * DEFAULT_BLOCK_ROWS
+    # in-memory / non-local source: deterministic exact count (see docstring)
+    return max(1, df.count())
 
 
 def build_index(
