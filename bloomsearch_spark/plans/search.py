@@ -62,58 +62,131 @@ class _keep_observations:
             self.spark.conf.set("spark.sql.adaptive.optimizer.excludedRules", self.prev)
 
 
+def _observed(obs, timeout: float = 15.0) -> dict | None:
+    """``Observation.get`` guarded by a timeout: PySpark's ``get`` BLOCKS
+    until the metrics fire, so if any optimizer path elides the
+    CollectMetrics node (or the triggering action never ran) a bare call
+    would hang forever instead of reaching the recompute fallback.  Runs
+    the get on a daemon thread; returns None on timeout/error."""
+    import threading
+
+    box: list = []
+
+    def pull():
+        try:
+            box.append(obs.get)
+        except Exception:
+            pass
+
+    t = threading.Thread(target=pull, daemon=True)
+    t.start()
+    t.join(timeout)
+    return box[0] if box else None
+
+
 @dataclass
 class QueryStats:
-    """Prune-funnel counters (the reference's BlockStats / BloomFilterSkipped,
-    bloom_tree_engine.go:137-147, 1078-1095).
+    """Prune-funnel + scan counters (the reference's BlockStats /
+    BloomFilterSkipped, bloom_tree_engine.go:137-147, 1078-1095).
 
-    ONE-PASS collection: the counters ride the query's own manifest probe
-    job as ``Observation`` metrics (CollectMetrics plan nodes over the
+    ONE-PASS collection: the funnel counters ride the query's own manifest
+    probe job as ``Observation`` metrics (CollectMetrics plan nodes over the
     blocks/files manifests) plus the length of the surviving-path list the
     scan collects anyway — zero extra Spark jobs, matching the reference's
     stats-streamed-during-scan design (bloom_tree_engine.go:1078-1095).
-    The r01 implementation re-derived each funnel stage with 4-5 separate
-    count() jobs per stats-enabled query."""
+
+    SCAN counters (the per-block BlockStats analog) ride the data scan the
+    same way: ``rows_scanned`` / ``rows_matched`` / ``blocks_with_matches``
+    fill when the caller consumes the result; ``fp_blocks`` is then the
+    MEASURED count of bloom false-positive blocks (survived pruning, zero
+    verified rows) — the production FPR monitoring signal.  Read them via
+    ``finish()`` (or the ``fp_blocks`` property) after acting on the result
+    DataFrame; if no action ran, finish() recomputes with bounded jobs."""
 
     total_files: int = 0
     total_blocks: int = 0
     blocks_after_prefilter: int = 0
     files_after_file_bloom: int = 0
     blocks_after_block_bloom: int = 0
+    rows_scanned: int | None = None
+    rows_matched: int | None = None
+    blocks_with_matches: int | None = None
     extra: dict = field(default_factory=dict)
     _obs_blocks: object | None = field(default=None, repr=False)
     _obs_files: object | None = field(default=None, repr=False)
     _fallback: tuple | None = field(default=None, repr=False)
+    _obs_scan: object | None = field(default=None, repr=False)
+    _obs_out: object | None = field(default=None, repr=False)
+    _scan_fallback: tuple | None = field(default=None, repr=False)
 
-    def _finalize(self) -> None:
-        """Pull the observed metrics (the triggering action has already run
-        by the time search() returns).  When the whole funnel pruned to
-        empty, AQE's empty-relation propagation removes the CollectMetrics
-        nodes from the executed plan and ``Observation.get`` raises — fall
-        back to recomputing those counters with count() jobs (rare, and the
-        manifests are cached + no data scan happened for such queries)."""
+    def _finalize(self, force_fallback: bool = False) -> None:
+        """Pull the observed funnel metrics (the triggering action has
+        already run by the time search() returns).  ``force_fallback``
+        skips the observations entirely — used when the stats collect hit
+        the MAX_COLLECTED_BLOCKS bound, because a limited collect
+        short-circuits the scan and leaves the metrics PARTIAL.  Also taken
+        when the observation never fired (e.g. an optimizer path removed
+        the CollectMetrics node): counters recompute with count() jobs
+        (bounded — the manifests are cached and manifest-sized)."""
         blocks, pre, files, fpred = self._fallback or (None, None, None, None)
         if self._obs_blocks is not None:
-            try:
-                m = self._obs_blocks.get
+            m = None if force_fallback else _observed(self._obs_blocks)
+            if m is not None:
                 self.total_blocks = int(m["total_blocks"])
                 self.blocks_after_prefilter = int(m["blocks_after_prefilter"])
-            except Exception:
-                if blocks is not None:
-                    self.total_blocks = blocks.count()
-                    self.blocks_after_prefilter = blocks.filter(pre).count()
+            elif blocks is not None:
+                self.total_blocks = blocks.count()
+                self.blocks_after_prefilter = blocks.filter(pre).count()
             self._obs_blocks = None
         if self._obs_files is not None:
-            try:
-                m = self._obs_files.get
+            m = None if force_fallback else _observed(self._obs_files)
+            if m is not None:
                 self.total_files = int(m["total_files"])
                 self.files_after_file_bloom = int(m["files_after_file_bloom"])
-            except Exception:
-                if files is not None:
-                    self.total_files = files.count()
-                    self.files_after_file_bloom = files.filter(fpred).count()
+            elif files is not None:
+                self.total_files = files.count()
+                self.files_after_file_bloom = files.filter(fpred).count()
             self._obs_files = None
         self._fallback = None
+
+    def finish(self, timeout: float = 10.0) -> "QueryStats":
+        """Resolve the scan-side counters.  Call AFTER consuming the result
+        DataFrame (its action fills the observations for free); if the
+        metrics never fired, recompute them with two bounded jobs."""
+        if self._obs_scan is not None:
+            m = _observed(self._obs_scan, timeout)
+            if m is not None:
+                self.rows_scanned = int(m["rows_scanned"])
+            self._obs_scan = None
+        if self._obs_out is not None:
+            m = _observed(self._obs_out, timeout)
+            if m is not None:
+                self.rows_matched = int(m["rows_matched"])
+                self.blocks_with_matches = int(m["blocks_with_matches"])
+            self._obs_out = None
+        if self._scan_fallback is not None:
+            data, out, bcol = self._scan_fallback
+            if self.rows_scanned is None:
+                self.rows_scanned = data.count()
+            if self.rows_matched is None or self.blocks_with_matches is None:
+                row = out.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.approx_count_distinct(bcol).alias("b"),
+                ).collect()[0]
+                self.rows_matched = int(row.n)
+                self.blocks_with_matches = int(row.b)
+            self._scan_fallback = None
+        return self
+
+    @property
+    def fp_blocks(self) -> int | None:
+        """Measured bloom false-positive blocks: survived all pruning but
+        verified to zero matching rows.  ``blocks_with_matches`` is an
+        approx_count_distinct (HLL), so clamp at 0."""
+        self.finish()
+        if self.blocks_with_matches is None:
+            return None
+        return max(0, self.blocks_after_block_bloom - self.blocks_with_matches)
 
     @property
     def prune_ratio(self) -> float:
@@ -205,18 +278,24 @@ def scan_blocks(
     """Read only the surviving blocks' data directories (via ``data_path``,
     which stays valid across metadata-only merges).
 
-    With ``stats``, the path collect is unlimited (stats mode must see every
-    survivor to count them — and its collect is the action that fills the
-    upstream funnel Observations; a LIMIT would short-circuit them)."""
+    The path collect is ALWAYS bounded at MAX_COLLECTED_BLOCKS (+1 overflow
+    sentinel), stats or not — a with_stats query over a huge index must not
+    OOM the driver.  When the bound trips in stats mode, the limited collect
+    short-circuited the manifest scan, so the funnel Observations are
+    partial: the counters recompute via bounded count() jobs instead
+    (``_finalize(force_fallback=True)``)."""
     spark = index.spark
     if index.meta().get("external", False):
         return _scan_external(index, surviving, stats)
     keys_df = surviving.select("data_path")
     if stats is not None:
         with _keep_observations(spark):
-            keys = keys_df.collect()
-        stats.blocks_after_block_bloom = len(keys)
-        stats._finalize()
+            keys = keys_df.limit(MAX_COLLECTED_BLOCKS + 1).collect()
+        overflow = len(keys) > MAX_COLLECTED_BLOCKS
+        stats.blocks_after_block_bloom = (
+            surviving.count() if overflow else len(keys)
+        )
+        stats._finalize(force_fallback=overflow)
     else:
         keys = keys_df.limit(MAX_COLLECTED_BLOCKS + 1).collect()
     if len(keys) > MAX_COLLECTED_BLOCKS:
@@ -257,16 +336,27 @@ def _scan_external(
     pairs = surviving.select("data_path", "partition_id")
     if stats is not None:
         with _keep_observations(spark):
-            keys = pairs.collect()
-        stats.blocks_after_block_bloom = len(keys)
-        stats._finalize()
+            keys = pairs.limit(MAX_COLLECTED_BLOCKS + 1).collect()
+        overflow = len(keys) > MAX_COLLECTED_BLOCKS
+        stats.blocks_after_block_bloom = (
+            surviving.count() if overflow else len(keys)
+        )
+        stats._finalize(force_fallback=overflow)
     else:
         keys = pairs.limit(MAX_COLLECTED_BLOCKS + 1).collect()
     if len(keys) > MAX_COLLECTED_BLOCKS:
-        paths = [
-            r.data_path
-            for r in index.blocks().select("data_path").distinct().collect()
-        ]
+        # scan the surviving blocks' PARENT DIRECTORIES (distinct dirnames
+        # — bounded by directory count, not block count) and let the
+        # semi-join below re-derive block membership; never collect the
+        # full per-block path list to the driver
+        paths = sorted(
+            r.d
+            for r in surviving.select(
+                F.regexp_replace("data_path", "/[^/]+$", "").alias("d")
+            )
+            .distinct()
+            .collect()
+        )
     else:
         paths = sorted({r.data_path for r in keys})
     if not paths:
@@ -284,9 +374,14 @@ def _scan_external(
             F.coalesce(F.expr(cfg.partition_expr).cast("string"), F.lit("")),
         )
     )
-    return data.join(F.broadcast(pairs), ["data_path", "partition_id"], "left_semi").drop(
-        "data_path", "partition_id"
-    )
+    out = data.join(F.broadcast(pairs), ["data_path", "partition_id"], "left_semi")
+    if stats is not None:
+        # block identity for the scan-side FP counters (external block =
+        # (source file, partition value))
+        out = out.withColumn(
+            "_bs_block", F.concat_ws("#", "data_path", "partition_id")
+        )
+    return out.drop("data_path", "partition_id")
 
 
 def search(
@@ -313,7 +408,43 @@ def search(
         pred = compile_bloom_verify(query.bloom, cfg.indexed_fields, cols, tok) & (
             compile_regex_verify(query.regex, cols)
         )
+
+    if stats is not None and stats.blocks_after_block_bloom == 0:
+        # nothing survived pruning: scan counters are exactly zero, no
+        # observation needed (and the limit(0) plan would fold them away)
+        stats.rows_scanned = 0
+        stats.rows_matched = 0
+        stats.blocks_with_matches = 0
+    elif stats is not None:
+        # per-block scan stats (the reference streams BlockStats per block
+        # during the scan, bloom_tree_engine.go:1078-1095): ride the data
+        # scan as Observations — filled by the caller's own action, zero
+        # extra jobs.  blocks_with_matches vs blocks_after_block_bloom
+        # yields the MEASURED bloom false-positive block count.
+        from pyspark.sql import Observation
+
+        if "_bs_block" not in data.columns:  # internal: hive partition cols
+            data = data.withColumn(
+                "_bs_block", F.concat_ws("/", "file_id", "block_id")
+            )
+        obs_scan = Observation()
+        data = data.observe(
+            obs_scan, F.count(F.lit(1)).alias("rows_scanned")
+        )
+        stats._obs_scan = obs_scan
     out = data.filter(pred)
+    if stats is not None and "_bs_block" in out.columns:
+        from pyspark.sql import Observation
+
+        obs_out = Observation()
+        out_pre = out.observe(
+            obs_out,
+            F.count(F.lit(1)).alias("rows_matched"),
+            F.approx_count_distinct("_bs_block").alias("blocks_with_matches"),
+        )
+        stats._obs_out = obs_out
+        stats._scan_fallback = (data, out_pre, "_bs_block")
+        out = out_pre.drop("_bs_block")
 
     source_columns = index.meta().get("source_columns")
     if source_columns:

@@ -394,3 +394,42 @@ def test_jvm_probe_equals_udf_probe(spark, index):
         jvm = {r.block_id for r in blocks.filter(probe_filter(tree, params)).select("block_id").collect()}
         udf = {r.block_id for r in blocks.filter(probe_filter(tree)).select("block_id").collect()}
         assert jvm == udf, q
+
+
+def test_scan_stats_measured_fp_blocks(spark, index, oracle_pdf):
+    """Per-block scan stats (BlockStats analog): rows_scanned/rows_matched/
+    blocks_with_matches ride the caller's own action as Observations;
+    fp_blocks is the MEASURED bloom false-positive block count, ~0 at
+    p=0.01."""
+    q = new_query().token("needle_alpha").build()
+    got, stats = search(spark, index, q, with_stats=True)
+    n = got.count()  # the caller's action fills the scan observations
+    stats.finish()
+    assert stats.rows_matched == n
+    assert stats.rows_scanned >= n
+    assert 0 < stats.blocks_with_matches <= stats.blocks_after_block_bloom + 1
+    # measured false positives at p=0.01 (HLL approx => small tolerance)
+    assert stats.fp_blocks <= max(1, int(0.05 * stats.total_blocks))
+
+
+def test_scan_stats_miss_query(spark, index):
+    """A fully-pruned query reports exact zeros without any observation."""
+    q = new_query().token("zz_completely_absent_token").build()
+    got, stats = search(spark, index, q, with_stats=True)
+    assert got.count() == 0
+    stats.finish()
+    assert stats.rows_matched == 0
+    if stats.blocks_after_block_bloom == 0:
+        assert stats.rows_scanned == 0 and stats.fp_blocks == 0
+    else:  # surviving blocks were ALL false positives — measured as such
+        assert stats.fp_blocks == stats.blocks_after_block_bloom
+
+
+def test_scan_stats_fallback_without_action(spark, index):
+    """If the caller never acts on the result, finish() must not hang
+    (Observation.get blocks forever) — it recomputes via bounded jobs."""
+    q = new_query().token("needle_beta").build()
+    got, stats = search(spark, index, q, with_stats=True)
+    stats.finish(timeout=0.5)  # observations never fired -> fallback
+    assert stats.rows_matched == got.count()
+    assert stats.rows_scanned >= stats.rows_matched
