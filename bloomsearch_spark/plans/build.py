@@ -45,7 +45,6 @@ from __future__ import annotations
 
 import os
 import time
-import uuid
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -54,6 +53,7 @@ from pyspark.sql import functions as F
 
 from ..config import IndexConfig
 from ..operators.blockindex import build_block_entry, rollup_file_entry
+from ..sources import fs as fsx
 from ..sources import manifest as mf
 from ..tokenizer import get_tokenizer, register_tokenizer
 
@@ -155,18 +155,14 @@ def _make_block_fn(cfg: IndexConfig, data_dir: str, arrow_schema_bytes: bytes):
         register_tokenizer(tok)
         entry = build_block_entry(key, pdf, cfg)
         file_id, block_id, _ = key
-        rel = os.path.join(f"file_id={file_id}", f"block_id={block_id}")
+        rel = fsx.join(f"file_id={file_id}", f"block_id={block_id}")
         entry["data_path"] = rel
-        d = os.path.join(data_dir, rel)
-        os.makedirs(d, exist_ok=True)
         schema = pa.ipc.read_schema(pa.BufferReader(arrow_schema_bytes))
         body = pdf[[n for n in schema.names]]
         tbl = pa.Table.from_pandas(body, schema=schema, preserve_index=False)
-        final = os.path.join(d, "part-0.parquet")
-        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.parquet")
-        pq.write_table(tbl, tmp, **ckw)
-        os.replace(tmp, final)
-        entry["byte_size"] = os.path.getsize(final)
+        entry["byte_size"] = fsx.write_parquet_atomic(
+            fsx.join(data_dir, rel), tbl, "part-0.parquet", **ckw
+        )
         return entry
 
     return fn
@@ -293,15 +289,11 @@ def _make_map_build_fn(cfg: IndexConfig, data_dir: str, build_tag: str):
             entry = build_block_entry_arrow(
                 (file_id, block_id, pid), tbl, cfg, file_sets=fs["sets"]
             )
-            rel = os.path.join(f"file_id={file_id}", f"block_id={block_id}")
+            rel = fsx.join(f"file_id={file_id}", f"block_id={block_id}")
             entry["data_path"] = rel
-            d = os.path.join(data_dir, rel)
-            os.makedirs(d, exist_ok=True)
-            final = os.path.join(d, "part-0.parquet")
-            tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.parquet")
-            pq.write_table(tbl, tmp, **ckw)
-            os.replace(tmp, final)
-            entry["byte_size"] = os.path.getsize(final)
+            entry["byte_size"] = fsx.write_parquet_atomic(
+                fsx.join(data_dir, rel), tbl, "part-0.parquet", **ckw
+            )
             fs["rows"] += entry["row_count"]
             fs["tokens"] += entry["token_count"]
             fs["bytes"] += entry["byte_size"]
@@ -350,7 +342,7 @@ def _make_map_build_fn(cfg: IndexConfig, data_dir: str, build_tag: str):
 
 
 def _stage_done(path: str) -> bool:
-    return os.path.exists(os.path.join(path, "_SUCCESS"))
+    return fsx.exists(fsx.join(path, "_SUCCESS"))
 
 
 def _estimate_rows(spark: SparkSession, df: DataFrame) -> int:
@@ -417,10 +409,10 @@ def build_index(
         raise ValueError(mode)
     version, vdir = mf.next_version_dir(root)
     build_id = version
-    data_dir = os.path.join(root, "data")
-    os.makedirs(vdir, exist_ok=True)
+    data_dir = fsx.join(root, "data")
+    fsx.mkdirs(vdir)
 
-    staging = os.path.join(vdir, "staging.parquet")
+    staging = fsx.join(vdir, "staging.parquet")
     if cfg.block_expr is not None:
         # clustered path: user-controlled block assignment, one data shuffle
         assigned = assign_blocks(df, cfg, build_tag=build_id)
@@ -534,7 +526,7 @@ def build_index(
 
     def _write(arg):
         name, d = arg
-        out = os.path.join(vdir, f"{name}.parquet")
+        out = fsx.join(vdir, f"{name}.parquet")
         if not _stage_done(out):
             d.write.mode("overwrite").parquet(out)
 

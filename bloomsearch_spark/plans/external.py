@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from .. import bloom
 from ..config import IndexConfig
 from ..operators.blockindex import BlockAccumulator, rollup_file_entry
+from ..sources import fs as fsx
 from ..sources import manifest as mf
 from .build import STAGING_PA_SCHEMA, STAGING_SCHEMA, _slug, _stage_done
 
@@ -152,14 +153,14 @@ def build_external_index(
         df = spark.read.parquet(*paths)
 
     version, vdir = mf.next_version_dir(root)
-    os.makedirs(vdir, exist_ok=True)
+    fsx.mkdirs(vdir)
 
     d = df.withColumn("_src", F.input_file_name()).withColumn(
         "partition_id",
         F.coalesce(F.expr(cfg.partition_expr).cast("string"), F.lit("")),
     )
 
-    staging = os.path.join(vdir, "staging.parquet")
+    staging = fsx.join(vdir, "staging.parquet")
     if not _stage_done(staging):
         (
             d.mapInArrow(_make_external_fn(cfg, version), STAGING_SCHEMA)
@@ -186,7 +187,7 @@ def build_external_index(
         F.lit(time.time()).alias("committed_at"),
     )
     for name, data in (("blocks", new_blocks), ("files", new_files), ("lineage", new_lineage)):
-        out = os.path.join(vdir, f"{name}.parquet")
+        out = fsx.join(vdir, f"{name}.parquet")
         if not _stage_done(out):
             data.write.mode("overwrite").parquet(out)
 
@@ -211,27 +212,43 @@ def build_external_index(
 def verify_external_integrity(spark: SparkSession, index: mf.BloomIndex) -> int:
     """Re-count each (source file, partition) block's rows against the
     manifest; returns the number of mismatching blocks (0 = intact).
-    Detects source files mutated/removed since the index was built."""
+    Detects source files mutated/removed since the index was built.
+
+    Driver-bounded at any file count: the scan reads the blocks' distinct
+    PARENT directories (collected list is bounded by directory count, never
+    per-file) with ``ignoreMissingFiles``, and a semi-join against the
+    manifest's ``data_path`` set restricts the count to manifest members —
+    no per-path driver FS round-trips, no unbounded path collect.  A source
+    file removed since the build contributes no actual rows, so its blocks
+    surface as mismatches through the full_outer join; files added to the
+    source dirs after the build are ignored (they are not indexed).
+    Assumes source directories hold one dataset each (parquet dir-per-table
+    layout) so the directory read schema-merges cleanly."""
     cfg = index.config
     blocks = index.blocks().select("data_path", "partition_id", "row_count")
-    paths = [r.data_path for r in blocks.select("data_path").distinct().collect()]
-    # a REMOVED source file must count as a mismatch, not blow up the read:
-    # filter paths through a Hadoop-FS existence check (scheme-agnostic);
-    # missing files simply contribute no actual rows, so the full_outer join
-    # below counts their blocks as mismatching.
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    existing = []
-    for p in paths:
-        hp = jvm.org.apache.hadoop.fs.Path(p)
-        if hp.getFileSystem(hconf).exists(hp):
-            existing.append(p)
-    if not existing:
+    dirs = sorted(
+        r.d
+        for r in blocks.select(
+            F.regexp_replace("data_path", "/[^/]+$", "").alias("d")
+        )
+        .distinct()
+        .collect()
+    )
+    live_dirs = [d for d in dirs if fsx.exists(d)]  # one stat per DIRECTORY
+    if not live_dirs:
         return blocks.count()
-    data = spark.read.parquet(*existing)
+    data = (
+        spark.read.option("ignoreMissingFiles", "true")
+        .parquet(*live_dirs)
+        .withColumn("data_path", F.input_file_name())
+        .join(
+            F.broadcast(blocks.select("data_path").distinct()),
+            "data_path",
+            "left_semi",
+        )
+    )
     actual = (
-        data.withColumn("data_path", F.input_file_name())
-        .withColumn(
+        data.withColumn(
             "partition_id",
             F.coalesce(F.expr(cfg.partition_expr).cast("string"), F.lit("")),
         )

@@ -36,17 +36,15 @@ shuffle manifest rows, never the indexed dataset.
 
 from __future__ import annotations
 
-import os
-import shutil
 import time
 from dataclasses import dataclass
 
 import pandas as pd
-import pyarrow.parquet as pq
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import bloom
+from ..sources import fs as fsx
 from ..sources import manifest as mf
 from ..sources.manifest import BloomIndex
 
@@ -246,24 +244,16 @@ def _make_consolidate_fn(data_dir: str, codec_kw: dict):
         if len(pdf) == 1:  # singleton group: pass the manifest row through
             return pdf.drop(columns=["merge_block_id"])
         file_id = pdf["file_id"].iloc[0]
-        rel = os.path.join(f"file_id={file_id}", f"block_id={block_id}")
+        rel = fsx.join(f"file_id={file_id}", f"block_id={block_id}")
         import pyarrow as pa
 
-        tbls = []
-        for p in pdf["data_path"]:
-            d0 = os.path.join(data_dir, p)
-            tbls.extend(
-                pq.read_table(os.path.join(d0, f))
-                for f in sorted(os.listdir(d0))
-                if f.endswith(".parquet") and not f.startswith(".")
-            )
-        tbl = pa.concat_tables(tbls, promote_options="default")
-        d = os.path.join(data_dir, rel)
-        os.makedirs(d, exist_ok=True)
-        tmp = os.path.join(d, f".tmp-{os.getpid()}-{time.monotonic_ns()}.parquet")
-        pq.write_table(tbl, tmp, **codec_kw)
-        final = os.path.join(d, "part-0.parquet")
-        os.replace(tmp, final)
+        tbl = pa.concat_tables(
+            [fsx.read_parquet_dir(fsx.join(data_dir, p)) for p in pdf["data_path"]],
+            promote_options="default",
+        )
+        byte_size = fsx.write_parquet_atomic(
+            fsx.join(data_dir, rel), tbl, "part-0.parquet", **codec_kw
+        )
 
         mn_map: dict[str, int] = {}
         mx_map: dict[str, int] = {}
@@ -282,7 +272,7 @@ def _make_consolidate_fn(data_dir: str, codec_kw: dict):
                     "data_path": rel,
                     "row_count": int(pdf["row_count"].sum()),
                     "token_count": int(pdf["token_count"].sum()),
-                    "byte_size": os.path.getsize(final),
+                    "byte_size": byte_size,
                     "minmax_min": mn_map,
                     "minmax_max": mx_map,
                     "expected_items": int(pdf["expected_items"].iloc[0]),
@@ -391,12 +381,12 @@ def _commit(
     """Write a new manifest version (blocks/files/lineage) and atomically
     advance CURRENT — the MetaStore.Update contract (meta_store.go:21)."""
     version, vdir = mf.next_version_dir(index.root)
-    os.makedirs(vdir, exist_ok=True)
-    new_blocks.write.mode("overwrite").parquet(os.path.join(vdir, "blocks.parquet"))
+    fsx.mkdirs(vdir)
+    new_blocks.write.mode("overwrite").parquet(fsx.join(vdir, "blocks.parquet"))
     committed_blocks = spark.read.schema(mf.BLOCKS_SCHEMA).parquet(
-        os.path.join(vdir, "blocks.parquet")
+        fsx.join(vdir, "blocks.parquet")
     )
-    new_files.write.mode("overwrite").parquet(os.path.join(vdir, "files.parquet"))
+    new_files.write.mode("overwrite").parquet(fsx.join(vdir, "files.parquet"))
 
     lineage_new = committed_blocks.select(
         F.lit(version).alias("build_id"),
@@ -410,7 +400,7 @@ def _commit(
         F.lit(time.time()).alias("committed_at"),
     )
     index.lineage().unionByName(lineage_new).write.mode("overwrite").parquet(
-        os.path.join(vdir, "lineage.parquet")
+        fsx.join(vdir, "lineage.parquet")
     )
     meta = index.meta()
     mf.write_meta(
@@ -437,23 +427,50 @@ def _commit(
 def vacuum(index: BloomIndex) -> int:
     """Delete block data dirs not referenced by the CURRENT manifest
     (TombstoneFile analog, data_store.go:19-21).  Safe only once no reader
-    resolves an older manifest version.  Returns dirs removed."""
-    live = {
-        r.data_path for r in index.blocks().select("data_path").distinct().collect()
-    }
-    removed = 0
+    resolves an older manifest version.  Returns dirs removed.
+
+    DISTRIBUTED end to end (bounded driver memory at any block count): the
+    driver lists only the top-level ``file_id=`` dirs (one per FILE, ~2
+    orders fewer than blocks); executors list each file dir's block dirs,
+    the listing anti-joins the blocks manifest (never collected), and the
+    dead dirs are deleted on executors through the fs layer.  Requires the
+    data root to be shared storage — already true for any multi-executor
+    deployment."""
+    spark = index.spark
     data_dir = index.data_dir
-    if not os.path.isdir(data_dir):
+    file_dirs = fsx.list_subdirs(data_dir)
+    if not file_dirs:
         return 0
-    for fdir in os.listdir(data_dir):
-        fpath = os.path.join(data_dir, fdir)
-        if not os.path.isdir(fpath):
-            continue
-        for bdir in os.listdir(fpath):
-            rel = os.path.join(fdir, bdir)
-            if rel not in live:
-                shutil.rmtree(os.path.join(data_dir, rel), ignore_errors=True)
-                removed += 1
-        if not os.listdir(fpath):
-            os.rmdir(fpath)
-    return removed
+    fd_df = spark.createDataFrame([(d,) for d in file_dirs], "file_dir string")
+    # spread the per-file-dir listing work across the cluster
+    fd_df = fd_df.repartition(min(len(file_dirs), 64))
+
+    def list_blocks(pdfs):
+        for pdf in pdfs:
+            rows = [
+                fsx.join(fd, bd)
+                for fd in pdf["file_dir"]
+                for bd in fsx.list_subdirs(fsx.join(data_dir, fd))
+            ]
+            yield pd.DataFrame({"data_path": rows})
+
+    listed = fd_df.mapInPandas(list_blocks, "data_path string")
+    dead = listed.join(
+        index.blocks().select("data_path"), "data_path", "left_anti"
+    )
+
+    def delete(pdfs):
+        n = 0
+        for pdf in pdfs:
+            for p in pdf["data_path"]:
+                fsx.delete_dir(fsx.join(data_dir, p))
+                n += 1
+        yield pd.DataFrame({"n": [n]})
+
+    removed = (
+        dead.mapInPandas(delete, "n long").agg(F.sum("n")).collect()[0][0] or 0
+    )
+    if removed:
+        for fd in file_dirs:  # drop now-empty file dirs (one stat per FILE)
+            fsx.delete_dir_if_empty(fsx.join(data_dir, fd))
+    return int(removed)

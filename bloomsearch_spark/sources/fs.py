@@ -1,0 +1,199 @@
+"""Filesystem abstraction — the reference's pluggable DataStore/MetaStore
+storage contract (data_store.go:12-22, meta_store.go:8-22) re-expressed
+over ``pyarrow.fs``.
+
+Every byte the engine itself reads or writes (block parquet files, the
+versioned manifest dirs, ``meta.json``, the ``CURRENT`` pointer, vacuum
+deletes) goes through this module, keyed by the index root's URI scheme:
+
+- plain paths / ``file://`` URIs  -> ``pyarrow.fs.LocalFileSystem``
+- ``s3://`` / ``gs://`` / ``hdfs://`` -> whatever
+  ``pyarrow.fs.FileSystem.from_uri`` resolves (S3FileSystem needs
+  credentials in the environment, HDFS needs libhdfs — standard pyarrow
+  deployment requirements, nothing engine-specific)
+- any scheme registered via :func:`register_scheme` — used by tests to run
+  the whole write/commit path against an in-memory mock filesystem, and
+  available to users for custom stores (the DataStore contract's point:
+  the engine never assumes POSIX).
+
+Spark's own scans (manifest parquet, block data, staging) keep receiving
+the caller's URI untouched — Spark has its own Hadoop-FS resolution and
+understands the same schemes.
+
+Atomicity contract (mirrors SURVEY.md §3.4):
+
+- on a **local** filesystem, single-file writes are written to a temp name
+  and ``os.replace``d — fully atomic, concurrent writers safe;
+- on an **object store**, a single-stream write IS the atomic unit (a PUT
+  is all-or-nothing); the ``CURRENT`` pointer swap degrades to documented
+  last-writer-wins, which is safe here because version directories are
+  immutable once referenced — a lost CURRENT race re-points to another
+  fully-committed version, never a partial one (the same guarantee
+  Iceberg's catalog swap provides; use a real catalog/conditional-put for
+  serialized commits).
+"""
+
+from __future__ import annotations
+
+import os
+import posixpath
+import uuid
+
+from pyarrow import fs as pafs
+
+# user-registered scheme -> FileSystem (tests register an in-memory mock;
+# deployments may register pre-configured S3/GCS instances)
+_SCHEMES: dict[str, pafs.FileSystem] = {}
+
+
+def register_scheme(scheme: str, fs: pafs.FileSystem) -> None:
+    """Route ``<scheme>://...`` URIs to a caller-supplied FileSystem.
+
+    The registry is per-Python-process: a scheme used inside Spark tasks
+    (block writes, vacuum deletes) must also be registered in the executor
+    interpreters (e.g. a small module imported via ``spark.submit.pyFiles``
+    that registers on import).  Standard schemes (file/s3/gs/hdfs) resolve
+    everywhere without registration via ``FileSystem.from_uri``."""
+    _SCHEMES[scheme] = fs
+
+
+def unregister_scheme(scheme: str) -> None:
+    _SCHEMES.pop(scheme, None)
+
+
+def join(base: str, *parts: str) -> str:
+    """Path join that is correct for both plain paths and URIs (always
+    ``/`` — manifest ``data_path`` values are scheme-relative POSIX)."""
+    return posixpath.join(base, *parts)
+
+
+def resolve(path_or_uri: str) -> tuple[pafs.FileSystem, str]:
+    """URI/path -> (FileSystem, filesystem-local path).
+
+    Plain paths and ``file:`` URIs (both ``file:///x`` and Spark's
+    ``file:/x`` spelling) resolve to the local filesystem; registered
+    schemes take precedence over ``pyarrow.fs.FileSystem.from_uri``.
+    """
+    s = path_or_uri
+    if ":" in s.split("/", 1)[0]:  # has a scheme
+        scheme = s.split(":", 1)[0]
+        if scheme in _SCHEMES:
+            rest = s.split(":", 1)[1]
+            return _SCHEMES[scheme], rest.lstrip("/")
+        if scheme == "file":
+            p = s[len("file:") :]
+            while p.startswith("//"):
+                p = p[1:]
+            return pafs.LocalFileSystem(), p
+        fs, p = pafs.FileSystem.from_uri(s)
+        return fs, p
+    return pafs.LocalFileSystem(), s
+
+
+def _is_local(fs: pafs.FileSystem) -> bool:
+    return isinstance(fs, pafs.LocalFileSystem)
+
+
+def exists(uri: str) -> bool:
+    fs, p = resolve(uri)
+    return fs.get_file_info(p).type != pafs.FileType.NotFound
+
+
+def mkdirs(uri: str) -> None:
+    fs, p = resolve(uri)
+    fs.create_dir(p, recursive=True)
+
+
+def read_bytes(uri: str) -> bytes:
+    fs, p = resolve(uri)
+    with fs.open_input_stream(p) as f:
+        return f.read()
+
+
+def write_bytes_atomic(uri: str, data: bytes) -> None:
+    """Single-file write with the strongest atomicity the scheme offers:
+    temp + fsync + rename on local; one-shot stream (atomic PUT) elsewhere.
+    Concurrent readers of an existing path never observe a partial file."""
+    fs, p = resolve(uri)
+    if _is_local(fs):
+        os.makedirs(os.path.dirname(p) or ".", exist_ok=True)
+        tmp = f"{p}.tmp.{os.getpid()}.{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, p)
+    else:
+        with fs.open_output_stream(p) as f:
+            f.write(data)
+
+
+def write_parquet_atomic(dir_uri: str, table, filename: str, **write_kwargs) -> int:
+    """Write one parquet file into ``dir_uri`` (created if needed) such
+    that readers never see a partial file; returns its byte size.  Local:
+    temp-in-dir + ``os.replace``; object store: direct single-object write
+    (atomic PUT).  Idempotent under task retry — the last completed attempt
+    wins with identical content (build ids are deterministic)."""
+    import pyarrow.parquet as pq
+
+    fs, d = resolve(dir_uri)
+    final = posixpath.join(d, filename)
+    if _is_local(fs):
+        os.makedirs(d, exist_ok=True)
+        tmp = posixpath.join(d, f".tmp-{uuid.uuid4().hex}.parquet")
+        pq.write_table(table, tmp, **write_kwargs)
+        os.replace(tmp, final)
+        return os.path.getsize(final)
+    fs.create_dir(d, recursive=True)
+    pq.write_table(table, final, filesystem=fs, **write_kwargs)
+    return fs.get_file_info(final).size
+
+
+def read_parquet_dir(dir_uri: str):
+    """Concatenate every ``*.parquet`` file in a directory (skipping
+    temp/hidden names) into one Arrow table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fs, d = resolve(dir_uri)
+    infos = fs.get_file_info(pafs.FileSelector(d, recursive=False))
+    names = sorted(
+        i.path
+        for i in infos
+        if i.type == pafs.FileType.File
+        and i.base_name.endswith(".parquet")
+        and not i.base_name.startswith(".")
+    )
+    return pa.concat_tables(
+        [pq.read_table(p, filesystem=fs) for p in names], promote_options="default"
+    )
+
+
+def list_subdirs(uri: str) -> list[str]:
+    """Immediate child directory NAMES of ``uri`` ([] if it doesn't exist)."""
+    fs, p = resolve(uri)
+    if fs.get_file_info(p).type == pafs.FileType.NotFound:
+        return []
+    infos = fs.get_file_info(pafs.FileSelector(p, recursive=False))
+    return sorted(
+        i.base_name for i in infos if i.type == pafs.FileType.Directory
+    )
+
+
+def delete_dir(uri: str) -> None:
+    fs, p = resolve(uri)
+    try:
+        fs.delete_dir(p)
+    except FileNotFoundError:
+        pass
+
+
+def delete_dir_if_empty(uri: str) -> bool:
+    """Delete ``uri`` only if it is an existing, fully-empty directory."""
+    fs, p = resolve(uri)
+    if fs.get_file_info(p).type != pafs.FileType.Directory:
+        return False
+    if fs.get_file_info(pafs.FileSelector(p, recursive=False)):
+        return False
+    fs.delete_dir(p)
+    return True

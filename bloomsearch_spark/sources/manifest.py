@@ -5,12 +5,15 @@ MetaStore (data_store.go:12-22, meta_store.go:8-22).  Here the DataStore is
 Spark-written Parquet under ``<root>/data/`` and the MetaStore is a
 *versioned manifest*: each commit writes a fresh
 ``<root>/manifest/v{N}/{blocks,files,lineage}.parquet + meta.json`` and then
-atomically swaps the ``<root>/manifest/CURRENT`` pointer (write-temp +
-``os.replace``).  Readers resolve through CURRENT, so they never observe a
-partial state — the same atomicity contract as ``MetaStore.Update``
-(meta_store.go:21).  On an object store / real catalog this pointer swap
-maps to a conditional put or an Iceberg snapshot commit; the layout is the
-same Iceberg-style "data files + metadata tree" split.
+atomically swaps the ``<root>/manifest/CURRENT`` pointer.  All byte-level
+I/O goes through the scheme-agnostic fs layer (``sources/fs.py``): local
+roots get write-temp + ``os.replace`` atomicity, object-store roots get
+atomic single-object PUTs with documented last-writer-wins on the CURRENT
+swap (safe: version dirs are immutable).  Readers resolve through CURRENT,
+so they never observe a partial state — the same atomicity contract as
+``MetaStore.Update`` (meta_store.go:21).  On a real catalog this pointer
+swap maps to a conditional put or an Iceberg snapshot commit; the layout is
+the same Iceberg-style "data files + metadata tree" split.
 
 Manifest schemas (one row per block / per file):
 
@@ -26,13 +29,13 @@ lineage: per-block provenance + build counters (insert/merge metrics,
 from __future__ import annotations
 
 import json
-import os
 import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ..config import IndexConfig
+from . import fs as fsx
 
 BLOCKS_SCHEMA = (
     "file_id string, block_id string, partition_id string, "
@@ -59,19 +62,18 @@ LINEAGE_SCHEMA = (
 
 
 def _manifest_dir(root: str) -> str:
-    return os.path.join(root, "manifest")
+    return fsx.join(root, "manifest")
 
 
 def _current_path(root: str) -> str:
-    return os.path.join(_manifest_dir(root), "CURRENT")
+    return fsx.join(_manifest_dir(root), "CURRENT")
 
 
 def current_version(root: str) -> str | None:
     """Resolve the committed manifest version, or None if never committed."""
     try:
-        with open(_current_path(root)) as f:
-            return f.read().strip() or None
-    except FileNotFoundError:
+        return fsx.read_bytes(_current_path(root)).decode().strip() or None
+    except (FileNotFoundError, OSError):
         return None
 
 
@@ -79,19 +81,17 @@ def next_version_dir(root: str) -> tuple[str, str]:
     cur = current_version(root)
     n = int(cur[1:]) + 1 if cur else 1
     v = f"v{n:08d}"
-    d = os.path.join(_manifest_dir(root), v)
+    d = fsx.join(_manifest_dir(root), v)
     return v, d
 
 
 def commit_version(root: str, version: str) -> None:
-    """Atomically advance CURRENT -> version (write temp + os.replace)."""
-    os.makedirs(_manifest_dir(root), exist_ok=True)
-    tmp = _current_path(root) + f".tmp.{os.getpid()}.{time.monotonic_ns()}"
-    with open(tmp, "w") as f:
-        f.write(version)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, _current_path(root))
+    """Atomically advance CURRENT -> version.  Local: temp + os.replace
+    (fully atomic); object store: single atomic PUT, last-writer-wins —
+    safe because version dirs are immutable once written (fs.py module
+    docstring)."""
+    fsx.mkdirs(_manifest_dir(root))
+    fsx.write_bytes_atomic(_current_path(root), version.encode())
 
 
 @dataclass
@@ -117,17 +117,17 @@ class BloomIndex:
 
     @property
     def data_dir(self) -> str:
-        return os.path.join(self.root, "data")
+        return fsx.join(self.root, "data")
 
     @property
     def version_dir(self) -> str:
-        return os.path.join(_manifest_dir(self.root), self.version)
+        return fsx.join(_manifest_dir(self.root), self.version)
 
     def blocks(self, cache: bool = True) -> DataFrame:
         df = getattr(self, "_blocks_df", None)
         if df is None:
             df = self.spark.read.schema(BLOCKS_SCHEMA).parquet(
-                os.path.join(self.version_dir, "blocks.parquet")
+                fsx.join(self.version_dir, "blocks.parquet")
             )
             if cache:
                 df = df.cache()
@@ -138,7 +138,7 @@ class BloomIndex:
         df = getattr(self, "_files_df", None)
         if df is None:
             df = self.spark.read.schema(FILES_SCHEMA).parquet(
-                os.path.join(self.version_dir, "files.parquet")
+                fsx.join(self.version_dir, "files.parquet")
             )
             if cache:
                 df = df.cache()
@@ -190,14 +190,13 @@ class BloomIndex:
 
     def lineage(self) -> DataFrame:
         return self.spark.read.schema(LINEAGE_SCHEMA).parquet(
-            os.path.join(self.version_dir, "lineage.parquet")
+            fsx.join(self.version_dir, "lineage.parquet")
         )
 
     def meta(self) -> dict:
         m = getattr(self, "_meta", None)
         if m is None:
-            with open(os.path.join(self.version_dir, "meta.json")) as f:
-                m = json.load(f)
+            m = json.loads(fsx.read_bytes(fsx.join(self.version_dir, "meta.json")))
             self._meta = m
         return m
 
@@ -211,20 +210,17 @@ class BloomIndex:
         meta_store.go:33-41).  ``data_path`` is relative to ``data_dir`` so
         the whole index tree is relocatable; after a metadata-only merge it
         may point at a directory named for the block's *original* file_id."""
-        return [os.path.join(self.data_dir, p) for p in data_paths]
+        return [fsx.join(self.data_dir, p) for p in data_paths]
 
 
 def write_meta(version_dir: str, config: IndexConfig, extra: dict | None = None) -> None:
-    """Write meta.json atomically (tmp + os.replace): concurrent readers of
-    an already-visible version dir must never observe a truncated file."""
-    os.makedirs(version_dir, exist_ok=True)
+    """Write meta.json atomically (fs-layer single-file atomic write):
+    concurrent readers of an already-visible version dir must never observe
+    a truncated file."""
+    fsx.mkdirs(version_dir)
     meta = {"config": config.to_dict(), "created_at": time.time()}
     if extra:
         meta.update(extra)
-    final = os.path.join(version_dir, "meta.json")
-    tmp = final + f".tmp.{os.getpid()}.{time.monotonic_ns()}"
-    with open(tmp, "w") as f:
-        json.dump(meta, f, indent=2)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, final)
+    fsx.write_bytes_atomic(
+        fsx.join(version_dir, "meta.json"), json.dumps(meta, indent=2).encode()
+    )
