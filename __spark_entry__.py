@@ -213,6 +213,76 @@ def _sk_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "tok string, n_exact long, cms_ok boolean")
 
 
+def _strm_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator, driver-gated with the sketch
+    bound-check oracle pattern: replay the ``events`` table as a multi-file
+    micro-batched stream through ``streaming_approx_distinct`` (HLL state in
+    ``applyInPandasWithState``), then assert per key that the FINAL streaming
+    estimate (a) is bitwise equal to a batch HLL over the same values (same
+    registers — sketch merge idempotence across micro-batches) and (b) sits
+    within the published 4σ HLL bound of the exact distinct count.  The SQL
+    oracle recomputes the exact count and asserts TRUE, so either violation
+    hash-mismatches and fails the correctness gate."""
+    import uuid
+
+    from bloomsearch_spark.streaming.stateful import streaming_approx_distinct
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_type", F.col("user_id").cast("string").alias("v")
+    )
+    work = tempfile.mkdtemp(prefix="bs-strm-")
+    src = os.path.join(work, "src")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_type string, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    qname = f"sad_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_approx_distinct(stream, "event_type", "v", p=12)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # last emission per key = final state (n_seen strictly grows per key)
+    final = (
+        spark.table(qname)
+        .groupBy("event_type")
+        .agg(F.max(F.struct("n_seen", "estimate")).alias("s"))
+        .select("event_type", F.col("s.estimate").alias("estimate"))
+    )
+    batch = approx_distinct(events, "v", ("event_type",), p=12).select(
+        "event_type",
+        F.col("estimate").alias("batch_estimate"),
+        "rse",
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("v").alias("n_exact")
+    )
+    return (
+        final.join(batch, "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                (F.col("estimate") == F.col("batch_estimate"))
+                & (
+                    F.abs(F.col("estimate") - F.col("n_exact"))
+                    <= 4.0 * F.col("rse") * F.col("n_exact")
+                )
+            ).alias("strm_ok"),
+        )
+    )
+
+
 def _sk_quantile_query(build, value_col, table, bound):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet")).select(value_col)
@@ -407,6 +477,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- event-time windowed aggregation (batch form; streaming twin
         #     with watermark in streaming/windows.py) ---
         "evt_window": _evt_window,
+        # --- stateful streaming approx-distinct (HLL as group state),
+        #     replayed as a real micro-batched file stream ---
+        "strm_approx_distinct": _strm_approx_distinct,
     }
 
 
@@ -687,6 +760,13 @@ def oracle_sql() -> dict[str, str]:
         "sk_kll_q": (
             "SELECT CAST(q AS DOUBLE) AS q, TRUE AS rank_ok FROM (VALUES "
             "(0.05), (0.25), (0.5), (0.75), (0.95)) t(q)"
+        ),
+        # streaming HLL: oracle recomputes exact distinct users per type;
+        # the Spark side asserts streaming==batch registers AND the 4σ bound
+        "strm_approx_distinct": (
+            "SELECT event_type, CAST(count(DISTINCT CAST(user_id AS VARCHAR)) "
+            "AS BIGINT) AS n_exact, TRUE AS strm_ok "
+            "FROM events GROUP BY event_type"
         ),
         "dd_jaccard": _JACCARD_ORACLE,
         # deterministic LSH with these (seeds, bands) has recall 1 on the

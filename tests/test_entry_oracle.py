@@ -1,43 +1,20 @@
 """Emulates the driver's correctness gate: run every __spark_entry__
 queries() entry at sf0.01 and compare row count + schema + order-insensitive
-values against its DuckDB oracle."""
+values against its DuckDB oracle.  (Shared harness: oracle_sweep.py; the
+sf0.1 twin is slow-marked in test_entry_oracle_sf01.py.)"""
 
-import os
-import sys
-
-import duckdb
-import numpy as np
-import pandas as pd
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from oracle_sweep import check_against_oracle, make_duck
 
 import __spark_entry__ as entrymod
 
 SF_DIR = "/root/testdata/sf0.01"
-TABLES = [
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "documents", "embeddings",
-]
 
 
 @pytest.fixture(scope="module")
 def duck():
-    con = duckdb.connect()
-    for t in TABLES:
-        p = os.path.join(SF_DIR, f"{t}.parquet")
-        if os.path.exists(p):
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
-    return con
-
-
-def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf[sorted(pdf.columns)].copy()
-    for c in pdf.columns:
-        if pd.api.types.is_float_dtype(pdf[c]):
-            pdf[c] = pdf[c].round(6)
-        pdf[c] = pdf[c].astype(str)
-    return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+    return make_duck(SF_DIR)
 
 
 ORACLES = entrymod.oracle_sql()
@@ -46,15 +23,7 @@ ALL = entrymod.queries()
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, duck, name):
-    got = ALL[name](spark, SF_DIR).toPandas()
-    exp = duck.sql(ORACLES[name]).df()
-    assert sorted(got.columns) == sorted(exp.columns), (
-        f"{name}: columns {sorted(got.columns)} != {sorted(exp.columns)}"
-    )
-    assert len(got) == len(exp), f"{name}: rows {len(got)} != {len(exp)}"
-    g, e = _normalize(got), _normalize(exp)
-    eq = (g.values == e.values).all()
-    assert eq, f"{name}: value mismatch\nspark:\n{g.head()}\noracle:\n{e.head()}"
+    check_against_oracle(spark, duck, name, SF_DIR)
 
 
 @pytest.mark.parametrize("name", sorted(set(ALL) - set(ORACLES)))
