@@ -80,39 +80,65 @@ def bloom_probe_udf(expr: BloomExpr):
 _FILTER_NAME = {"field": "field_bloom", "token": "token_bloom", "fieldtoken": "fieldtoken_bloom"}
 
 
-def _jvm_leaf(col_name: str, key, params: bloom.BloomParams) -> Column:
+def _jvm_leaf_sql(col_name: str, key, params: bloom.BloomParams) -> str:
     """Pure-Catalyst bitset probe for one leaf: the query key's k bit
     positions are plan-time constants, so membership is an AND of k
-    single-byte tests — ``conv(hex(substring(bloom, off, 1)), 16, 10) &
-    mask != 0`` — all inside whole-stage codegen.  A null/empty bitset
-    cannot disqualify -> True (nil-filter semantics,
-    bloom_tree_engine.go:885-907)."""
+    single-byte tests — ``cast(conv(hex(substring(bloom, off, 1)), 16, 10)
+    as int) & mask != 0`` — all inside whole-stage codegen.  A null/empty
+    bitset cannot disqualify -> True (nil-filter semantics,
+    bloom_tree_engine.go:885-907).
+
+    Emitted as a SQL STRING (the whole tree becomes ONE ``F.expr`` call):
+    building the same expression op-by-op through the Column API costs
+    ~50 blocking py4j round-trips per leaf plus a Python stack capture per
+    op (PySpark 4 error context), measured at ~0.6 s of DRIVER time per
+    query at k=7 — pure plan-construction overhead that the single parse
+    eliminates.
+
+    The k positions are carried as ONE array literal probed by a
+    ``forall`` lambda, not k inlined int comparisons: constant-folded
+    complex-type literals reach generated code as reference objects, so
+    the Java source text is IDENTICAL for every query token and Spark's
+    codegen cache hits — inlined ints changed the source per token and
+    forced a fresh janino compile (~0.3-0.5 s) on every new query."""
     positions = bloom.leaf_positions(key, params).reshape(-1)
-    test = F.lit(True)
-    for pos in positions.tolist():
-        byte_off = int(pos) // 8
-        mask = 1 << (int(pos) % 8)
-        byte_int = F.conv(
-            F.hex(F.expr(f"substring({col_name}, {byte_off + 1}, 1)")), 16, 10
-        ).cast("int")
-        test = test & (byte_int.bitwiseAND(F.lit(mask)) != 0)
-    c = F.col(col_name)
-    return F.when(c.isNull() | (F.length(c) == 0), F.lit(True)).otherwise(test)
+    arr = ",".join(str(int(p)) for p in positions.tolist())
+    return (
+        f"(CASE WHEN {col_name} IS NULL OR length({col_name}) = 0 THEN true "
+        f"ELSE forall(array({arr}), p -> "
+        f"(cast(conv(hex(substring({col_name}, p div 8 + 1, 1)), 16, 10) as int)"
+        f" & shiftleft(1, p % 8)) != 0) END)"
+    )
+
+
+def _jvm_tree_sql(expr: BloomExpr, params: bloom.BloomParams) -> str:
+    if expr.kind == "AND":
+        if not expr.children:
+            return "true"
+        return "(" + " AND ".join(_jvm_tree_sql(ch, params) for ch in expr.children) + ")"
+    if expr.kind == "OR":
+        if not expr.children:
+            return "false"
+        return "(" + " OR ".join(_jvm_tree_sql(ch, params) for ch in expr.children) + ")"
+    which, key = expr.probe_key()
+    return _jvm_leaf_sql(_FILTER_NAME[which], key, params)
 
 
 def _jvm_tree(expr: BloomExpr, params: bloom.BloomParams) -> Column:
-    if expr.kind == "AND":
-        out = F.lit(True)
+    return F.expr(_jvm_tree_sql(expr, params))
+
+
+def needed_bloom_cols(expr: BloomExpr | None) -> frozenset:
+    """The manifest bitset columns a prune tree actually tests — drives
+    column-pruned manifest caching (BloomIndex.probe_view)."""
+    if expr is None:
+        return frozenset()
+    if expr.kind in ("AND", "OR"):
+        out: frozenset = frozenset()
         for ch in expr.children:
-            out = out & _jvm_tree(ch, params)
+            out |= needed_bloom_cols(ch)
         return out
-    if expr.kind == "OR":
-        out = F.lit(False)
-        for ch in expr.children:
-            out = out | _jvm_tree(ch, params)
-        return out
-    which, key = expr.probe_key()
-    return _jvm_leaf(_FILTER_NAME[which], key, params)
+    return frozenset({_FILTER_NAME[expr.probe_key()[0]]})
 
 
 def probe_filter(expr: BloomExpr | None, params: bloom.BloomParams | None = None) -> Column:

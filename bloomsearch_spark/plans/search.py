@@ -35,6 +35,19 @@ from ..tokenizer import get_tokenizer
 # to a broadcast semi-join (keeps the driver list bounded at huge scale)
 MAX_COLLECTED_BLOCKS = 100_000
 
+# at or below this many TOTAL blocks, skip the file-level bloom probe and
+# test block blooms directly ("flat probe"): the file level exists to keep
+# the block-probe scan sub-linear at 10^7-10^9 blocks, but on a small
+# manifest it only adds a second sequential Spark job (a broadcast build of
+# the surviving file set) to every query — measured ~0.5-0.8 s of pure
+# latency at 1k blocks.  Results are identical either way (blooms only
+# disqualify; verify is exact); the cost is scanning the block bloom of
+# blocks whose FILE bloom would have pruned them, ≈ block_fpr × n_blocks
+# extra block probes (≤500 rows at this cap with p=0.01) — manifest rows,
+# not data.  Stats-mode queries always run the full hierarchy so the
+# funnel counters stay meaningful.
+FLAT_PROBE_MAX_BLOCKS = 50_000
+
 _AQE_EMPTY_RULE = "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
 
 
@@ -204,11 +217,30 @@ def prune_blocks(
     Returns the surviving slice of the block manifest (still lazy unless
     stats are requested).
     """
-    blocks = index.blocks()
-    files = index.files()
-
     pre = compile_prefilter(query.prefilter)
     prune_tree = query.prune_bloom()
+
+    # column-pruned manifest views: read (and cache) only the bitset
+    # columns this query's tree tests — the bitsets are ~99% of manifest
+    # bytes, so a cold single-filter probe reads ~half the manifest.  The
+    # pandas-UDF fallback (heterogeneous params) touches all three columns,
+    # so it gets the full view.
+    from ..operators.probe import needed_bloom_cols
+
+    needed = needed_bloom_cols(prune_tree)
+    bcols = None if index.uniform_params("blocks") is None else needed
+    blocks = index.probe_view("blocks", bcols)
+    # flat probe on small manifests: one Spark job instead of two, and the
+    # (much larger) file-bloom manifest is never read at all
+    flat = (
+        stats is None
+        and prune_tree is not None
+        and index.n_blocks() <= FLAT_PROBE_MAX_BLOCKS
+    )
+    files = None
+    if not flat:
+        fcols = None if index.uniform_params("files") is None else needed
+        files = index.probe_view("files", fcols)
 
     if stats is not None:
         # funnel counters as CollectMetrics nodes: filled by whatever action
@@ -232,7 +264,12 @@ def prune_blocks(
     else:
         blocks_f = blocks.filter(pre)
 
-    if prune_tree is not None:
+    if prune_tree is not None and flat:
+        # small manifest: probe block blooms directly, single job
+        blocks_f = blocks_f.filter(
+            probe_filter(prune_tree, index.uniform_params("blocks"))
+        )
+    elif prune_tree is not None:
         # param-homogeneous manifests (the common case) compile the bloom
         # probe to pure-JVM byte tests — no bitset bytes reach Python
         fpred = probe_filter(prune_tree, index.uniform_params("files"))

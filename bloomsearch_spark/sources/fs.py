@@ -169,6 +169,24 @@ def read_parquet_dir(dir_uri: str):
     )
 
 
+def parquet_dir_rows(dir_uri: str) -> int:
+    """Total row count of a parquet directory from FOOTERS only — no data
+    read, no Spark job; cost is one listing + one footer read per part
+    file (bounded by part-file count, not row count)."""
+    import pyarrow.parquet as pq
+
+    fs, d = resolve(dir_uri)
+    total = 0
+    for i in fs.get_file_info(pafs.FileSelector(d, recursive=False)):
+        if (
+            i.type == pafs.FileType.File
+            and i.base_name.endswith(".parquet")
+            and not i.base_name.startswith(".")
+        ):
+            total += pq.ParquetFile(i.path, filesystem=fs).metadata.num_rows
+    return total
+
+
 def list_subdirs(uri: str) -> list[str]:
     """Immediate child directory NAMES of ``uri`` ([] if it doesn't exist)."""
     fs, p = resolve(uri)

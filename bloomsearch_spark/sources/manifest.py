@@ -145,6 +145,54 @@ class BloomIndex:
                 self._files_df = df
         return df
 
+    _BLOOM_COLS = ("field_bloom", "token_bloom", "fieldtoken_bloom")
+
+    def n_blocks(self) -> int:
+        """Block-manifest row count from parquet footers (no Spark job;
+        cached per handle — versions are immutable).  Drives the adaptive
+        flat-vs-hierarchical probe choice (plans/search.py)."""
+        n = getattr(self, "_n_blocks", None)
+        if n is None:
+            n = self._n_blocks = fsx.parquet_dir_rows(
+                fsx.join(self.version_dir, "blocks.parquet")
+            )
+        return n
+
+    def probe_view(self, level: str, bloom_cols: frozenset | None) -> DataFrame:
+        """Column-pruned, independently cached slice of a manifest level
+        for the query probe: every scalar column plus ONLY the bloom bitset
+        columns the query's prune tree actually tests.  The bitsets are
+        ~99% of manifest bytes (token/fieldtoken split them roughly
+        evenly), so a cold probe needing one of the three reads ~half the
+        manifest — parquet column pruning does the skipping; each distinct
+        column set materializes its own cache once per handle (versions are
+        immutable).  ``bloom_cols=None`` -> the full blocks()/files() cache
+        (used by the pandas-UDF probe fallback, which reads all three)."""
+        if level not in ("blocks", "files"):
+            raise ValueError(level)
+        full = self.files if level == "files" else self.blocks
+        if bloom_cols is None or set(self._BLOOM_COLS) <= set(bloom_cols):
+            return full()
+        # an already-materialized full cache beats a fresh pruned read
+        if getattr(self, f"_{level}_df", None) is not None:
+            return full()
+        views = getattr(self, "_probe_views", None)
+        if views is None:
+            views = self._probe_views = {}
+        key = (level, tuple(sorted(bloom_cols)))
+        if key not in views:
+            schema = FILES_SCHEMA if level == "files" else BLOCKS_SCHEMA
+            df = self.spark.read.schema(schema).parquet(
+                fsx.join(self.version_dir, f"{level}.parquet")
+            )
+            keep = [
+                f.name
+                for f in df.schema.fields
+                if f.name not in self._BLOOM_COLS or f.name in bloom_cols
+            ]
+            views[key] = df.select(*keep).cache()
+        return views[key]
+
     def uniform_params(self, level: str) -> "IndexConfig | None":
         """The single (expected_items, fpr) of this level's manifest, or
         None when rows mix params (heterogeneous appends).  Cached per
@@ -187,6 +235,9 @@ class BloomIndex:
             if df is not None:
                 df.unpersist()
                 setattr(self, attr, None)
+        for df in getattr(self, "_probe_views", {}).values():
+            df.unpersist()
+        self._probe_views = {}
 
     def lineage(self) -> DataFrame:
         return self.spark.read.schema(LINEAGE_SCHEMA).parquet(
