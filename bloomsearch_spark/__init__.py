@@ -46,7 +46,12 @@ from .plans.merge import (
     merge_files,
     vacuum,
 )
-from .plans.search import QueryStats, search, verify_integrity
+from .plans.search import (
+    QueryStats,
+    enable_read_checksum_verification,
+    search,
+    verify_integrity,
+)
 from .sources.manifest import BloomIndex
 from .tokenizer import Tokenizer, get_tokenizer, register_tokenizer
 
@@ -59,4 +64,5 @@ __all__ = [
     "build_external_index", "build_index", "compact_blocks", "expire_blocks",
     "get_tokenizer", "merge_files", "new_query", "register_tokenizer",
     "search", "sizing", "vacuum", "verify_integrity",
+    "enable_read_checksum_verification",
 ]

@@ -77,8 +77,15 @@ _CODEC = {"none": None, "snappy": "snappy", "zstd": "zstd"}
 
 def codec_kwargs(cfg: IndexConfig) -> dict:
     """pq.write_table kwargs for the configured codec (+ zstd level knob,
-    the reference's ZstdCompressionLevel, bloom_tree_engine.go:46-80)."""
-    kw = {"compression": _CODEC[cfg.compression] or "NONE"}
+    the reference's ZstdCompressionLevel, bloom_tree_engine.go:46-80).
+
+    Page CRC32 checksums are always written (the reference CRC32C-frames
+    every block, file_format.go:121-142): ~free at write time, and readers
+    that opt in (``enable_read_checksum_verification``) get per-page
+    corruption detection DURING the scan instead of only at the on-demand
+    sha256 sweep (verify_integrity)."""
+    kw = {"compression": _CODEC[cfg.compression] or "NONE",
+          "write_page_checksum": True}
     if cfg.compression == "zstd" and cfg.zstd_level is not None:
         kw["compression_level"] = cfg.zstd_level
     return kw

@@ -492,6 +492,22 @@ def search(
     return out
 
 
+def enable_read_checksum_verification(spark: SparkSession, enabled: bool = True) -> None:
+    """Per-page CRC verification during every parquet scan — the reference
+    CRC32C-verifies each block as it streams (bloom_tree_engine.go:
+    1196-1203, file_format.go:121-142).  Index block files are always
+    WRITTEN with page checksums (build.codec_kwargs); flipping this on
+    makes any scan in the session (query data scans, manifest probes) fail
+    fast on a corrupted page instead of silently returning corrupt bytes —
+    Spark's parquet readers (vectorized included) honor the hadoop conf,
+    and files written without checksums (pre-r03 indexes, foreign parquet)
+    verify vacuously.  Off by default to match Spark; the per-row sha256
+    sweep (verify_integrity) remains the deep on-demand check."""
+    spark._jsc.hadoopConfiguration().set(
+        "parquet.page.verify-checksum.enabled", "true" if enabled else "false"
+    )
+
+
 def verify_integrity(spark: SparkSession, index: BloomIndex) -> int:
     """Per-row content-sha256 invariant check (W11 analog): recompute
     sha2(sha_col) over every stored row and count mismatches (0 = intact)."""

@@ -151,7 +151,9 @@ def write_parquet_atomic(dir_uri: str, table, filename: str, **write_kwargs) -> 
 
 def read_parquet_dir(dir_uri: str):
     """Concatenate every ``*.parquet`` file in a directory (skipping
-    temp/hidden names) into one Arrow table."""
+    temp/hidden names) into one Arrow table.  Page CRCs are always
+    verified (files without stored checksums verify vacuously): block
+    consolidation must never OR corrupt bytes into a merged block."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -165,7 +167,11 @@ def read_parquet_dir(dir_uri: str):
         and not i.base_name.startswith(".")
     )
     return pa.concat_tables(
-        [pq.read_table(p, filesystem=fs) for p in names], promote_options="default"
+        [
+            pq.read_table(p, filesystem=fs, page_checksum_verification=True)
+            for p in names
+        ],
+        promote_options="default",
     )
 
 
