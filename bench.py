@@ -249,44 +249,57 @@ def main() -> None:
         timed("txt_stats", lambda: text_stats(docs, "text").count())
 
         # LSH near-dup pair join: candidate funnel vs the N^2/2 crossJoin
-        # it replaced (VERDICT r01 item 1) — planted twins, recall vs exact
-        def neardup():
-            from bloomsearch_spark.functions.similarity import (
-                embedding_neardup_pairs,
-                neardup_candidates,
-            )
+        # it replaced (VERDICT r01 item 1) — planted twins, recall vs exact.
+        # TWO stages (VERDICT r02): `sim_neardup_lsh` times ONLY the
+        # production bucketed join; `sim_neardup_oracle` times the
+        # recall/candidate oracle machinery (incl. its brute-force-shaped
+        # candidate count) so the engine isn't charged for its own audit.
+        from bloomsearch_spark.functions.similarity import (
+            embedding_neardup_pairs,
+            neardup_candidates,
+        )
 
-            base = embs.select(
-                "vec_id",
-                F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
-            )
-            dup = base.filter(F.col("vec_id") % 10 == 0).select(
-                (F.col("vec_id") + 1_000_000).alias("vec_id"),
-                F.concat(
-                    F.array(F.element_at("embedding", 1) + F.lit(0.02)),
-                    F.slice("embedding", 2, F.size("embedding") - 1),
-                ).alias("embedding"),
-            )
-            aug = base.unionByName(dup)
-            n = aug.count()
-            pairs = {
-                (r.id_a, r.id_b) for r in embedding_neardup_pairs(aug, 0.9).collect()
+        nd_base = embs.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        nd_dup = nd_base.filter(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.concat(
+                F.array(F.element_at("embedding", 1) + F.lit(0.02)),
+                F.slice("embedding", 2, F.size("embedding") - 1),
+            ).alias("embedding"),
+        )
+        nd_aug = nd_base.unionByName(nd_dup).persist()
+        nd_n = nd_aug.count()  # materialize the fixture outside both stages
+
+        def neardup():
+            return {
+                (r.id_a, r.id_b)
+                for r in embedding_neardup_pairs(nd_aug, 0.9).collect()
             }
-            cand = neardup_candidates(aug).count()
+
+        nd_pairs = timed("sim_neardup_lsh", neardup)
+
+        def neardup_oracle():
+            cand = neardup_candidates(nd_aug).count()
             extras["neardup_candidates"] = cand
-            extras["neardup_vs_n2_ratio"] = round(cand / (n * (n - 1) / 2), 6)
+            extras["neardup_vs_n2_ratio"] = round(cand / (nd_n * (nd_n - 1) / 2), 6)
             # ground truth is analytic: organic pair sims top out ~0.6, so
             # the >=0.9 set is exactly the planted twins
             planted = {
                 (r.vec_id, r.vec_id + 1_000_000)
-                for r in base.filter(F.col("vec_id") % 10 == 0).select("vec_id").collect()
+                for r in nd_base.filter(F.col("vec_id") % 10 == 0)
+                .select("vec_id")
+                .collect()
             }
             extras["neardup_recall"] = (
-                round(len(pairs & planted) / len(planted), 4) if planted else None
+                round(len(nd_pairs & planted) / len(planted), 4) if planted else None
             )
-            return len(pairs)
+            return cand
 
-        timed("sim_neardup_lsh", neardup)
+        timed("sim_neardup_oracle", neardup_oracle)
+        nd_aug.unpersist()
 
         # ---- 4. mergeable sketches (HLL / CMS / t-digest / KLL) ------------
         from bloomsearch_spark.sketches.countmin import cms_sketch

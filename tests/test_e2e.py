@@ -433,3 +433,31 @@ def test_scan_stats_fallback_without_action(spark, index):
     stats.finish(timeout=0.5)  # observations never fired -> fallback
     assert stats.rows_matched == got.count()
     assert stats.rows_scanned >= stats.rows_matched
+
+
+def test_flat_and_hierarchical_probe_agree(spark, index, oracle_pdf, monkeypatch):
+    """The adaptive flat probe (plans/search.py FLAT_PROBE_MAX_BLOCKS) must
+    return byte-identical results to the full file->block hierarchy — blooms
+    only disqualify, verify is exact, so the two plans differ in pruning
+    work only.  Also pins that stats mode always takes the hierarchy (its
+    funnel counters include the file level)."""
+    from bloomsearch_spark.plans import search as s
+
+    queries = [
+        new_query().token("needle_alpha").build(),
+        new_query().field_token("content", "needle_beta").build(),
+        new_query().token("zz_absent_zz").build(),
+        new_query().match(Or(FieldToken("content", "needle_alpha"),
+                             FieldToken("lang", "go"))).build(),
+    ]
+    assert index.n_blocks() <= s.FLAT_PROBE_MAX_BLOCKS  # default = flat
+    flat = [_result_keys(search(spark, index, q)) for q in queries]
+    monkeypatch.setattr(s, "FLAT_PROBE_MAX_BLOCKS", 0)  # force hierarchy
+    hier = [_result_keys(search(spark, index, q)) for q in queries]
+    assert flat == hier
+
+    # stats mode reports the file funnel regardless of manifest size
+    monkeypatch.undo()
+    _, st = search(spark, index, queries[0], with_stats=True)
+    st.finish()
+    assert st.total_files > 0 and st.files_after_file_bloom >= 0
