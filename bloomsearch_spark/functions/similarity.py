@@ -312,7 +312,16 @@ def _neardup_raw_candidates(
 ) -> DataFrame:
     """Bucket-collision pairs WITHOUT cross-table dedup (a pair colliding
     in k tables appears k times) — callers either dedup ids (tiny rows
-    after scoring) or count distinct."""
+    after scoring) or count distinct.
+
+    The bucketed relation is PERSISTED (memory-and-disk) before the
+    self-join: two aliases of a plan containing a pandas UDF do NOT
+    canonicalize equal (fresh result ids), so without the persist Spark
+    plans two full source scans + two Arrow bucket-UDF passes + two
+    shuffles — measured 3× slower end-to-end at 2.4k vectors (11.6 →
+    3.8 s).  The persist spills at scale and ages out of the executor
+    cache LRU; long-running jobs issuing many neardup calls can
+    ``spark.catalog.clearCache()`` between them."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     if n_planes is None:
@@ -329,7 +338,7 @@ def _neardup_raw_candidates(
         F.col(id_col).alias("vid"),
         _as_double(F.col(vec_col)).alias("v"),
         F.posexplode(budf(F.col(vec_col))).alias("table_id", "bucket"),
-    )
+    ).persist()
     a = tagged.alias("a")
     b = tagged.alias("b")
     return (
