@@ -138,6 +138,11 @@ def jaccard_prefix_candidates(
             <= F.col("n_sh") - F.ceil(F.lit(float(threshold)) * F.col("n_sh")) + 1
         )
         .select("doc", "s")
+        # persisted: self-joined plans containing pandas UDFs don't
+        # canonicalize equal (fresh result ids), so without this Spark
+        # would run the whole shingle+df+window chain twice
+        # (see similarity._neardup_raw_candidates)
+        .persist()
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
@@ -166,7 +171,10 @@ def ngram_jaccard_pairs(
     """
     df = _parallelize(df)
     cand = jaccard_prefix_candidates(df, text_col, id_col, threshold, n, max_shingle_df)
-    sh = df.select(F.col(id_col).alias("doc"), shingles_col(text_col, n).alias("sh"))
+    # persisted: sa and sb below are two scans of this UDF-bearing plan
+    sh = df.select(
+        F.col(id_col).alias("doc"), shingles_col(text_col, n).alias("sh")
+    ).persist()
     sa = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     out = (
@@ -274,7 +282,9 @@ def minhash_lsh_pairs(
                 lambda b: F.slice(F.col("sig"), b * rows + 1, rows),
             )
         ).alias("band_id", "band_sig"),
-    ).select("doc", "band_id", F.xxhash64(F.col("band_id"), F.col("band_sig")).alias("bh"))
+    ).select(
+        "doc", "band_id", F.xxhash64(F.col("band_id"), F.col("band_sig")).alias("bh")
+    ).persist()  # self-joined UDF-bearing plan (see jaccard_prefix_candidates)
 
     a = bands_df.alias("a")
     b = bands_df.alias("b")
@@ -289,7 +299,9 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = df.select(F.col(id_col).alias("doc"), shingles_col(text_col, n).alias("sh"))
+    sh = df.select(
+        F.col(id_col).alias("doc"), shingles_col(text_col, n).alias("sh")
+    ).persist()  # sa and sb are two scans of this UDF-bearing plan
     sa = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     out = (
@@ -371,7 +383,8 @@ def simhash_pairs(
                 ]
             )
         ).alias("band"),
-    ).select("doc", "simhash", "band.band_id", "band.band_bits")
+    ).select("doc", "simhash", "band.band_id", "band.band_bits").persist()
+    # ^ self-joined UDF-bearing plan (see jaccard_prefix_candidates)
 
     a = banded.alias("a")
     b = banded.alias("b")
