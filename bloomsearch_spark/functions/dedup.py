@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark.storagelevel import StorageLevel
 from pyspark.sql import DataFrame, functions as F
 
 from .text import WS, fingerprint
@@ -142,7 +143,7 @@ def jaccard_prefix_candidates(
         # canonicalize equal (fresh result ids), so without this Spark
         # would run the whole shingle+df+window chain twice
         # (see similarity._neardup_raw_candidates)
-        .persist()
+        .persist(StorageLevel.MEMORY_ONLY)
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
@@ -174,7 +175,7 @@ def ngram_jaccard_pairs(
     # persisted: sa and sb below are two scans of this UDF-bearing plan
     sh = df.select(
         F.col(id_col).alias("doc"), shingles_col(text_col, n).alias("sh")
-    ).persist()
+    ).persist(StorageLevel.MEMORY_ONLY)
     sa = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     out = (
@@ -284,7 +285,7 @@ def minhash_lsh_pairs(
         ).alias("band_id", "band_sig"),
     ).select(
         "doc", "band_id", F.xxhash64(F.col("band_id"), F.col("band_sig")).alias("bh")
-    ).persist()  # self-joined UDF-bearing plan (see jaccard_prefix_candidates)
+    ).persist(StorageLevel.MEMORY_ONLY)  # self-joined UDF-bearing plan (see jaccard_prefix_candidates)
 
     a = bands_df.alias("a")
     b = bands_df.alias("b")
@@ -301,7 +302,7 @@ def minhash_lsh_pairs(
 
     sh = df.select(
         F.col(id_col).alias("doc"), shingles_col(text_col, n).alias("sh")
-    ).persist()  # sa and sb are two scans of this UDF-bearing plan
+    ).persist(StorageLevel.MEMORY_ONLY)  # sa and sb are two scans of this UDF-bearing plan
     sa = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     out = (
@@ -383,7 +384,7 @@ def simhash_pairs(
                 ]
             )
         ).alias("band"),
-    ).select("doc", "simhash", "band.band_id", "band.band_bits").persist()
+    ).select("doc", "simhash", "band.band_id", "band.band_bits").persist(StorageLevel.MEMORY_ONLY)
     # ^ self-joined UDF-bearing plan (see jaccard_prefix_candidates)
 
     a = banded.alias("a")

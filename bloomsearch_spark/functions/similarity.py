@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark.storagelevel import StorageLevel
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -314,14 +315,17 @@ def _neardup_raw_candidates(
     in k tables appears k times) — callers either dedup ids (tiny rows
     after scoring) or count distinct.
 
-    The bucketed relation is PERSISTED (memory-and-disk) before the
+    The bucketed relation is PERSISTED (MEMORY_ONLY) before the
     self-join: two aliases of a plan containing a pandas UDF do NOT
     canonicalize equal (fresh result ids), so without the persist Spark
     plans two full source scans + two Arrow bucket-UDF passes + two
     shuffles — measured 3× slower end-to-end at 2.4k vectors (11.6 →
-    3.8 s).  The persist spills at scale and ages out of the executor
-    cache LRU; long-running jobs issuing many neardup calls can
-    ``spark.catalog.clearCache()`` between them."""
+    3.8 s).  MEMORY_ONLY deliberately: evicted partitions recompute
+    (correct, just slower) and nothing accumulates on spark.local.dir
+    disk across many calls in a long session — MEMORY_AND_DISK blocks
+    would persist on disk until an explicit unpersist, which a lazy
+    operator API cannot schedule.  ``spark.catalog.clearCache()`` is the
+    bulk escape hatch between jobs."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     if n_planes is None:
@@ -338,7 +342,7 @@ def _neardup_raw_candidates(
         F.col(id_col).alias("vid"),
         _as_double(F.col(vec_col)).alias("v"),
         F.posexplode(budf(F.col(vec_col))).alias("table_id", "bucket"),
-    ).persist()
+    ).persist(StorageLevel.MEMORY_ONLY)
     a = tagged.alias("a")
     b = tagged.alias("b")
     return (

@@ -234,13 +234,24 @@ def verify_external_integrity(spark: SparkSession, index: mf.BloomIndex) -> int:
         .distinct()
         .collect()
     )
-    live_dirs = [d for d in dirs if fsx.exists(d)]  # one stat per DIRECTORY
+    from urllib.parse import unquote
+
+    # input_file_name() percent-encodes special characters, but both the
+    # driver-side stat AND spark.read take literal paths (Spark's reader
+    # does NOT URL-decode a "%20"), so decode for both; the re-read's own
+    # input_file_name() re-encodes, keeping the semi-join keys aligned
+    # with the stored data_path values
+    live_dirs = [unquote(d) for d in dirs if fsx.exists(unquote(d))]
     if not live_dirs:
         return blocks.count()
+    try:
+        src = spark.read.option("ignoreMissingFiles", "true").parquet(*live_dirs)
+    except Exception:
+        # dirs exist but hold no readable parquet (all source files gone):
+        # schema inference fails — every block is a mismatch, not a crash
+        return blocks.count()
     data = (
-        spark.read.option("ignoreMissingFiles", "true")
-        .parquet(*live_dirs)
-        .withColumn("data_path", F.input_file_name())
+        src.withColumn("data_path", F.input_file_name())
         .join(
             F.broadcast(blocks.select("data_path").distinct()),
             "data_path",

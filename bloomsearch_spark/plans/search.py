@@ -300,11 +300,17 @@ def prune_blocks(
         stats.total_files = files.count()
         stats.files_after_file_bloom = stats.total_files
     if stats is not None:
+        # the fallback file predicate must reference only columns present
+        # in the (possibly column-pruned) files view: compile it with the
+        # SAME params as the main path — heterogeneous params fall back to
+        # the pandas UDF, but then fcols was None and the view is full
         stats._fallback = (
             blocks,
             pre,
             files,
-            probe_filter(prune_tree) if prune_tree is not None else None,
+            probe_filter(prune_tree, index.uniform_params("files"))
+            if prune_tree is not None
+            else None,
         )
     return blocks_f
 

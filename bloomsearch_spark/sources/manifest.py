@@ -70,10 +70,16 @@ def _current_path(root: str) -> str:
 
 
 def current_version(root: str) -> str | None:
-    """Resolve the committed manifest version, or None if never committed."""
+    """Resolve the committed manifest version, or None if never committed.
+
+    Only a NOT-FOUND maps to None (never committed): swallowing broader
+    OSErrors would let a transient I/O failure look like a fresh root and
+    a subsequent commit would restart versioning at v1 over committed
+    data.  pyarrow filesystems raise FileNotFoundError for missing paths;
+    anything else propagates loudly."""
     try:
         return fsx.read_bytes(_current_path(root)).decode().strip() or None
-    except (FileNotFoundError, OSError):
+    except FileNotFoundError:
         return None
 
 
@@ -150,12 +156,22 @@ class BloomIndex:
     def n_blocks(self) -> int:
         """Block-manifest row count from parquet footers (no Spark job;
         cached per handle — versions are immutable).  Drives the adaptive
-        flat-vs-hierarchical probe choice (plans/search.py)."""
+        flat-vs-hierarchical probe choice (plans/search.py).
+
+        If the DRIVER cannot read the root through pyarrow (e.g. an
+        s3a:// deployment where only Spark's Hadoop conf holds
+        credentials), returns a large sentinel so the query path falls
+        back to the hierarchical probe — correct on any root — instead of
+        failing the whole search."""
         n = getattr(self, "_n_blocks", None)
         if n is None:
-            n = self._n_blocks = fsx.parquet_dir_rows(
-                fsx.join(self.version_dir, "blocks.parquet")
-            )
+            try:
+                n = fsx.parquet_dir_rows(
+                    fsx.join(self.version_dir, "blocks.parquet")
+                )
+            except Exception:
+                n = 2**62
+            self._n_blocks = n
         return n
 
     def probe_view(self, level: str, bloom_cols: frozenset | None) -> DataFrame:
@@ -211,7 +227,14 @@ class BloomIndex:
             if known:
                 cache[level] = _BP(int(known[0]), float(known[1]))
                 return cache[level]
-            df = self.files() if level == "files" else self.blocks()
+            # cache=False: this tiny scalar probe must not materialize the
+            # full (bitset-heavy) manifest cache — that would defeat the
+            # column-pruned probe_view for pre-r03 manifests
+            df = (
+                self.files(cache=False)
+                if level == "files"
+                else self.blocks(cache=False)
+            )
             rows = (
                 df.select("expected_items", "fpr")
                 .filter("expected_items IS NOT NULL")

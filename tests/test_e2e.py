@@ -461,3 +461,21 @@ def test_flat_and_hierarchical_probe_agree(spark, index, oracle_pdf, monkeypatch
     _, st = search(spark, index, queries[0], with_stats=True)
     st.finish()
     assert st.total_files > 0 and st.files_after_file_bloom >= 0
+
+
+def test_stats_fallback_works_on_pruned_views(spark, index):
+    """r03 review fix: the funnel-counter fallback (taken when the
+    Observations never fire, e.g. overflow or optimizer elision) must
+    filter the COLUMN-PRUNED files view with a predicate that references
+    only its columns — the generic pandas-UDF probe touches all three
+    bitset columns and would raise UNRESOLVED_COLUMN."""
+    from bloomsearch_spark.plans.search import QueryStats, prune_blocks
+
+    q = new_query().token("needle_alpha").build()
+    stats = QueryStats()
+    surv = prune_blocks(index, q, stats)
+    surv.select("data_path").limit(10).collect()  # fire the plan
+    stats._finalize(force_fallback=True)  # recompute via counts on the views
+    assert stats.total_blocks > 0
+    assert stats.total_files > 0
+    assert 0 <= stats.files_after_file_bloom <= stats.total_files

@@ -179,3 +179,32 @@ def test_merge_files_works_compact_refuses(spark, ext_index):
         compact_blocks(spark, merged)
     # vacuum must never touch external source files
     assert vacuum(merged) == 0
+
+
+def test_verify_all_sources_deleted_counts_not_crashes(spark, tmp_path):
+    """r03 review fix: if every source parquet is gone but the directory
+    survives, schema inference on the empty dir must degrade to 'all
+    blocks mismatch', not an AnalysisException."""
+    src = str(tmp_path / "src")
+    generate_df(spark, 500).repartition(2).write.mode("overwrite").parquet(src)
+    root = str(tmp_path / "idx")
+    idx = build_external_index(spark, src, root, CFG, source_desc=src)
+    n = idx.blocks().count()
+    for f in glob.glob(os.path.join(src, "*.parquet")):
+        os.remove(f)
+    from bloomsearch_spark.plans.external import verify_external_integrity
+
+    assert verify_external_integrity(spark, idx) == n
+
+
+def test_external_verify_with_space_in_path(spark, tmp_path):
+    """r03 review fix: input_file_name() percent-encodes URIs; the
+    driver-side dir existence stat must decode before stat'ing, or an
+    intact index under 'my data/' reports every block mismatching."""
+    src = str(tmp_path / "my data" / "src")
+    generate_df(spark, 500).repartition(2).write.mode("overwrite").parquet(src)
+    root = str(tmp_path / "idx2")
+    idx = build_external_index(spark, src, root, CFG, source_desc=src)
+    from bloomsearch_spark.plans.external import verify_external_integrity
+
+    assert verify_external_integrity(spark, idx) == 0
