@@ -104,18 +104,7 @@ def insert(bitset: np.ndarray, tokens: np.ndarray | list, params: BloomParams) -
 
     Returns the number of *distinct* tokens inserted (for metrics).
     """
-    if len(tokens) == 0:
-        return 0
-    uniq = pd.unique(np.asarray(tokens, dtype=object))
-    m, k = params.mk
-    for lo in range(0, len(uniq), _CHUNK_TOKENS):
-        chunk = uniq[lo : lo + _CHUNK_TOKENS]
-        h1, h2 = _base_hashes(chunk)
-        pos = _positions(h1, h2, m, k).reshape(-1)
-        byte_idx = (pos >> np.uint64(3)).astype(np.int64)
-        bit = (pos & np.uint64(7)).astype(np.uint8)
-        np.bitwise_or.at(bitset, byte_idx, np.uint8(1) << bit)
-    return len(uniq)
+    return insert_into_many([bitset], tokens, [params])
 
 
 def insert_into_many(

@@ -122,7 +122,16 @@ def _minmax_maps_arrow(tbl: pa.Table, cfg: IndexConfig) -> tuple[dict, dict]:
             try:
                 arr = pc.cast(arr, pa.float64())
             except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
-                continue
+                # whole-column cast fails on ANY bad value; coerce per
+                # element instead so a few non-numeric strings don't drop
+                # the field's zone map entirely — keeps this path's output
+                # identical to _minmax_maps' pd.to_numeric(errors="coerce")
+                # on the clustered build (strict MinMax queries would
+                # otherwise answer differently per build mode)
+                ser = pd.to_numeric(
+                    tbl[f].to_pandas(), errors="coerce"
+                )
+                arr = pa.array(ser, type=pa.float64(), from_pandas=True)
         mm = pc.min_max(arr)
         lo, hi = mm["min"].as_py(), mm["max"].as_py()
         if lo is None:
@@ -144,9 +153,17 @@ class BlockAccumulator:
         self.block_sets = [bloom.new_bitset(bp) for _ in range(3)]
         self.file_sets = [bloom.new_bitset(fp) for _ in range(3)]
         self.rows = 0
-        self.tokens = 0
+        # distinct entries across ALL add() calls: per-batch uniques can
+        # recur between batches, so summing batch counts would inflate
+        # token_count vs the one-shot build path (memory = the block's
+        # distinct entry set — block-bounded by construction)
+        self._seen: set = set()
         self.mn: dict[str, int] = {}
         self.mx: dict[str, int] = {}
+
+    @property
+    def tokens(self) -> int:
+        return len(self._seen)
 
     def add(self, tbl: pa.Table) -> None:
         cfg = self.cfg
@@ -159,9 +176,10 @@ class BlockAccumulator:
             fields, tokens, pairs = _index_entries_arrow(tbl, cfg)
             mn, mx = _minmax_maps_arrow(tbl, cfg)
         for i, entries in enumerate((np.asarray(fields, dtype=object), tokens, pairs)):
-            self.tokens += bloom.insert_into_many(
+            bloom.insert_into_many(
                 [self.block_sets[i], self.file_sets[i]], entries, [bp, fp]
             )
+            self._seen.update((i, e) for e in entries)
         self.rows += len(tbl)
         for f, v in mn.items():
             self.mn[f] = min(self.mn.get(f, v), v)
@@ -277,7 +295,6 @@ def build_block_entry(
 ) -> pd.DataFrame:
     """Grouped-map body: one (file_id, block_id, partition_id) group ->
     one manifest row carrying block blooms + file-partial blooms."""
-    file_id, block_id, partition_id = key
     bp, fp = cfg.block_params, cfg.file_params
 
     block_sets = [bloom.new_bitset(bp) for _ in range(3)]  # field, token, pair
@@ -298,26 +315,10 @@ def build_block_entry(
 
     return pd.DataFrame(
         [
-            {
-                "file_id": file_id,
-                "block_id": block_id,
-                "partition_id": partition_id,
-                "row_count": len(pdf),
-                "token_count": n_tokens,
-                "block_count": 1,
-                "minmax_min": mn_map,
-                "minmax_max": mx_map,
-                "expected_items": cfg.max_block_rows,
-                "fpr": cfg.block_fpr,
-                "field_bloom": block_sets[0].tobytes(),
-                "token_bloom": block_sets[1].tobytes(),
-                "fieldtoken_bloom": block_sets[2].tobytes(),
-                "file_expected_items": cfg.file_expected_items,
-                "file_fpr": cfg.file_fpr,
-                "file_field_bloom": file_sets[0].tobytes(),
-                "file_token_bloom": file_sets[1].tobytes(),
-                "file_fieldtoken_bloom": file_sets[2].tobytes(),
-            }
+            _entry_dict(
+                key, len(pdf), n_tokens, mn_map, mx_map, cfg,
+                block_sets, file_sets,
+            )
         ]
     )
 

@@ -72,10 +72,18 @@ def compile_bloom_verify(
       (the reference indexes every field; our fixed-schema equivalent of
       "anywhere in the document" is "any indexed column")
     - FIELD_TOKEN f t: t appears in the tokenization of column f
+
+    FIELD / FIELD_TOKEN leaves naming a column OUTSIDE ``indexed_fields``
+    compile to constant False: the build never inserted that field, so
+    only bloom FALSE-POSITIVE blocks could reach verify — gating on the
+    raw data columns instead would make results an FPR-dependent random
+    subset.  "Not indexed" deterministically means "cannot match" (the
+    reference indexes every field, so the case has no Go analog).
     """
     if expr is None:
         return F.lit(True)
     cols = set(columns)
+    indexed = set(indexed_fields) & cols
     if expr.kind == "AND":
         out = F.lit(True)
         for ch in expr.children:
@@ -87,7 +95,7 @@ def compile_bloom_verify(
             out = out | compile_bloom_verify(ch, indexed_fields, columns, tokenizer)
         return out
     if expr.kind == "FIELD":
-        return F.col(expr.field).isNotNull() if expr.field in cols else F.lit(False)
+        return F.col(expr.field).isNotNull() if expr.field in indexed else F.lit(False)
     if expr.kind == "TOKEN":
         out = F.lit(False)
         for c in indexed_fields:
@@ -95,7 +103,7 @@ def compile_bloom_verify(
                 out = out | _token_in_col(c, expr.token, tokenizer)
         return out
     if expr.kind == "FIELD_TOKEN":
-        if expr.field not in cols:
+        if expr.field not in indexed:
             return F.lit(False)
         return _token_in_col(expr.field, expr.token, tokenizer)
     raise AssertionError(expr.kind)

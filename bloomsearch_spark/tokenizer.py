@@ -28,21 +28,50 @@ import pandas as pd
 FIELD_TOKEN_SEP = "::"  # makeFieldTokenKey, bloom_tree_engine.go:34-36
 
 
+def _go_float_str(v: float) -> str:
+    """float64 -> Go ``fmt %v`` text, i.e. ``strconv.FormatFloat(v, 'g',
+    -1, 64)``: shortest round-trip digits; scientific form iff the decimal
+    exponent is < -4 or >= 6 (strconv's ftoa pins eprec to 6 for shortest
+    'g'); exponent sign + >=2 digits.  So ``30.0`` -> ``"30"``,
+    ``100000.0`` -> ``"100000"``, ``1234567.0`` -> ``"1.234567e+06"``,
+    ``1e19`` -> ``"1e+19"`` (the old ``%g`` path truncated to 6
+    significant digits and str(int(...)) overflowed int64 at 2^63)."""
+    if math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "+Inf" if v > 0 else "-Inf"
+    if v == 0:
+        return "-0" if math.copysign(1.0, v) < 0 else "0"
+    from decimal import Decimal
+
+    sign, digits, dexp = Decimal(repr(v)).as_tuple()  # repr = shortest digits
+    raw = "".join(map(str, digits))
+    exp = len(raw) + dexp - 1  # decimal exponent of the leading digit
+    ds = raw.rstrip("0") or "0"
+    neg = "-" if sign else ""
+    if exp < -4 or exp >= 6:
+        mant = ds[0] + ("." + ds[1:] if len(ds) > 1 else "")
+        return f"{neg}{mant}e{exp:+03d}"
+    if exp >= len(ds) - 1:
+        return neg + ds + "0" * (exp - len(ds) + 1)
+    if exp >= 0:
+        return neg + ds[: exp + 1] + "." + ds[exp + 1 :]
+    return neg + "0." + "0" * (-exp - 1) + ds
+
+
 def go_format_value(v: Any) -> str:
     """Stringify a JSON primitive the way Go ``fmt.Sprintf("%v", v)`` does
-    after a JSON round-trip (all numbers are float64): integral floats print
-    without a decimal point (tokenizer.go:79,98; tokenizer_test.go "30" case).
+    after a JSON round-trip (all numbers are float64): integral floats with
+    exponent < 6 print without a decimal point (tokenizer.go:79,98;
+    tokenizer_test.go "30" case); larger/smaller magnitudes take Go's
+    shortest scientific form (see ``_go_float_str``).
     """
     if v is None:
         return "<nil>"
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
-        if math.isinf(v) or math.isnan(v):
-            return repr(v)
-        if v == int(v) and abs(v) < 1e21:
-            return str(int(v))
-        return f"{v:g}"
+        return _go_float_str(v)
     return str(v)
 
 
@@ -65,12 +94,18 @@ def stringify_series(s: pd.Series) -> pd.Series:
         return s.astype("Int64").astype(str).replace("<NA>", "")
     if pd.api.types.is_float_dtype(s):
         notna = s.notna()
-        integral = notna & (s % 1 == 0) & (s.abs() < 1e21)
+        # fast path: integral and |v| < 1e6 (decimal exponent < 6 -> Go
+        # prints positional, so str(int) is exact and int64-safe); -0.0 is
+        # excluded (Go prints "-0").  Everything else goes through the
+        # exact Go formatter — the old astype("int64") silently WRAPPED at
+        # 2^63 and %g truncated to 6 significant digits.
+        vals = s.to_numpy(dtype="float64", na_value=np.nan)
+        integral = notna & (s % 1 == 0) & (s.abs() < 1e6) & ~np.signbit(vals)
         out = pd.Series("", index=s.index, dtype=object)
         out[integral] = s[integral].astype("int64").astype(str)
         rest = notna & ~integral
         if rest.any():
-            out[rest] = s[rest].map(lambda v: f"{v:g}")
+            out[rest] = s[rest].map(_go_float_str)
         return out
     return s.fillna("").astype(str)
 
@@ -151,7 +186,11 @@ def get_tokenizer(name: str) -> Tokenizer:
 def _ws_sql_tokens(c):
     from pyspark.sql import functions as F
 
-    return F.split(F.lower(c), r"\s+")
+    # (?U): Java \s is ASCII-only by default, but the python (.split())
+    # and Arrow (utf8_split_whitespace) faces — and Go strings.Fields —
+    # split on Unicode whitespace (NBSP etc.); without the flag the exact-
+    # verify stage would silently drop rows the index correctly matched
+    return F.split(F.lower(c), r"(?U)\s+")
 
 
 def _ws_arrow_unique(arr) -> np.ndarray:
@@ -235,18 +274,30 @@ CODE_IDENTIFIERS = register_tokenizer(
 )
 
 
+# one UDF object per value_fn: a multi-leaf verify predicate calls
+# tokens_udf once per (leaf, column) — distinct pandas_udf objects would
+# each be a separate py4j registration and a separate Python-eval node
+# Catalyst cannot share (the same class of per-leaf plan-construction
+# overhead probe._jvm_leaf_sql eliminates on the bloom side)
+_TOKENS_UDF_CACHE: dict = {}
+
+
 def tokens_udf(tokenizer: Tokenizer):
     """Arrow-batched pandas UDF: string column -> array<string> of tokens
     via ``value_fn`` — the generic fallback when a custom tokenizer has no
-    ``sql_tokens`` face."""
+    ``sql_tokens`` face.  Memoized per ``value_fn`` identity."""
     from pyspark.sql import functions as F
 
     fn = tokenizer.value_fn
+    cached = _TOKENS_UDF_CACHE.get(fn)
+    if cached is not None:
+        return cached
 
     @F.pandas_udf("array<string>")
     def toks(s: pd.Series) -> pd.Series:
         return s.map(lambda v: [] if v is None else fn(v))
 
+    _TOKENS_UDF_CACHE[fn] = toks
     return toks
 
 

@@ -127,3 +127,64 @@ def test_fill_ratio():
     assert bloom.fill_ratio(bs) == 0.0
     bloom.insert(bs, [f"i{i}" for i in range(1_000)], p)
     assert 0.3 < bloom.fill_ratio(bs) < 0.7  # ~50% at capacity is the optimum
+
+
+def test_minmax_arrow_matches_pandas_on_mixed_strings():
+    """r03 review fix: whole-column Arrow cast fails on ANY bad value and
+    used to drop the field's zone map, diverging from the clustered path's
+    per-element coercion — same data, different strict-MinMax answers."""
+    import pyarrow as pa
+
+    from bloomsearch_spark import IndexConfig
+    from bloomsearch_spark.operators.blockindex import _minmax_maps, _minmax_maps_arrow
+
+    cfg = IndexConfig(
+        indexed_fields=("x",), partition_expr="'p'", minmax_fields=("x",)
+    )
+    tbl = pa.table({"x": ["10", "abc", "99"]})
+    mn_a, mx_a = _minmax_maps_arrow(tbl, cfg)
+    mn_p, mx_p = _minmax_maps(tbl.to_pandas(), cfg)
+    assert (mn_a, mx_a) == (mn_p, mx_p)
+    assert mn_a == {"x": 10} and mx_a == {"x": 99}
+
+
+def test_accumulator_token_count_distinct_across_batches():
+    """r03 review fix: re-adding the same rows in a second batch must not
+    inflate token_count (per-batch uniques recur across batches)."""
+    import pyarrow as pa
+
+    from bloomsearch_spark import IndexConfig
+    from bloomsearch_spark.operators.blockindex import BlockAccumulator
+
+    cfg = IndexConfig(
+        indexed_fields=("content",), partition_expr="'p'",
+        max_block_rows=100, blocks_per_file=2,
+    )
+    acc = BlockAccumulator(cfg)
+    tbl = pa.table({"content": ["x y", "y z"]})
+    acc.add(tbl)
+    n1 = acc.tokens
+    acc.add(tbl)  # identical slice: zero NEW distinct entries
+    assert acc.tokens == n1 > 0
+
+
+def test_non_indexed_field_verify_is_deterministically_false(spark):
+    """r03 review fix: FIELD/FIELD_TOKEN on a real-but-non-indexed column
+    compiles to constant False (the build never inserted it; gating on data
+    columns made results a bloom-FP-dependent random subset)."""
+    from pyspark.sql import functions as F
+
+    from bloomsearch_spark.operators.verify import compile_bloom_verify
+    from bloomsearch_spark.query import new_query
+
+    df = spark.createDataFrame([("a1", "c1")], "a string, c string")
+    for q in (
+        new_query().field("c").build(),
+        new_query().field_token("c", "c1").build(),
+    ):
+        pred = compile_bloom_verify(q.bloom, ("a",), df.columns)
+        assert df.filter(pred).count() == 0
+    # indexed field still verifies normally
+    q = new_query().field_token("a", "a1").build()
+    pred = compile_bloom_verify(q.bloom, ("a",), df.columns)
+    assert df.filter(pred).count() == 1

@@ -195,3 +195,64 @@ def test_custom_registered_tokenizer_roundtrip():
     )
     cfg = IndexConfig(indexed_fields=("x",), tokenizer="csv_fields")
     assert IndexConfig.from_dict(cfg.to_dict()).tokenizer == "csv_fields"
+
+
+def test_go_float_formatting_reference_exact():
+    """r03 review fix: Go fmt %v == strconv 'g' shortest — scientific iff
+    decimal exponent < -4 or >= 6; the old %g truncated to 6 significant
+    digits and str(int(...)) silently wrapped int64 at 2^63."""
+    import pandas as pd
+
+    from bloomsearch_spark.tokenizer import _go_float_str, stringify_series
+
+    cases = [
+        (30.0, "30"), (100000.0, "100000"), (999999.0, "999999"),
+        (1000000.0, "1e+06"), (1234567.0, "1.234567e+06"),
+        (12345678.0, "1.2345678e+07"), (3.14159265, "3.14159265"),
+        (1e19, "1e+19"), (0.0001, "0.0001"), (0.00001, "1e-05"),
+        (-42.5, "-42.5"), (0.0, "0"), (1.5e300, "1.5e+300"),
+        (float("inf"), "+Inf"), (float("-inf"), "-Inf"),
+    ]
+    for v, want in cases:
+        assert _go_float_str(v) == want, (v, want, _go_float_str(v))
+    assert _go_float_str(-0.0) == "-0"
+    assert _go_float_str(float("nan")) == "NaN"
+    # the vectorized face agrees, including int64-overflow magnitudes
+    s = pd.Series([1e19, 30.0, 1234567.0, None, 0.5])
+    assert stringify_series(s).tolist() == ["1e+19", "30", "1.234567e+06", "", "0.5"]
+
+
+def test_unicode_whitespace_consistent_across_faces(spark):
+    """r03 review fix: Java \\s is ASCII-only, so the SQL verify face
+    needed (?U) to split NBSP like the python/Arrow build faces (and Go
+    strings.Fields) — otherwise verify false-negatives rows the index
+    correctly matched."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    from bloomsearch_spark.tokenizer import WHITESPACE_LOWER
+
+    txt = "Hello World bar"
+    py = sorted(WHITESPACE_LOWER.value_fn(txt))
+    arrow = sorted(WHITESPACE_LOWER.arrow_unique(pa.array([txt])).tolist())
+    df = spark.createDataFrame([(txt,)], "s string")
+    sql = sorted(
+        df.select(WHITESPACE_LOWER.sql_tokens(F.col("s")).alias("t")).collect()[0].t
+    )
+    assert py == arrow == sql == ["bar", "hello", "world"]
+
+
+def test_nbsp_document_found_end_to_end(spark, tmp_path):
+    from bloomsearch_spark import IndexConfig, build_index, new_query, search
+
+    df = spark.createDataFrame(
+        [("r1", "alpha needletok beta"), ("r2", "plain text")],
+        "id string, content string",
+    )
+    cfg = IndexConfig(
+        indexed_fields=("content",), partition_expr="'p'",
+        max_block_rows=10, blocks_per_file=2, sha_col="content",
+    )
+    idx = build_index(spark, df, str(tmp_path / "idx"), cfg)
+    got = search(spark, idx, new_query().token("needletok").build())
+    assert [r.id for r in got.collect()] == ["r1"]
