@@ -99,6 +99,10 @@ def _decode_one(raw: bytes) -> tuple[int, int, int, float]:
     if raw is None or len(raw) < 8:
         return (0, 0, 0, float("nan"))
     if raw[:8] == _FAKE_MAGIC:
+        if len(raw) < 16:  # magic matched but the 16-byte header is cut
+            raise ValueError(
+                f"truncated FAKE1IMG blob: {len(raw)} bytes < 16-byte header"
+            )
         w, h, seed = struct.unpack("<HHI", raw[8:16])
         return (w, h, 1, float(fake_mean_luma(seed)))
     if _HAVE_PIL:
@@ -150,7 +154,13 @@ def resize_images(
     schema = f"{out_schema}, resized binary"
 
     def one(raw: bytes) -> bytes:
-        if raw is not None and raw[:8] == _FAKE_MAGIC:
+        if raw is None:  # null blob -> null resized (decode_images parity)
+            return None
+        if raw[:8] == _FAKE_MAGIC:
+            if len(raw) < 16:
+                raise ValueError(
+                    f"truncated FAKE1IMG blob: {len(raw)} bytes < 16-byte header"
+                )
             _, _, seed = struct.unpack("<HHI", raw[8:16])
             return fake_image_bytes(width, height, seed)
         if _HAVE_PIL:

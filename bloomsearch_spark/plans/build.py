@@ -104,6 +104,30 @@ def _arrow_schema(df: DataFrame, drop: tuple[str, ...]) -> pa.Schema:
     return to_arrow_schema(StructType(kept))
 
 
+def _row_hash(df: DataFrame):
+    """Deterministic per-row hash for block/salt scatter.  ``xxhash64``
+    rejects MapType inputs outright, so map-bearing columns are excluded;
+    if EVERY column contains a map, fall back to hashing the JSON form
+    (to_json supports maps; key order follows the stored order, which is
+    stable for re-read data — determinism within a build is what the
+    scatter needs)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def has_map(dt) -> bool:
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, ArrayType):
+            return has_map(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(has_map(f.dataType) for f in dt.fields)
+        return False
+
+    cols = [f.name for f in df.schema.fields if not has_map(f.dataType)]
+    if cols:
+        return F.xxhash64(*[F.col(c) for c in cols])
+    return F.xxhash64(F.to_json(F.struct(*df.columns)))
+
+
 def assign_blocks(df: DataFrame, cfg: IndexConfig, build_tag: str) -> DataFrame:
     """Deterministic, window-free block/file assignment.
 
@@ -111,7 +135,14 @@ def assign_blocks(df: DataFrame, cfg: IndexConfig, build_tag: str) -> DataFrame:
     a row hash scatters rows uniformly across that partition's blocks.
     Deterministic => identical assignment on re-run (resume safety).
     """
-    d = df.withColumn("partition_id", F.expr(cfg.partition_expr).cast("string"))
+    # NULL partition values coalesce to "" like the map path (build_index
+    # line ~440): without it the slug concat yields NULL file_id/block_id
+    # and those rows would be silently dropped by the manifest's
+    # isNotNull filter while their data landed in an unreachable dir
+    d = df.withColumn(
+        "partition_id",
+        F.coalesce(F.expr(cfg.partition_expr).cast("string"), F.lit("")),
+    )
     if cfg.sha_col:
         d = d.withColumn("content_sha", F.sha2(F.col(cfg.sha_col).cast("string"), 256))
 
@@ -123,11 +154,10 @@ def assign_blocks(df: DataFrame, cfg: IndexConfig, build_tag: str) -> DataFrame:
             .agg(F.ceil(F.count("*") / cfg.max_block_rows).cast("long").alias("_n_blocks"))
             .withColumn("_n_blocks", F.greatest(F.lit(1), F.col("_n_blocks")))
         )
-        src_cols = [c for c in df.columns]
         d = d.join(F.broadcast(counts), "partition_id")
         d = d.withColumn(
             "_block_seq",
-            F.pmod(F.xxhash64(*[F.col(c) for c in src_cols]), F.col("_n_blocks")),
+            F.pmod(_row_hash(df), F.col("_n_blocks")),
         ).drop("_n_blocks")
     # slug keeps dir names filesystem-safe; short hash disambiguates slugs
     slug = F.concat(
@@ -367,23 +397,16 @@ def _estimate_rows(spark: SparkSession, df: DataFrame) -> int:
     pre-materialize a heavily-filtered source if exact sizing matters."""
     try:
         files = df.inputFiles()
+        resolved = [fsx.resolve(f) for f in files]  # one URI parser (fs.py)
     except Exception:
-        files = []
-    local = []
-    for f in files:
-        if f.startswith("file:"):
-            p = f[5:]
-            while p.startswith("//"):
-                p = p[1:]
-            local.append(p)
-    if local and len(local) == len(files):
+        resolved = []
+    local = [p for fs, p in resolved if fsx._is_local(fs)]
+    if local and len(local) == len(resolved):
         try:
-            import pyarrow.parquet as papq
-
             if len(local) <= 256:
-                return max(1, sum(papq.read_metadata(p).num_rows for p in local))
+                return max(1, sum(pq.read_metadata(p).num_rows for p in local))
             sample = local[:256]
-            srows = sum(papq.read_metadata(p).num_rows for p in sample)
+            srows = sum(pq.read_metadata(p).num_rows for p in sample)
             sbytes = sum(os.path.getsize(p) for p in sample)
             tbytes = sum(os.path.getsize(p) for p in local)
             return max(1, int(srows * (tbytes / max(1, sbytes))))
@@ -465,9 +488,7 @@ def build_index(
             want = max(1, math.ceil(n_rows / per_task))
             max_tasks = max(1, math.ceil(n_rows / cfg.max_block_rows))
             want = min(max(want, 128), max_tasks)
-            salt = F.pmod(
-                F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(want)
-            )
+            salt = F.pmod(_row_hash(df), F.lit(want))
             d = d.repartition(want, F.col("partition_id"), salt)
         if not _stage_done(staging):
             (
@@ -551,9 +572,16 @@ def build_index(
         "blocks": [cfg.max_block_rows, cfg.block_fpr],
         "files": [cfg.file_expected_items, cfg.file_fpr],
     }
+    carry: dict = {}
     if mode == "append" and mf.current_version(root) is not None:
-        prev_up = mf.BloomIndex.load(spark, root).meta().get("uniform_params") or {}
+        prev_meta = mf.BloomIndex.load(spark, root).meta()
+        prev_up = prev_meta.get("uniform_params") or {}
         up = {lvl: (v if prev_up.get(lvl) == v else None) for lvl, v in up.items()}
+        # the streaming replay watermark must survive intervening commits
+        # (a plain append between stream batches would otherwise reset it
+        # and let foreachBatch re-append an already-committed batch)
+        if "last_stream_batch" in prev_meta:
+            carry["last_stream_batch"] = prev_meta["last_stream_batch"]
     mf.write_meta(
         vdir,
         cfg,
@@ -562,6 +590,7 @@ def build_index(
             "source_desc": source_desc,
             "source_columns": list(df.columns),
             "uniform_params": up,
+            **carry,
             **(meta_extra or {}),
         },
     )

@@ -479,6 +479,14 @@ def _commit(
             # parent's uniformity carries over unchanged
             "uniform_params": meta.get("uniform_params"),
             **({"external": True} if meta.get("external") else {}),
+            # the streaming replay watermark must survive maintenance
+            # commits or a crashed-then-restarted stream re-appends its
+            # last batch (duplicate rows)
+            **(
+                {"last_stream_batch": meta["last_stream_batch"]}
+                if "last_stream_batch" in meta
+                else {}
+            ),
         },
     )
     mf.commit_version(index.root, version)

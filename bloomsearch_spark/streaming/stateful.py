@@ -34,7 +34,10 @@ def streaming_approx_distinct(
 
     ``stream_df`` must be a streaming DataFrame; use outputMode("update").
     """
-    out_schema = f"{key_col} string, estimate double, n_seen long"
+    # key column keeps its ACTUAL type (a hardcoded string schema would
+    # fail the pandas->Arrow conversion for e.g. bigint keys)
+    ktype = stream_df.schema[key_col].dataType.simpleString()
+    out_schema = f"{key_col} {ktype}, estimate double, n_seen long"
     state_schema = "sketch binary, n_seen long"
 
     def fn(key, pdfs, state):

@@ -479,3 +479,39 @@ def test_stats_fallback_works_on_pruned_views(spark, index):
     assert stats.total_blocks > 0
     assert stats.total_files > 0
     assert 0 <= stats.files_after_file_bloom <= stats.total_files
+
+
+def test_clustered_build_null_partition_rows_searchable(spark, tmp_path):
+    """r03 review fix: a NULL partition_expr value on the CLUSTERED path
+    coalesces to "" like the map path — previously the slug concat yielded
+    NULL file_id/block_id and the rows were silently unsearchable."""
+    df = spark.createDataFrame(
+        [("r1", None, "alpha uniqnulltok"), ("r2", "go", "beta plain")],
+        "id string, lang string, content string",
+    )
+    cfg = IndexConfig(
+        indexed_fields=("content",), partition_expr="lang",
+        block_expr="0", max_block_rows=10, blocks_per_file=2,
+    )
+    from pyspark.sql import functions as F
+
+    idx = build_index(spark, df, str(tmp_path / "i"), cfg)
+    assert idx.blocks().agg(F.sum("row_count")).collect()[0][0] == 2
+    got = search(spark, idx, new_query().token("uniqnulltok").build())
+    assert [r.id for r in got.collect()] == ["r1"]
+
+
+def test_build_with_map_column(spark, tmp_path):
+    """r03 review fix: xxhash64 rejects MapType, so the salt/scatter hash
+    must exclude map columns instead of failing the whole build."""
+    rows = [(f"r{i}", {"k": f"v{i}"}, f"tok{i} shared") for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "id string, m map<string,string>, content string"
+    )
+    cfg = IndexConfig(
+        indexed_fields=("content",), partition_expr="'p'",
+        max_block_rows=20, blocks_per_file=2, cluster_input=True,
+    )
+    idx = build_index(spark, df, str(tmp_path / "mi"), cfg)
+    got = search(spark, idx, new_query().token("tok7").build())
+    assert [r.id for r in got.collect()] == ["r7"]

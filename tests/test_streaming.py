@@ -140,3 +140,61 @@ def test_streaming_approx_distinct_stateful(spark, tmp_path):
         assert abs(final.loc[k, "estimate"] - exact) <= 4 * batch.rse * exact
     # multiple micro-batches actually happened (update mode re-emits keys)
     assert len(res) > final.shape[0]
+
+
+def test_watermark_survives_maintenance_and_plain_appends(spark, tmp_path):
+    """r03 review fix: the exactly-once replay watermark
+    (last_stream_batch) must survive merge commits AND plain batch
+    appends, or a restarted stream re-appends its last batch."""
+    from bloomsearch_spark import build_index
+    from bloomsearch_spark.plans.merge import merge_files
+
+    root = str(tmp_path / "widx")
+    pdf = generate_pdf(400)
+    b0 = spark.createDataFrame(pdf.iloc[:200], schema=SCHEMA)
+    b1 = spark.createDataFrame(pdf.iloc[200:300], schema=SCHEMA)
+    extra = spark.createDataFrame(pdf.iloc[300:], schema=SCHEMA)
+
+    assert append_batch(spark, b0, root, CFG, batch_id=0) is True
+    # maintenance commit between stream batches
+    idx = BloomIndex.load(spark, root)
+    merge_files(spark, idx, max_blocks_per_file=1000, max_files_per_merge=1000)
+    assert append_batch(spark, b0, root, CFG, batch_id=0) is False  # replay no-op
+    # a NON-stream append between batches must also carry the watermark
+    build_index(spark, extra, root, CFG, mode="append", source_desc="side-load")
+    assert append_batch(spark, b0, root, CFG, batch_id=0) is False
+    # and the stream continues normally
+    assert append_batch(spark, b1, root, CFG, batch_id=1) is True
+    idx2 = BloomIndex.load(spark, root)
+    assert idx2.meta()["last_stream_batch"] == 1
+    assert idx2.blocks().agg(F.sum("row_count")).collect()[0][0] == 400
+
+
+def test_stateful_approx_distinct_bigint_key(spark, tmp_path):
+    """r03 review fix: the key column keeps its real type in the output
+    schema (hardcoded 'string' broke bigint keys at Arrow conversion)."""
+    from bloomsearch_spark.streaming.stateful import streaming_approx_distinct
+
+    src = str(tmp_path / "src")
+    spark.range(0, 300).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v").cast("string")
+    ).repartition(2).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("k bigint, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_approx_distinct(stream, "k", "v", p=10)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sad_bigint")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = spark.sql("SELECT * FROM sad_bigint").toPandas()
+    assert set(res["k"]) == {0, 1, 2}
+    final = res.groupby("k")["n_seen"].max()
+    assert int(final.sum()) == 300
