@@ -117,12 +117,11 @@ class CountMin:
         return cls(d=d, w=w, table=table, n_items=n)
 
 
-def merge_serialized(blobs) -> bytes:
-    it = iter(blobs)
-    acc = CountMin.from_bytes(next(it))
-    for b in it:
-        acc.merge(CountMin.from_bytes(b))
-    return acc.to_bytes()
+# shared fold (sketches/pipeline.py) — one implementation for all four
+# sketch modules
+from .pipeline import fold_serialized
+
+merge_serialized = fold_serialized(CountMin)
 
 
 # ---------------------------------------------------------------------------

@@ -124,13 +124,11 @@ class HLL:
         return cls(p, regs)
 
 
-def merge_serialized(blobs) -> bytes:
-    """OR-merge (elementwise max) a sequence of serialized HLLs."""
-    it = iter(blobs)
-    acc = HLL.from_bytes(next(it))
-    for b in it:
-        acc.merge(HLL.from_bytes(b))
-    return acc.to_bytes()
+# shared fold (sketches/pipeline.py) — one implementation for all four
+# sketch modules
+from .pipeline import fold_serialized
+
+merge_serialized = fold_serialized(HLL)
 
 
 # ---------------------------------------------------------------------------

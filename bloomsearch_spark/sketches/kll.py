@@ -149,12 +149,11 @@ class KLL:
         return out
 
 
-def merge_serialized(blobs) -> bytes:
-    it = iter(blobs)
-    acc = KLL.from_bytes(next(it))
-    for b in it:
-        acc.merge(KLL.from_bytes(b))
-    return acc.to_bytes()
+# shared fold (sketches/pipeline.py) — one implementation for all four
+# sketch modules
+from .pipeline import fold_serialized
+
+merge_serialized = fold_serialized(KLL)
 
 
 # ---------------------------------------------------------------------------
@@ -182,19 +181,7 @@ def kll_sketch(df, value_col: str, k: int = 200) -> "KLL":
 
 def kll_group_quantiles(df, value_col: str, key_cols, qs, k: int = 200):
     """Per-group quantile estimates: (keys..., q double, value double)."""
-    from pyspark.sql import functions as F
+    from .pipeline import sketch_group_quantiles
 
-    qs = [float(q) for q in qs]
     merged = kll_merged(kll_partials(df, value_col, key_cols, k), key_cols)
-
-    @F.pandas_udf("array<double>")
-    def extract(blobs: pd.Series) -> pd.Series:
-        return blobs.map(lambda b: [KLL.from_bytes(b).quantile(q) for q in qs])
-
-    out = merged.select(*key_cols, extract("sketch").alias("vals"))
-    pairs = F.arrays_zip(
-        F.array(*[F.lit(q) for q in qs]).alias("q"), F.col("vals").alias("value")
-    )
-    return out.select(*key_cols, F.explode(pairs).alias("p")).select(
-        *key_cols, F.col("p.q").alias("q"), F.col("p.value").alias("value")
-    )
+    return sketch_group_quantiles(merged, key_cols, qs, KLL.from_bytes)

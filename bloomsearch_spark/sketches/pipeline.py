@@ -104,3 +104,39 @@ def estimate_col(sketch_col, estimator: Callable[[bytes], float]):
         return blobs.map(estimator)
 
     return est(sketch_col)
+
+
+def fold_serialized(cls):
+    """Generic blob fold for any sketch class exposing ``from_bytes`` /
+    ``merge`` / ``to_bytes`` — the one merge_serialized shared by all four
+    sketch modules (each previously carried its own copy)."""
+
+    def merge(blobs) -> bytes:
+        it = iter(blobs)
+        acc = cls.from_bytes(next(it))
+        for b in it:
+            acc.merge(cls.from_bytes(b))
+        return acc.to_bytes()
+
+    return merge
+
+
+def sketch_group_quantiles(merged: DataFrame, key_cols, qs, from_bytes) -> DataFrame:
+    """Per-group quantile extraction shared by the quantile sketches
+    (t-digest, KLL): (keys..., q double, value double), one row per
+    (group, q).  ``merged`` is a (keys..., sketch binary) frame from
+    ``sketch_merged``; extraction is one tiny UDF over manifest-sized
+    blobs."""
+    qs = [float(q) for q in qs]
+
+    @F.pandas_udf("array<double>")
+    def extract(blobs: pd.Series) -> pd.Series:
+        return blobs.map(lambda b: [from_bytes(b).quantile(q) for q in qs])
+
+    out = merged.select(*key_cols, extract("sketch").alias("vals"))
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(q) for q in qs]).alias("q"), F.col("vals").alias("value")
+    )
+    return out.select(*key_cols, F.explode(pairs).alias("p")).select(
+        *key_cols, F.col("p.q").alias("q"), F.col("p.value").alias("value")
+    )

@@ -154,12 +154,11 @@ class TDigest:
         return cls(delta, means, weights)
 
 
-def merge_serialized(blobs) -> bytes:
-    it = iter(blobs)
-    acc = TDigest.from_bytes(next(it))
-    for b in it:
-        acc.merge(TDigest.from_bytes(b))
-    return acc.to_bytes()
+# shared fold (sketches/pipeline.py) — one implementation for all four
+# sketch modules
+from .pipeline import fold_serialized
+
+merge_serialized = fold_serialized(TDigest)
 
 
 # ---------------------------------------------------------------------------
@@ -189,22 +188,8 @@ def td_sketch(df, value_col: str, delta: float = 200.0) -> "TDigest":
 def td_group_quantiles(df, value_col: str, key_cols, qs, delta: float = 200.0):
     """Per-group quantile estimates: (keys..., q double, value double) —
     one row per (group, q).  Sketches stay distributed until the final
-    manifest-sized merge; extraction is a tiny UDF over merged blobs."""
-    from pyspark.sql import functions as F
+    manifest-sized merge; extraction rides the shared pipeline helper."""
+    from .pipeline import sketch_group_quantiles
 
-    qs = [float(q) for q in qs]
     merged = td_merged(td_partials(df, value_col, key_cols, delta), key_cols)
-
-    @F.pandas_udf("array<double>")
-    def extract(blobs: pd.Series) -> pd.Series:
-        return blobs.map(
-            lambda b: [TDigest.from_bytes(b).quantile(q) for q in qs]
-        )
-
-    out = merged.select(*key_cols, extract("sketch").alias("vals"))
-    pairs = F.arrays_zip(
-        F.array(*[F.lit(q) for q in qs]).alias("q"), F.col("vals").alias("value")
-    )
-    return out.select(*key_cols, F.explode(pairs).alias("p")).select(
-        *key_cols, F.col("p.q").alias("q"), F.col("p.value").alias("value")
-    )
+    return sketch_group_quantiles(merged, key_cols, qs, TDigest.from_bytes)
