@@ -283,6 +283,57 @@ def _strm_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STRM_IDX_CACHE: dict[str, tuple] = {}
+
+
+def _strm_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming index ingest (ST1), driver-gated end to end: replay the
+    ``documents`` table as a REAL micro-batched file stream through
+    ``stream_build`` (foreachBatch append commits — one O(batch) delta
+    manifest segment per micro-batch, exactly-once via the commit-coupled
+    batch watermark), then run a pruned token search over the committed
+    index.  The replay guard is part of the hash-checked result: re-firing
+    ``append_batch`` with the last committed batch id must be a no-op
+    (returns False), carried through as ``replay_ok`` — the SQL oracle
+    selects the same rows from the raw table plus TRUE, so duplicate rows
+    OR a broken guard both hash-mismatch."""
+    key = os.path.abspath(sf_dir)
+    if key not in _STRM_IDX_CACHE:
+        from bloomsearch_spark.streaming.ingest import append_batch, stream_build
+
+        docs = _docs(spark, sf_dir)
+        work = tempfile.mkdtemp(prefix="bs-strmidx-")
+        src = os.path.join(work, "src")
+        docs.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        root = os.path.join(work, "idx")
+        q = stream_build(
+            stream,
+            root,
+            _CFG_MAIN,
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            trigger={"availableNow": True},
+            source_desc="driver-replay",
+        )
+        q.awaitTermination(600)
+        idx = BloomIndex.load(spark, root)
+        last = int(idx.meta().get("last_stream_batch", -1))
+        # a replayed (already-committed) batch id must be skipped
+        replay_noop = not append_batch(
+            spark, docs.limit(1), root, _CFG_MAIN, last, "driver-replay"
+        )
+        _STRM_IDX_CACHE[key] = (BloomIndex.load(spark, root), replay_noop)
+    idx, replay_noop = _STRM_IDX_CACHE[key]
+    out = search(spark, idx, new_query().token("stream").build())
+    return out.select(*[c.strip() for c in DOC_COLS.split(",")]).withColumn(
+        "replay_ok", F.lit(bool(replay_noop))
+    )
+
+
 def _sk_quantile_query(build, value_col, table, bound):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet")).select(value_col)
@@ -480,6 +531,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- stateful streaming approx-distinct (HLL as group state),
         #     replayed as a real micro-batched file stream ---
         "strm_approx_distinct": _strm_approx_distinct,
+        # --- streaming index ingest (ST1): micro-batched stream_build with
+        #     per-batch delta manifest commits + replay guard, then search ---
+        "strm_index_build": _strm_index_build,
     }
 
 
@@ -767,6 +821,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, CAST(count(DISTINCT CAST(user_id AS VARCHAR)) "
             "AS BIGINT) AS n_exact, TRUE AS strm_ok "
             "FROM events GROUP BY event_type"
+        ),
+        # streaming-built index must return exactly the raw table's matches
+        # (no duplicate rows from replays) AND report the replay guard held
+        "strm_index_build": (
+            f"SELECT {DOC_COLS}, TRUE AS replay_ok FROM documents "
+            f"WHERE {_any_field_tok('stream')}"
         ),
         "dd_jaccard": _JACCARD_ORACLE,
         # deterministic LSH with these (seeds, bands) has recall 1 on the

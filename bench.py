@@ -75,11 +75,30 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, object] = {}
     roots: list[str] = []
+    # stages re-run for min-of-reps (read-only stages only; builds and
+    # cold-path stages are single-shot by nature).  The extra passes are
+    # INTERLEAVED across stages (whole-cycle repeats), so a host stall
+    # (documented 2-8x drift, BENCH.md §3) hits each stage at most once —
+    # per-stage minima stop chasing drift ghosts round over round.
+    REPS = int(os.environ.get("BENCH_REPS", "3"))
+    # read-only stages re-run min-of-REPS; excluded: builds (mutate state,
+    # and their cost IS the cold cost) and bs_token (the one-shot
+    # session-cold query number — bs_token_warm is its repeatable twin)
+    _REPEATABLE = {
+        "bs_token_warm", "bs_field_token", "bs_and", "bs_or", "bs_miss",
+        "code_needle", "code_miss", "prune_funnel", "dd_exact", "dd_minhash",
+        "sim_topk", "sim_lsh_topk", "sim_ivf_topk", "txt_stats",
+        "sim_neardup_lsh", "sim_neardup_oracle",
+        "sk_hll", "sk_cms", "sk_tdigest", "sk_kll",
+    }
+    repeat: list[tuple[str, object]] = []
 
     def timed(name: str, fn):
         t0 = time.perf_counter()
         out = fn()
         timings[name] = round(time.perf_counter() - t0, 4)
+        if name in _REPEATABLE:
+            repeat.append((name, fn))
         return out
 
     try:
@@ -299,7 +318,8 @@ def main() -> None:
             return cand
 
         timed("sim_neardup_oracle", neardup_oracle)
-        nd_aug.unpersist()
+        # unpersisted AFTER the min-of-reps passes (the neardup stages
+        # re-run against the persisted fixture)
 
         # ---- 4. mergeable sketches (HLL / CMS / t-digest / KLL) ------------
         from bloomsearch_spark.sketches.countmin import cms_sketch
@@ -329,6 +349,19 @@ def main() -> None:
         )
         timed("sk_tdigest", lambda: td_sketch(li, "l_extendedprice").quantile(0.5))
         timed("sk_kll", lambda: kll_sketch(li, "l_extendedprice").quantile(0.5))
+
+        # extra interleaved passes: per-stage min over REPS total runs
+        for _ in range(max(0, REPS - 1)):
+            for name, fn in repeat:
+                t0 = time.perf_counter()
+                fn()
+                timings[name] = round(
+                    min(timings[name], time.perf_counter() - t0), 4
+                )
+        nd_aug.unpersist()
+        extras["stage_reps"] = {
+            name: (REPS if name in _REPEATABLE else 1) for name in timings
+        }
 
         total = round(sum(timings.values()), 4)
         # like-for-like comparability across rounds: the round-1 suite was

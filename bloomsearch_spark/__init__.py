@@ -43,8 +43,10 @@ from .plans.merge import (
     MergeStats,
     compact_blocks,
     expire_blocks,
+    fold_manifest,
     merge_files,
     vacuum,
+    vacuum_manifest,
 )
 from .plans.search import (
     QueryStats,
@@ -52,7 +54,7 @@ from .plans.search import (
     search,
     verify_integrity,
 )
-from .sources.manifest import BloomIndex
+from .sources.manifest import BloomIndex, CommitConflict
 from .tokenizer import Tokenizer, get_tokenizer, register_tokenizer
 
 __all__ = [
@@ -65,4 +67,5 @@ __all__ = [
     "get_tokenizer", "merge_files", "new_query", "register_tokenizer",
     "search", "sizing", "vacuum", "verify_integrity",
     "enable_read_checksum_verification",
+    "CommitConflict", "fold_manifest", "vacuum_manifest",
 ]

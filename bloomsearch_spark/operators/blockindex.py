@@ -155,15 +155,26 @@ class BlockAccumulator:
         self.rows = 0
         # distinct entries across ALL add() calls: per-batch uniques can
         # recur between batches, so summing batch counts would inflate
-        # token_count vs the one-shot build path (memory = the block's
-        # distinct entry set — block-bounded by construction)
-        self._seen: set = set()
+        # token_count vs the one-shot build path.  Counted WITHOUT
+        # retaining entry strings: each batch's entries hash to a uint64
+        # array (vectorized pandas hash, kind-salted) and entry() dedupes
+        # the concatenation — memory is 8 bytes per batch-unique entry
+        # instead of the full string set, and no per-entry Python loop
+        # runs in the add() hot path (ADVICE r03).  A 64-bit collision
+        # would undercount token_count by 1 in ~2^32 distinct entries —
+        # token_count is an informational counter, never a prune input.
+        self._entry_hashes: list[np.ndarray] = []
         self.mn: dict[str, int] = {}
         self.mx: dict[str, int] = {}
 
+    # distinct per-kind salts keep equal strings of different kinds distinct
+    _KIND_SALT = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9)
+
     @property
     def tokens(self) -> int:
-        return len(self._seen)
+        if not self._entry_hashes:
+            return 0
+        return int(np.unique(np.concatenate(self._entry_hashes)).size)
 
     def add(self, tbl: pa.Table) -> None:
         cfg = self.cfg
@@ -179,7 +190,10 @@ class BlockAccumulator:
             bloom.insert_into_many(
                 [self.block_sets[i], self.file_sets[i]], entries, [bp, fp]
             )
-            self._seen.update((i, e) for e in entries)
+            arr = np.asarray(entries, dtype=object)
+            if arr.size:
+                h = pd.util.hash_array(arr, categorize=False)
+                self._entry_hashes.append(h ^ np.uint64(self._KIND_SALT[i]))
         self.rows += len(tbl)
         for f, v in mn.items():
             self.mn[f] = min(self.mn.get(f, v), v)

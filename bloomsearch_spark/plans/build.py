@@ -437,12 +437,24 @@ def build_index(
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(mode)
-    version, vdir = mf.next_version_dir(root)
-    build_id = version
-    data_dir = fsx.join(root, "data")
-    fsx.mkdirs(vdir)
+    # build_id: the attempt tag baked into file/block ids, staging and
+    # segment paths.  Deterministic for a fixed (root state, source) so a
+    # crashed build resumes its own staging; the hash of (mode,
+    # source_desc) disambiguates distinct CONCURRENT builds (e.g. a stream
+    # batch racing a backfill) so their file ids, data paths and
+    # scratch/segment dirs never collide — the version-number guess alone
+    # is shared by racing committers.  If a concurrent commit wins the
+    # version number, finalize() simply lands under the next one — segment
+    # names are referenced by meta.json paths, never parsed.
+    import hashlib
 
-    staging = fsx.join(vdir, "staging.parquet")
+    version_guess, _ = mf.next_version_dir(root)
+    attempt = f"{version_guess}-{hashlib.sha1(f'{mode}|{source_desc}'.encode()).hexdigest()[:6]}"
+    build_id = attempt
+    data_dir = fsx.join(root, "data")
+
+    scratch = mf.staging_root(root, attempt)
+    staging = fsx.join(scratch, "staging.parquet")
     if cfg.block_expr is not None:
         # clustered path: user-controlled block assignment, one data shuffle
         assigned = assign_blocks(df, cfg, build_tag=build_id)
@@ -532,29 +544,27 @@ def build_index(
         F.lit(time.time()).alias("committed_at"),
     )
 
-    if mode == "append" and mf.current_version(root) is not None:
-        prev = mf.BloomIndex.load(spark, root)
-        new_blocks = prev.blocks().unionByName(new_blocks)
-        new_files = prev.files().unionByName(new_files)
-        new_lineage = prev.lineage().unionByName(new_lineage)
-
-    # cluster the block manifest by partition_id: the partition prefilter is
-    # a PUSHED parquet filter on this file (PLANS.md §1), so clustering
-    # turns it into row-group pruning — at 10^7 blocks a partition query
-    # reads only its slice of the manifest
+    # cluster the new blocks by partition_id: the partition prefilter is
+    # a PUSHED parquet filter on each segment's blocks file (PLANS.md §1),
+    # so clustering turns it into row-group pruning — at 10^7 blocks a
+    # partition query reads only its slice of each segment
     new_blocks = new_blocks.repartition("partition_id").sortWithinPartitions(
         "partition_id"
     )
-    # the three manifest writes are independent manifest-sized jobs; submit
-    # them concurrently from driver threads so the post-staging fixed cost
-    # is max(job) instead of sum(jobs) — this is part of the build's
-    # NON-parallel term in the scaling fit (BENCH.md §2), so shrinking it
-    # raises N->4N efficiency directly
+    # DELTA commit: only this batch's manifest rows are written, as one
+    # immutable segment — an append never rewrites the existing manifest
+    # (O(batch) bytes per commit; the delta MetaStore.Update contract,
+    # meta_store.go:8-22).  The three writes are independent
+    # manifest-sized jobs; submit them concurrently from driver threads so
+    # the post-staging fixed cost is max(job) instead of sum(jobs) — part
+    # of the build's NON-parallel term in the scaling fit (BENCH.md §2)
+    seg_name = f"{attempt}-build"
+    seg_dir = mf.segment_dir(root, seg_name)
     from concurrent.futures import ThreadPoolExecutor
 
     def _write(arg):
         name, d = arg
-        out = fsx.join(vdir, f"{name}.parquet")
+        out = fsx.join(seg_dir, f"{name}.parquet")
         if not _stage_done(out):
             d.write.mode("overwrite").parquet(out)
 
@@ -566,33 +576,52 @@ def build_index(
             )
         )
 
-    # record bloom-param uniformity so queries can skip the probe job and
-    # compile the pure-JVM bloom probe without touching the manifest
-    up = {
-        "blocks": [cfg.max_block_rows, cfg.block_fpr],
-        "files": [cfg.file_expected_items, cfg.file_fpr],
-    }
-    carry: dict = {}
-    if mode == "append" and mf.current_version(root) is not None:
-        prev_meta = mf.BloomIndex.load(spark, root).meta()
-        prev_up = prev_meta.get("uniform_params") or {}
-        up = {lvl: (v if prev_up.get(lvl) == v else None) for lvl, v in up.items()}
-        # the streaming replay watermark must survive intervening commits
-        # (a plain append between stream batches would otherwise reset it
-        # and let foreachBatch re-append an already-committed batch)
-        if "last_stream_batch" in prev_meta:
-            carry["last_stream_batch"] = prev_meta["last_stream_batch"]
-    mf.write_meta(
-        vdir,
-        cfg,
-        extra={
-            "build_id": build_id,
-            "source_desc": source_desc,
-            "source_columns": list(df.columns),
-            "uniform_params": up,
-            **carry,
-            **(meta_extra or {}),
-        },
-    )
-    mf.commit_version(root, version)
+    seg_tables = {t: [mf.segment_ref(seg_name, t)] for t in mf.TABLES}
+
+    def finalize(prev_version: str | None) -> str:
+        """Runs inside the commit lock: O(meta.json) work only.  Reads the
+        FRESH predecessor (an append adapts to whatever committed since the
+        build started), unions table lists, writes the new version's
+        meta.json."""
+        version = mf.version_after(prev_version)
+        vdir = fsx.join(root, "manifest", version)
+        tables = dict(seg_tables)
+        # record bloom-param uniformity so queries can skip the probe job
+        # and compile the pure-JVM bloom probe without touching the manifest
+        up = {
+            "blocks": [cfg.max_block_rows, cfg.block_fpr],
+            "files": [cfg.file_expected_items, cfg.file_fpr],
+        }
+        carry: dict = {}
+        if mode == "append" and prev_version is not None:
+            prev = mf.BloomIndex(spark, root, prev_version)
+            prev_meta = prev.meta()
+            tables = {
+                t: prev.table_refs()[t] + seg_tables[t] for t in mf.TABLES
+            }
+            prev_up = prev_meta.get("uniform_params") or {}
+            up = {lvl: (v if prev_up.get(lvl) == v else None) for lvl, v in up.items()}
+            # the streaming replay watermark must survive intervening
+            # commits (a plain append between stream batches would
+            # otherwise reset it and let foreachBatch re-append an
+            # already-committed batch)
+            if "last_stream_batch" in prev_meta:
+                carry["last_stream_batch"] = prev_meta["last_stream_batch"]
+        mf.write_meta(
+            vdir,
+            cfg,
+            extra={
+                "build_id": build_id,
+                "source_desc": source_desc,
+                "source_columns": list(df.columns),
+                "uniform_params": up,
+                "tables": tables,
+                **carry,
+                **(meta_extra or {}),
+            },
+        )
+        return version
+
+    version = mf.publish_commit(root, finalize)
+    fsx.delete_dir(scratch)  # staging is scratch; the commit owns the data
     return mf.BloomIndex(spark, root, version)

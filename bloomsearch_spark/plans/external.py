@@ -152,15 +152,15 @@ def build_external_index(
         paths = [source] if isinstance(source, str) else list(source)
         df = spark.read.parquet(*paths)
 
-    version, vdir = mf.next_version_dir(root)
-    fsx.mkdirs(vdir)
+    version, _ = mf.next_version_dir(root)
 
     d = df.withColumn("_src", F.input_file_name()).withColumn(
         "partition_id",
         F.coalesce(F.expr(cfg.partition_expr).cast("string"), F.lit("")),
     )
 
-    staging = fsx.join(vdir, "staging.parquet")
+    scratch = mf.staging_root(root, f"{version}-external")
+    staging = fsx.join(scratch, "staging.parquet")
     if not _stage_done(staging):
         (
             d.mapInArrow(_make_external_fn(cfg, version), STAGING_SCHEMA)
@@ -186,27 +186,35 @@ def build_external_index(
         F.lit("build-external").alias("op"),
         F.lit(time.time()).alias("committed_at"),
     )
+    seg_name = f"{version}-external"
+    seg_dir = mf.segment_dir(root, seg_name)
     for name, data in (("blocks", new_blocks), ("files", new_files), ("lineage", new_lineage)):
-        out = fsx.join(vdir, f"{name}.parquet")
+        out = fsx.join(seg_dir, f"{name}.parquet")
         if not _stage_done(out):
             data.write.mode("overwrite").parquet(out)
 
-    mf.write_meta(
-        vdir,
-        cfg,
-        extra={
-            "build_id": version,
-            "source_desc": source_desc,
-            "source_columns": list(df.columns),
-            "external": True,
-            "uniform_params": {
-                "blocks": [cfg.max_block_rows, cfg.block_fpr],
-                "files": [cfg.file_expected_items, cfg.file_fpr],
+    def finalize(prev_version: str | None) -> str:
+        v = mf.version_after(prev_version)
+        mf.write_meta(
+            fsx.join(root, "manifest", v),
+            cfg,
+            extra={
+                "build_id": version,
+                "source_desc": source_desc,
+                "source_columns": list(df.columns),
+                "external": True,
+                "uniform_params": {
+                    "blocks": [cfg.max_block_rows, cfg.block_fpr],
+                    "files": [cfg.file_expected_items, cfg.file_fpr],
+                },
+                "tables": {t: [mf.segment_ref(seg_name, t)] for t in mf.TABLES},
             },
-        },
-    )
-    mf.commit_version(root, version)
-    return mf.BloomIndex(spark, root, version)
+        )
+        return v
+
+    committed = mf.publish_commit(root, finalize)
+    fsx.delete_dir(scratch)
+    return mf.BloomIndex(spark, root, committed)
 
 
 def verify_external_integrity(spark: SparkSession, index: mf.BloomIndex) -> int:

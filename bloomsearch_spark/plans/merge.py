@@ -232,9 +232,16 @@ def merge_files(
         return index, stats
     stats.groups_merged = map_df.select("new_file_id").distinct().count()
 
+    # the repoint joins the bitset-heavy manifest against the (id -> id)
+    # mapping: broadcast the mapping when it is small (the common case) so
+    # the multi-MB bloom columns never shuffle; above the threshold fall
+    # back to a shuffle join (an unconditional broadcast would be
+    # driver-unbounded — ADVICE r03)
+    map_side = F.broadcast(map_df) if n_mapped <= 1_000_000 else map_df
+
     def repoint(df: DataFrame) -> DataFrame:
         return (
-            df.join(map_df, "file_id", "left")
+            df.join(map_side, "file_id", "left")
             .withColumn("file_id", F.coalesce("new_file_id", "file_id"))
             .drop("new_file_id")
         )
@@ -389,8 +396,12 @@ def compact_blocks(
         return index, stats
     stats.groups_merged = map_df.select("merged").distinct().count()
 
+    # small mapping (common): broadcast so block bitsets don't shuffle
+    map_side = (
+        F.broadcast(map_df) if stats.blocks_rewritten <= 1_000_000 else map_df
+    )
     staged = (
-        blocks.join(map_df, "block_id", "left")
+        blocks.join(map_side, "block_id", "left")
         .withColumn("merge_block_id", F.coalesce("merged", "block_id"))
         .drop("merged")
     )
@@ -442,18 +453,31 @@ def _commit(
     op: str,
     stats: MergeStats,
 ) -> tuple[BloomIndex, MergeStats]:
-    """Write a new manifest version (blocks/files/lineage) and atomically
-    advance CURRENT — the MetaStore.Update contract (meta_store.go:21)."""
-    version, vdir = mf.next_version_dir(index.root)
-    fsx.mkdirs(vdir)
-    new_blocks.write.mode("overwrite").parquet(fsx.join(vdir, "blocks.parquet"))
-    committed_blocks = spark.read.schema(mf.BLOCKS_SCHEMA).parquet(
-        fsx.join(vdir, "blocks.parquet")
-    )
-    new_files.write.mode("overwrite").parquet(fsx.join(vdir, "files.parquet"))
+    """Commit a maintenance op's output as a new manifest version.
 
-    lineage_new = committed_blocks.select(
-        F.lit(version).alias("build_id"),
+    Writes ONE segment: the transformed blocks/files (a maintenance op's
+    output IS the folded manifest — its segment replaces every prior
+    blocks/files segment) plus a lineage DELTA holding only this op's
+    provenance rows; the new version references the parent's lineage
+    segments unchanged, so history is never recopied (the r03 unbounded
+    lineage-rewrite fix).  Published through ``publish_commit`` with
+    ``expected=parent``: if anything (a streaming append, another
+    maintenance op) committed since this op's snapshot, folding from the
+    stale snapshot would silently DROP that commit — CommitConflict is
+    raised instead and the caller re-plans from the fresh version."""
+    root = index.root
+    version_guess, _ = mf.next_version_dir(root)
+    seg_name = f"{version_guess}-{op}"
+    seg_dir = mf.segment_dir(root, seg_name)
+    new_blocks.write.mode("overwrite").parquet(fsx.join(seg_dir, "blocks.parquet"))
+    committed_blocks = spark.read.schema(mf.BLOCKS_SCHEMA).parquet(
+        fsx.join(seg_dir, "blocks.parquet")
+    )
+    new_files.write.mode("overwrite").parquet(fsx.join(seg_dir, "files.parquet"))
+
+    # lineage DELTA: this op's rows only — parent segments are referenced
+    committed_blocks.select(
+        F.lit(version_guess).alias("build_id"),
         "file_id",
         "block_id",
         "partition_id",
@@ -462,35 +486,46 @@ def _commit(
         F.col("token_count").alias("tokens_inserted"),
         F.lit(op).alias("op"),
         F.lit(time.time()).alias("committed_at"),
-    )
-    index.lineage().unionByName(lineage_new).write.mode("overwrite").parquet(
-        fsx.join(vdir, "lineage.parquet")
-    )
+    ).write.mode("overwrite").parquet(fsx.join(seg_dir, "lineage.parquet"))
+
     meta = index.meta()
-    mf.write_meta(
-        vdir,
-        index.config,
-        extra={
-            "build_id": version,
-            "source_desc": f"{op} of {index.version}",
-            "source_columns": meta.get("source_columns"),
-            "parent_version": index.version,
-            # merges only combine equal-param blooms (M2/M3 gates), so the
-            # parent's uniformity carries over unchanged
-            "uniform_params": meta.get("uniform_params"),
-            **({"external": True} if meta.get("external") else {}),
-            # the streaming replay watermark must survive maintenance
-            # commits or a crashed-then-restarted stream re-appends its
-            # last batch (duplicate rows)
-            **(
-                {"last_stream_batch": meta["last_stream_batch"]}
-                if "last_stream_batch" in meta
-                else {}
-            ),
-        },
-    )
-    mf.commit_version(index.root, version)
-    out = mf.BloomIndex(spark, index.root, version)
+
+    def finalize(prev_version: str | None) -> str:
+        version = mf.version_after(prev_version)
+        vdir = fsx.join(root, "manifest", version)
+        tables = {
+            "blocks": [mf.segment_ref(seg_name, "blocks")],
+            "files": [mf.segment_ref(seg_name, "files")],
+            "lineage": index.table_refs()["lineage"]
+            + [mf.segment_ref(seg_name, "lineage")],
+        }
+        mf.write_meta(
+            vdir,
+            index.config,
+            extra={
+                "build_id": version,
+                "source_desc": f"{op} of {index.version}",
+                "source_columns": meta.get("source_columns"),
+                "parent_version": index.version,
+                # merges only combine equal-param blooms (M2/M3 gates), so
+                # the parent's uniformity carries over unchanged
+                "uniform_params": meta.get("uniform_params"),
+                "tables": tables,
+                **({"external": True} if meta.get("external") else {}),
+                # the streaming replay watermark must survive maintenance
+                # commits or a crashed-then-restarted stream re-appends its
+                # last batch (duplicate rows)
+                **(
+                    {"last_stream_batch": meta["last_stream_batch"]}
+                    if "last_stream_batch" in meta
+                    else {}
+                ),
+            },
+        )
+        return version
+
+    version = mf.publish_commit(root, finalize, expected=index.version)
+    out = mf.BloomIndex(spark, root, version)
     stats.files_after = out.files().count()
     stats.blocks_after = out.blocks().count()
     return out, stats
@@ -501,21 +536,29 @@ def vacuum(index: BloomIndex) -> int:
     (TombstoneFile analog, data_store.go:19-21).  Safe only once no reader
     resolves an older manifest version.  Returns dirs removed.
 
-    DISTRIBUTED end to end (bounded driver memory at any block count): the
-    driver lists only the top-level ``file_id=`` dirs (one per FILE, ~2
-    orders fewer than blocks); executors list each file dir's block dirs,
-    the listing anti-joins the blocks manifest (never collected), and the
-    dead dirs are deleted on executors through the fs layer.  Requires the
-    data root to be shared storage — already true for any multi-executor
-    deployment."""
+    DISTRIBUTED end to end (bounded driver memory at ANY file/block
+    count): even the top-level ``file_id=`` listing runs in a task
+    (r03 left it on the driver — fine to ~10^7 files, but no reason to be
+    bounded at all); executors then list each file dir's block dirs, the
+    listing anti-joins the blocks manifest (never collected), and the dead
+    dirs are deleted on executors through the fs layer.  Requires the data
+    root to be shared storage — already true for any multi-executor
+    deployment; a registered custom scheme must also be registered in the
+    executor interpreters (fs.register_scheme docstring)."""
     spark = index.spark
     data_dir = index.data_dir
-    file_dirs = fsx.list_subdirs(data_dir)
-    if not file_dirs:
-        return 0
-    fd_df = spark.createDataFrame([(d,) for d in file_dirs], "file_dir string")
-    # spread the per-file-dir listing work across the cluster
-    fd_df = fd_df.repartition(min(len(file_dirs), 64))
+
+    def list_file_dirs(pdfs):
+        for pdf in pdfs:
+            rows = [fd for r in pdf["root"] for fd in fsx.list_subdirs(r)]
+            yield pd.DataFrame({"file_dir": rows})
+
+    fd_df = (
+        spark.createDataFrame([(data_dir,)], "root string")
+        .mapInPandas(list_file_dirs, "file_dir string")
+        # spread the per-file-dir block listing across the cluster
+        .repartition(64)
+    )
 
     def list_blocks(pdfs):
         for pdf in pdfs:
@@ -530,19 +573,127 @@ def vacuum(index: BloomIndex) -> int:
     dead = listed.join(
         index.blocks().select("data_path"), "data_path", "left_anti"
     )
+    # co-locate each file dir's dead blocks so the post-delete empty-parent
+    # sweep sees the whole dir's deletions in one task
+    dead = dead.withColumn(
+        "file_dir", F.regexp_replace("data_path", "/[^/]+$", "")
+    ).repartition("file_dir")
 
     def delete(pdfs):
         n = 0
+        parents: set[str] = set()
         for pdf in pdfs:
             for p in pdf["data_path"]:
                 fsx.delete_dir(fsx.join(data_dir, p))
                 n += 1
+            parents.update(pdf["file_dir"])
+        for fd in parents:  # drop now-empty file dirs (one stat per FILE)
+            fsx.delete_dir_if_empty(fsx.join(data_dir, fd))
         yield pd.DataFrame({"n": [n]})
 
     removed = (
         dead.mapInPandas(delete, "n long").agg(F.sum("n")).collect()[0][0] or 0
     )
-    if removed:
-        for fd in file_dirs:  # drop now-empty file dirs (one stat per FILE)
-            fsx.delete_dir_if_empty(fsx.join(data_dir, fd))
     return int(removed)
+
+
+# ---------------------------------------------------------------------------
+# Manifest-level maintenance: fold segments, vacuum unreachable metadata
+# ---------------------------------------------------------------------------
+
+
+def fold_manifest(spark: SparkSession, index: BloomIndex) -> BloomIndex:
+    """Compact the manifest's segment lists into ONE segment per table.
+
+    Appends (and every streaming micro-batch) write O(batch) delta
+    segments; a long-running stream accumulates one per commit.  Folding
+    unions each table's segments into a single segment — a manifest-sized
+    Spark job, zero data-file I/O — and commits a version referencing only
+    it: the "compaction folds segments" half of the manifest-list design
+    (readers union; folds reset the union width).  Run at the same cadence
+    as merge_files; raises CommitConflict if anything commits concurrently
+    (re-load and re-run).  The superseded segments become unreachable —
+    reclaim with vacuum_manifest()."""
+    root = index.root
+    version_guess, _ = mf.next_version_dir(root)
+    seg_name = f"{version_guess}-fold"
+    seg_dir = mf.segment_dir(root, seg_name)
+    (
+        index.blocks(cache=False)
+        .repartition("partition_id")
+        .sortWithinPartitions("partition_id")
+        .write.mode("overwrite")
+        .parquet(fsx.join(seg_dir, "blocks.parquet"))
+    )
+    index.files(cache=False).write.mode("overwrite").parquet(
+        fsx.join(seg_dir, "files.parquet")
+    )
+    index.lineage().write.mode("overwrite").parquet(
+        fsx.join(seg_dir, "lineage.parquet")
+    )
+    meta = index.meta()
+
+    def finalize(prev_version: str | None) -> str:
+        version = mf.version_after(prev_version)
+        mf.write_meta(
+            fsx.join(root, "manifest", version),
+            index.config,
+            extra={
+                "build_id": version,
+                "source_desc": f"fold of {index.version}",
+                "source_columns": meta.get("source_columns"),
+                "parent_version": index.version,
+                "uniform_params": meta.get("uniform_params"),
+                "tables": {t: [mf.segment_ref(seg_name, t)] for t in mf.TABLES},
+                **({"external": True} if meta.get("external") else {}),
+                **(
+                    {"last_stream_batch": meta["last_stream_batch"]}
+                    if "last_stream_batch" in meta
+                    else {}
+                ),
+            },
+        )
+        return version
+
+    version = mf.publish_commit(root, finalize, expected=index.version)
+    return mf.BloomIndex(spark, root, version)
+
+
+def vacuum_manifest(index: BloomIndex) -> int:
+    """Delete manifest metadata unreachable from CURRENT: superseded
+    version dirs, segment dirs no version references (failed or folded-away
+    commits), and leftover build staging scratch.  Returns dirs removed.
+
+    Driver listings here are one level deep and bounded by VERSION/SEGMENT
+    count (kept small by fold_manifest) — never by blocks or files.  Same
+    safety contract as vacuum(): run only when no commit is in flight and
+    no reader still resolves an older version."""
+    root = index.root
+    cur = mf.current_version(root)
+    if cur is None:
+        return 0
+    live = mf.BloomIndex(index.spark, root, cur)
+    all_refs = [rel for refs in live.table_refs().values() for rel in refs]
+    referenced = {
+        rel.split("/", 2)[1] for rel in all_refs if rel.startswith("segments/")
+    }
+    # a post-upgrade append can still reference a PRE-segment version dir's
+    # tables (back-compat refs like "v00000001/blocks.parquet") — those
+    # version dirs stay live even though CURRENT moved past them
+    live_vdirs = {cur} | {
+        rel.split("/", 1)[0] for rel in all_refs if not rel.startswith("segments/")
+    }
+    mdir = fsx.join(root, "manifest")
+    removed = 0
+    for d in fsx.list_subdirs(mdir):
+        if d.startswith("v") and d not in live_vdirs:
+            fsx.delete_dir(fsx.join(mdir, d))
+            removed += 1
+        elif d == "staging":
+            fsx.delete_dir(fsx.join(mdir, d))
+            removed += 1
+    for s in fsx.list_subdirs(mf.segments_dir(root)):
+        if s not in referenced:
+            fsx.delete_dir(mf.segment_dir(root, s))
+            removed += 1
+    return removed

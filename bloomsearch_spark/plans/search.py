@@ -76,25 +76,34 @@ class _keep_observations:
 
 
 def _observed(obs, timeout: float = 15.0) -> dict | None:
-    """``Observation.get`` guarded by a timeout: PySpark's ``get`` BLOCKS
-    until the metrics fire, so if any optimizer path elides the
-    CollectMetrics node (or the triggering action never ran) a bare call
-    would hang forever instead of reaching the recompute fallback.  Runs
-    the get on a daemon thread; returns None on timeout/error."""
-    import threading
+    """``Observation.get`` guarded by a deadline WITHOUT parking a thread:
+    PySpark's ``get`` BLOCKS until the metrics fire, so if any optimizer
+    path elides the CollectMetrics node (or the triggering action never
+    ran) a bare call would hang forever instead of reaching the recompute
+    fallback.  Polls the JVM-side ``Observation.future.isCompleted`` (a
+    scala Future — non-blocking) and only calls the blocking ``get`` once
+    completion is visible; returns None on timeout/error.  Unlike the old
+    daemon-thread guard, a timed-out observation leaves NO permanently
+    blocked thread pinning the query plan (ADVICE r03)."""
+    import time as _t
 
-    box: list = []
-
-    def pull():
+    jo = getattr(obs, "_jo", None)
+    if jo is None:  # never attached to a DataFrame
+        return None
+    deadline = _t.monotonic() + timeout
+    while True:
         try:
-            box.append(obs.get)
+            done = jo.future().isCompleted()
         except Exception:
-            pass
-
-    t = threading.Thread(target=pull, daemon=True)
-    t.start()
-    t.join(timeout)
-    return box[0] if box else None
+            return None
+        if done:
+            try:
+                return obs.get  # resolves immediately now
+            except Exception:
+                return None
+        if _t.monotonic() >= deadline:
+            return None
+        _t.sleep(0.02)
 
 
 @dataclass

@@ -35,8 +35,10 @@ Atomicity contract (mirrors SURVEY.md §3.4):
 
 from __future__ import annotations
 
+import contextlib
 import os
 import posixpath
+import re
 import uuid
 
 from pyarrow import fs as pafs
@@ -61,10 +63,75 @@ def unregister_scheme(scheme: str) -> None:
     _SCHEMES.pop(scheme, None)
 
 
+# scheme -> callable(uri) returning a context manager that holds an
+# exclusive commit lock for that uri while entered.  Deployments back this
+# with whatever their store offers: a DynamoDB/ZooKeeper lock, an
+# S3 conditional-PUT retry loop, a catalog transaction — the pluggable
+# serialized-commit hook the reference's atomic MetaStore.Update implies
+# (meta_store.go:21).
+_COMMIT_LOCKS: dict[str, object] = {}
+
+
+def register_commit_lock(scheme: str, factory) -> None:
+    """Serialize manifest commits for ``<scheme>://`` roots through
+    ``factory(uri)`` (must return a context manager).  Without a registered
+    lock, non-local schemes fall back to the documented last-writer-wins
+    CURRENT swap."""
+    _COMMIT_LOCKS[scheme] = factory
+
+
+def unregister_commit_lock(scheme: str) -> None:
+    _COMMIT_LOCKS.pop(scheme, None)
+
+
+def scheme_of(uri: str) -> str | None:
+    """RFC-3986 scheme of ``uri``, or None for a plain path."""
+    m = _SCHEME_RE.match(uri.split("/", 1)[0])
+    return m.group(1) if m else None
+
+
+@contextlib.contextmanager
+def commit_lock(uri: str):
+    """Exclusive lock bracketing a manifest commit's read-check-swap
+    critical section.
+
+    - registered scheme lock -> the user's primitive (strict);
+    - local filesystem -> ``flock`` on ``<path>.lock``: kernel-released on
+      process death (no stale-lock risk), exclusive across processes AND
+      across threads (each entry opens its own file description);
+    - otherwise (object store, no registered lock) -> **no-op**: the
+      commit degrades to the documented last-writer-wins swap; the
+      conflict CHECK in ``manifest.publish_commit`` still narrows the race
+      window but cannot close it — register a lock for strict
+      serialization."""
+    scheme = scheme_of(uri)
+    if scheme in _COMMIT_LOCKS:
+        with _COMMIT_LOCKS[scheme](uri):
+            yield
+        return
+    fs, p = resolve(uri)
+    if _is_local(fs):
+        import fcntl
+
+        os.makedirs(os.path.dirname(p) or ".", exist_ok=True)
+        fd = os.open(p + ".lock", os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+        return
+    yield
+
+
 def join(base: str, *parts: str) -> str:
     """Path join that is correct for both plain paths and URIs (always
     ``/`` — manifest ``data_path`` values are scheme-relative POSIX)."""
     return posixpath.join(base, *parts)
+
+
+_SCHEME_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*):")
 
 
 def resolve(path_or_uri: str) -> tuple[pafs.FileSystem, str]:
@@ -73,10 +140,16 @@ def resolve(path_or_uri: str) -> tuple[pafs.FileSystem, str]:
     Plain paths and ``file:`` URIs (both ``file:///x`` and Spark's
     ``file:/x`` spelling) resolve to the local filesystem; registered
     schemes take precedence over ``pyarrow.fs.FileSystem.from_uri``.
-    """
+
+    Only an RFC-3986 scheme (letter-led, before the first ``/``) is
+    treated as one, and an *unregistered* scheme is routed to pyarrow only
+    when followed by ``//`` — so a legal relative local path containing a
+    colon (``run:3/data``) stays local instead of failing inside
+    ``FileSystem.from_uri`` (ADVICE r03)."""
     s = path_or_uri
-    if ":" in s.split("/", 1)[0]:  # has a scheme
-        scheme = s.split(":", 1)[0]
+    m = _SCHEME_RE.match(s.split("/", 1)[0])
+    if m:
+        scheme = m.group(1)
         if scheme in _SCHEMES:
             rest = s.split(":", 1)[1]
             return _SCHEMES[scheme], rest.lstrip("/")
@@ -85,8 +158,9 @@ def resolve(path_or_uri: str) -> tuple[pafs.FileSystem, str]:
             while p.startswith("//"):
                 p = p[1:]
             return pafs.LocalFileSystem(), p
-        fs, p = pafs.FileSystem.from_uri(s)
-        return fs, p
+        if s[len(scheme) + 1 :].startswith("//"):
+            fs, p = pafs.FileSystem.from_uri(s)
+            return fs, p
     return pafs.LocalFileSystem(), s
 
 

@@ -1,19 +1,41 @@
-"""Versioned index manifest — the MetaStore analog.
+"""Versioned index manifest — the MetaStore analog, with DELTA commits.
 
 The reference splits storage into an opaque-blob DataStore and an atomic
-MetaStore (data_store.go:12-22, meta_store.go:8-22).  Here the DataStore is
-Spark-written Parquet under ``<root>/data/`` and the MetaStore is a
-*versioned manifest*: each commit writes a fresh
-``<root>/manifest/v{N}/{blocks,files,lineage}.parquet + meta.json`` and then
-atomically swaps the ``<root>/manifest/CURRENT`` pointer.  All byte-level
-I/O goes through the scheme-agnostic fs layer (``sources/fs.py``): local
-roots get write-temp + ``os.replace`` atomicity, object-store roots get
-atomic single-object PUTs with documented last-writer-wins on the CURRENT
-swap (safe: version dirs are immutable).  Readers resolve through CURRENT,
-so they never observe a partial state — the same atomicity contract as
-``MetaStore.Update`` (meta_store.go:21).  On a real catalog this pointer
-swap maps to a conditional put or an Iceberg snapshot commit; the layout is
-the same Iceberg-style "data files + metadata tree" split.
+MetaStore whose ``Update(writes, deletes)`` contract is *delta-based* —
+each commit touches only the affected files' metadata (data_store.go:12-22,
+meta_store.go:8-22).  Here the DataStore is Spark-written Parquet under
+``<root>/data/`` and the MetaStore is a *versioned, segmented manifest*:
+
+- each commit writes ONE immutable **segment** under
+  ``<root>/manifest/segments/<name>/{blocks,files,lineage}.parquet``
+  containing only that commit's delta (an append's new blocks, a merge's
+  folded output, a maintenance op's lineage rows);
+- a **version** is just ``<root>/manifest/v{N}/meta.json`` whose
+  ``tables`` key lists, per manifest table, the ordered segment paths that
+  compose it — readers union the listed segments;
+- ``<root>/manifest/CURRENT`` atomically points at the committed version.
+
+An append therefore writes O(batch) manifest bytes, never O(index): the
+previous segments are *referenced*, not rewritten (the r03 scale-killer —
+at 10^8 blocks the old whole-manifest rewrite moved hundreds of GB per
+micro-batch).  Maintenance ops (merge/compact/expire) rewrite blocks/files
+anyway — their output IS the folded segment — but append only a lineage
+*delta*, so history is never recopied.  ``fold_manifest`` (plans/merge.py)
+compacts many small segments into one; ``vacuum_manifest`` deletes
+unreferenced segment/version dirs.
+
+All byte-level I/O goes through the scheme-agnostic fs layer
+(``sources/fs.py``).  Commits are serialized through
+:func:`publish_commit`: the fs layer's per-scheme commit lock (a real
+flock on local roots, a pluggable lock/conditional-put hook elsewhere)
+brackets the read-CURRENT -> write-meta -> swap-CURRENT critical section,
+and a committer whose inputs were computed from a superseded version gets
+:class:`CommitConflict` instead of silently dropping the interleaved
+commit (the lost-update guard ``MetaStore.Update``'s atomicity implies,
+meta_store.go:21).  Readers resolve through CURRENT, so they never observe
+a partial state.  On a real catalog this pointer swap maps to a
+conditional put or an Iceberg snapshot commit; the layout is the same
+Iceberg-style "data files + metadata tree (manifest list)" split.
 
 Manifest schemas (one row per block / per file):
 
@@ -61,12 +83,51 @@ LINEAGE_SCHEMA = (
 )
 
 
+TABLES = ("blocks", "files", "lineage")
+
+
+class CommitConflict(RuntimeError):
+    """CURRENT moved between a committer's snapshot and its commit attempt.
+
+    Raised by :func:`publish_commit` when ``expected`` is stale: the
+    caller's commit content was derived from a manifest version that is no
+    longer current, so publishing it would silently drop the interleaved
+    commit.  Re-plan from the fresh version and retry (appends that adapt
+    to any predecessor pass no ``expected`` and never see this)."""
+
+
+_UNSET = object()
+
+
 def _manifest_dir(root: str) -> str:
     return fsx.join(root, "manifest")
 
 
 def _current_path(root: str) -> str:
     return fsx.join(_manifest_dir(root), "CURRENT")
+
+
+def segments_dir(root: str) -> str:
+    return fsx.join(_manifest_dir(root), "segments")
+
+
+def segment_dir(root: str, name: str) -> str:
+    """Absolute dir for one immutable manifest segment."""
+    return fsx.join(segments_dir(root), name)
+
+
+def segment_ref(name: str, table: str) -> str:
+    """meta.json ``tables`` entry for a segment's table (relative to the
+    manifest dir, so the whole index tree stays relocatable)."""
+    return f"segments/{name}/{table}.parquet"
+
+
+def staging_root(root: str, tag: str) -> str:
+    """Scratch dir for a build attempt's heavy intermediate stages.
+    Deterministic per (root, tag): a crashed build re-resolves the same
+    dir and its _SUCCESS markers skip completed stages (resume); deleted
+    after a successful commit."""
+    return fsx.join(_manifest_dir(root), "staging", tag)
 
 
 def current_version(root: str) -> str | None:
@@ -95,9 +156,50 @@ def commit_version(root: str, version: str) -> None:
     """Atomically advance CURRENT -> version.  Local: temp + os.replace
     (fully atomic); object store: single atomic PUT, last-writer-wins —
     safe because version dirs are immutable once written (fs.py module
-    docstring)."""
+    docstring).  Engine commits go through :func:`publish_commit`, which
+    adds serialization + conflict detection around this swap."""
     fsx.mkdirs(_manifest_dir(root))
     fsx.write_bytes_atomic(_current_path(root), version.encode())
+
+
+def publish_commit(root: str, finalize, expected=_UNSET) -> str:
+    """Serialized manifest commit (the ``MetaStore.Update`` atomicity
+    contract, meta_store.go:21).
+
+    Under the root's commit lock (``fs.commit_lock`` — a real flock on
+    local roots, a per-scheme registered lock/conditional-put hook
+    elsewhere, documented last-writer-wins when neither exists):
+
+    1. resolve the CURRENT version;
+    2. if ``expected`` was given and CURRENT != expected, raise
+       :class:`CommitConflict` WITHOUT committing — the caller's content
+       (a merge/compact/expire derived from a snapshot) would drop the
+       interleaved commit; the caller re-plans from the fresh version;
+    3. call ``finalize(prev_version) -> version`` — it must write the new
+       version dir's meta.json (its segments are already on disk; only
+       O(meta.json) work happens inside the lock).  Appends pass no
+       ``expected`` and simply union the FRESH predecessor's table lists,
+       so two racing appenders both land, serialized;
+    4. atomically swap CURRENT.
+
+    Returns the committed version name."""
+    with fsx.commit_lock(_current_path(root)):
+        cur = current_version(root)
+        if expected is not _UNSET and cur != expected:
+            raise CommitConflict(
+                f"manifest at {root} moved: expected "
+                f"{expected!r}, found {cur!r}; re-plan from the current "
+                "version and retry"
+            )
+        version = finalize(cur)
+        commit_version(root, version)
+        return version
+
+
+def version_after(prev: str | None) -> str:
+    """Next version name after ``prev`` (``None`` -> v1)."""
+    n = int(prev[1:]) + 1 if prev else 1
+    return f"v{n:08d}"
 
 
 @dataclass
@@ -129,12 +231,26 @@ class BloomIndex:
     def version_dir(self) -> str:
         return fsx.join(_manifest_dir(self.root), self.version)
 
+    def table_refs(self) -> dict[str, list[str]]:
+        """Per-table ordered segment paths (relative to the manifest dir)
+        composing this version.  Pre-segment manifests (no ``tables`` key)
+        resolve to the version-dir-local files — full back-compat."""
+        refs = self.meta().get("tables")
+        if refs is None:
+            return {t: [f"{self.version}/{t}.parquet"] for t in TABLES}
+        return refs
+
+    def table_paths(self, name: str) -> list[str]:
+        mdir = _manifest_dir(self.root)
+        return [fsx.join(mdir, rel) for rel in self.table_refs()[name]]
+
+    def _read_table(self, name: str, schema: str) -> DataFrame:
+        return self.spark.read.schema(schema).parquet(*self.table_paths(name))
+
     def blocks(self, cache: bool = True) -> DataFrame:
         df = getattr(self, "_blocks_df", None)
         if df is None:
-            df = self.spark.read.schema(BLOCKS_SCHEMA).parquet(
-                fsx.join(self.version_dir, "blocks.parquet")
-            )
+            df = self._read_table("blocks", BLOCKS_SCHEMA)
             if cache:
                 df = df.cache()
                 self._blocks_df = df
@@ -143,9 +259,7 @@ class BloomIndex:
     def files(self, cache: bool = True) -> DataFrame:
         df = getattr(self, "_files_df", None)
         if df is None:
-            df = self.spark.read.schema(FILES_SCHEMA).parquet(
-                fsx.join(self.version_dir, "files.parquet")
-            )
+            df = self._read_table("files", FILES_SCHEMA)
             if cache:
                 df = df.cache()
                 self._files_df = df
@@ -166,11 +280,14 @@ class BloomIndex:
         n = getattr(self, "_n_blocks", None)
         if n is None:
             try:
-                n = fsx.parquet_dir_rows(
-                    fsx.join(self.version_dir, "blocks.parquet")
+                n = sum(
+                    fsx.parquet_dir_rows(p) for p in self.table_paths("blocks")
                 )
             except Exception:
-                n = 2**62
+                # do NOT cache the sentinel: a transient FS error must not
+                # pin the slow hierarchical path for the handle's lifetime
+                # (ADVICE r03) — the next call retries the footer read
+                return 2**62
             self._n_blocks = n
         return n
 
@@ -198,9 +315,7 @@ class BloomIndex:
         key = (level, tuple(sorted(bloom_cols)))
         if key not in views:
             schema = FILES_SCHEMA if level == "files" else BLOCKS_SCHEMA
-            df = self.spark.read.schema(schema).parquet(
-                fsx.join(self.version_dir, f"{level}.parquet")
-            )
+            df = self._read_table(level, schema)
             keep = [
                 f.name
                 for f in df.schema.fields
@@ -263,9 +378,7 @@ class BloomIndex:
         self._probe_views = {}
 
     def lineage(self) -> DataFrame:
-        return self.spark.read.schema(LINEAGE_SCHEMA).parquet(
-            fsx.join(self.version_dir, "lineage.parquet")
-        )
+        return self._read_table("lineage", LINEAGE_SCHEMA)
 
     def meta(self) -> dict:
         m = getattr(self, "_meta", None)

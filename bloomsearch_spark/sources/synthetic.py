@@ -98,6 +98,150 @@ def generate_pdf(n_rows: int, seed: int = 42) -> pd.DataFrame:
     return pd.concat(chunks, ignore_index=True)
 
 
+def synthesize_probe_manifest(
+    spark: SparkSession,
+    root: str,
+    n_blocks: int,
+    blocks_per_file: int = 1_000,
+    match_every: int = 100_000,
+    token: str = "needle",
+    block_expected: int = 100,
+    file_expected: int = 1_000,
+    fpr: float = 0.01,
+):
+    """Manifest-ONLY synthetic index (no data files) for probe-path
+    benchmarking: ``n_blocks`` block rows with real serialized bitsets.
+    Every ``match_every``-th block carries ``token`` in its token bloom
+    (and its file's file bloom); every other bitset is zeroed, so the
+    probe prunes it exactly.  Small bloom params keep a 10^6-block
+    manifest to a few hundred MB.  Committed as a normal manifest version
+    — used by scripts/probe_scale_bench.py and tests/test_probe_scale.py
+    to measure the flat-vs-hierarchical probe crossover
+    (plans/search.py FLAT_PROBE_MAX_BLOCKS) at manifest scales the
+    data-backed tests cannot reach.  Returns the committed BloomIndex."""
+    import pyarrow as pa
+
+    from .. import bloom
+    from ..config import IndexConfig
+    from . import fs as fsx
+    from . import manifest as mf
+
+    bp = bloom.BloomParams(block_expected, fpr)
+    fp = bloom.BloomParams(file_expected, fpr)
+    tok = np.asarray([token], dtype=object)
+    b_hit = bloom.new_bitset(bp)
+    bloom.insert(b_hit, tok, bp)
+    b_hit, b_miss = b_hit.tobytes(), bloom.new_bitset(bp).tobytes()
+    f_hit = bloom.new_bitset(fp)
+    bloom.insert(f_hit, tok, fp)
+    f_hit, f_miss = f_hit.tobytes(), bloom.new_bitset(fp).tobytes()
+
+    empty_map = pa.array([[]], type=pa.map_(pa.string(), pa.int64()))
+    bpf, me = blocks_per_file, match_every
+
+    def gen_blocks(batches):
+        for batch in batches:
+            ids = batch.column("id").to_numpy()
+            n = len(ids)
+            hit = (ids % me) == 0
+            cols = {
+                "file_id": pa.array([f"f{int(i) // bpf:08d}" for i in ids]),
+                "block_id": pa.array([f"b{int(i):09d}" for i in ids]),
+                "partition_id": pa.array(["p"] * n),
+                "data_path": pa.array(
+                    [f"file_id=f{int(i) // bpf:08d}/block_id=b{int(i):09d}" for i in ids]
+                ),
+                "row_count": pa.array([block_expected] * n, pa.int64()),
+                "token_count": pa.array([block_expected] * n, pa.int64()),
+                "byte_size": pa.array([4096] * n, pa.int64()),
+                "minmax_min": pa.concat_arrays([empty_map] * n),
+                "minmax_max": pa.concat_arrays([empty_map] * n),
+                "expected_items": pa.array([block_expected] * n, pa.int64()),
+                "fpr": pa.array([fpr] * n, pa.float64()),
+                "field_bloom": pa.array([b_miss] * n, pa.binary()),
+                "token_bloom": pa.array(
+                    [b_hit if h else b_miss for h in hit], pa.binary()
+                ),
+                "fieldtoken_bloom": pa.array([b_miss] * n, pa.binary()),
+            }
+            yield pa.RecordBatch.from_pydict(cols)
+
+    n_files = (n_blocks + bpf - 1) // bpf
+
+    def gen_files(batches):
+        for batch in batches:
+            ids = batch.column("id").to_numpy()
+            n = len(ids)
+            # file i holds blocks [i*bpf, (i+1)*bpf): it matches when any
+            # multiple of match_every falls in that range
+            hit = [(-(int(i) * bpf) % me) < bpf for i in ids]
+            cols = {
+                "file_id": pa.array([f"f{int(i):08d}" for i in ids]),
+                "partition_id": pa.array(["p"] * n),
+                "block_count": pa.array([bpf] * n, pa.int64()),
+                "row_count": pa.array([block_expected * bpf] * n, pa.int64()),
+                "token_count": pa.array([block_expected * bpf] * n, pa.int64()),
+                "byte_size": pa.array([4096 * bpf] * n, pa.int64()),
+                "minmax_min": pa.concat_arrays([empty_map] * n),
+                "minmax_max": pa.concat_arrays([empty_map] * n),
+                "expected_items": pa.array([file_expected] * n, pa.int64()),
+                "fpr": pa.array([fpr] * n, pa.float64()),
+                "field_bloom": pa.array([f_miss] * n, pa.binary()),
+                "token_bloom": pa.array(
+                    [f_hit if h else f_miss for h in hit], pa.binary()
+                ),
+                "fieldtoken_bloom": pa.array([f_miss] * n, pa.binary()),
+            }
+            yield pa.RecordBatch.from_pydict(cols)
+
+    seg = "v00000001-synth"
+    seg_dir = mf.segment_dir(root, seg)
+    tasks = max(1, min(64, n_blocks // 50_000 + 1))
+    (
+        spark.range(n_blocks).repartition(tasks)
+        .mapInArrow(gen_blocks, mf.BLOCKS_SCHEMA)
+        .write.mode("overwrite").parquet(fsx.join(seg_dir, "blocks.parquet"))
+    )
+    (
+        spark.range(n_files).coalesce(1)
+        .mapInArrow(gen_files, mf.FILES_SCHEMA)
+        .write.mode("overwrite").parquet(fsx.join(seg_dir, "files.parquet"))
+    )
+    spark.createDataFrame([], mf.LINEAGE_SCHEMA).write.mode("overwrite").parquet(
+        fsx.join(seg_dir, "lineage.parquet")
+    )
+    cfg = IndexConfig(
+        indexed_fields=("text",),
+        partition_expr="'p'",
+        max_block_rows=block_expected,
+        blocks_per_file=blocks_per_file,
+        block_fpr=fpr,
+        file_fpr=fpr,
+        file_expected_items=file_expected,
+    )
+
+    def finalize(prev):
+        v = mf.version_after(prev)
+        mf.write_meta(
+            fsx.join(root, "manifest", v),
+            cfg,
+            extra={
+                "build_id": v,
+                "source_desc": "synthetic-probe-manifest",
+                "source_columns": ["text"],
+                "uniform_params": {
+                    "blocks": [block_expected, fpr],
+                    "files": [file_expected, fpr],
+                },
+                "tables": {t: [mf.segment_ref(seg, t)] for t in mf.TABLES},
+            },
+        )
+        return v
+
+    v = mf.publish_commit(root, finalize)
+    return mf.BloomIndex(spark, root, v)
+
+
 def generate_df(spark: SparkSession, n_rows: int, seed: int = 42) -> DataFrame:
     """Distributed deterministic generation: one task per chunk."""
     n_chunks = (n_rows + CHUNK - 1) // CHUNK

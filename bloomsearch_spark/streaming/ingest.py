@@ -14,6 +14,14 @@ Exactly-once: foreachBatch may replay a batch after a failure.  Every
 commit records its ``batch_id`` in the manifest meta; a replayed batch id
 <= the last committed one is skipped, making the sink idempotent (the
 same guarantee the reference gets from single-threaded apply).
+
+Each micro-batch commit writes one O(batch) DELTA manifest segment (the
+r04 segmented manifest — sources/manifest.py): a long-running stream never
+rewrites the accumulated index metadata per trigger.  Segment-list growth
+is bounded by running ``fold_manifest`` (and ``vacuum_manifest``) at the
+same cadence as file merges; a maintenance commit racing a stream batch is
+serialized by the commit lock and, if it lost the race, surfaces
+``CommitConflict`` for a clean re-plan instead of dropping the batch.
 """
 
 from __future__ import annotations

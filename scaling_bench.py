@@ -106,6 +106,68 @@ def worker(cores: int, input_dir: str, root: str) -> None:
     spark.stop()
 
 
+def cpu_worker(cores: int) -> None:
+    """CPU-BOUND synthetic scaling control (r03 verdict item 7): a fixed
+    total amount of dependent sha256 hashing over a cache-resident 4 KB
+    buffer, split across a fixed 128 tasks — zero I/O, ~zero memory
+    bandwidth.  If THIS scales across a core pair, the scheduler/engine is
+    not the limiter; if it doesn't, the ceiling is the host (matching the
+    memcpy control).  Timed: the Spark job only (session + python-worker
+    warmup excluded, as on a long-lived cluster)."""
+    from pyspark.sql import SparkSession
+
+    n_tasks = 128
+    per_task = int(os.environ.get("SCALING_CPU_HASHES", "60000"))
+    spark = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"scaling-cpu-{cores}")
+        .config("spark.sql.shuffle.partitions", str(n_tasks))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def burn(it):
+        import hashlib
+
+        for pdf in it:  # consume the (tiny) input
+            pass
+        buf = b"x" * 4096
+        for _ in range(per_task):
+            # dependent chain: not vectorizable, stays in L1
+            buf = hashlib.sha256(buf).digest() + buf[32:]
+        import pandas as _pd
+
+        yield _pd.DataFrame({"n": [per_task]})
+
+    def _warm(it):
+        yield from it
+
+    spark.range(cores * 8).repartition(cores * 8).mapInPandas(_warm, "id long").count()
+    t0 = time.perf_counter()
+    total = (
+        spark.range(n_tasks)
+        .repartition(n_tasks)
+        .mapInPandas(burn, "n long")
+        .groupBy()
+        .sum("n")
+        .collect()[0][0]
+    )
+    wall = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "build_sec": round(wall, 3),
+                "hashes": int(total),
+                "hashes_per_sec": round(total / wall, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
 def _memcpy_worker(q, mb: int, reps: int) -> None:
     import numpy as _np
 
@@ -137,26 +199,52 @@ def _memcpy_control(procs: int, mb: int = 256, reps: int = 3) -> float:
     return round(sum(vals), 2)
 
 
-def _run_worker(cores: int, input_dir: str, root: str) -> dict:
+def _run_worker(cores: int, input_dir: str, root: str, cpu: bool = False) -> dict:
+    cmd = [sys.executable, os.path.abspath(__file__), "--worker", "--cores", str(cores)]
+    if cpu:
+        cmd.append("--cpu")
+    else:
+        cmd += ["--input", input_dir, "--root", root]
     out = subprocess.run(
-        [
-            sys.executable,
-            os.path.abspath(__file__),
-            "--worker",
-            "--cores",
-            str(cores),
-            "--input",
-            input_dir,
-            "--root",
-            root,
-        ],
+        cmd,
         capture_output=True,
         text=True,
         check=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
-    shutil.rmtree(root, ignore_errors=True)
+    if not cpu:
+        shutil.rmtree(root, ignore_errors=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def orchestrate_cpu(pairs: list[tuple[int, int]]) -> None:
+    """CPU-bound control pairs: same interleaved min-of-reps protocol as
+    the build pairs, no input data needed."""
+    results = {}
+    for lo, hi in pairs:
+        runs: dict[int, list[dict]] = {lo: [], hi: []}
+        for _ in range(REPS):
+            for cores in (lo, hi):
+                runs[cores].append(_run_worker(cores, "", "", cpu=True))
+        best = {c: min(r["build_sec"] for r in runs[c]) for c in (lo, hi)}
+        med = {c: statistics.median(r["build_sec"] for r in runs[c]) for c in (lo, hi)}
+        results[f"{lo}->{hi}"] = {
+            "min_job_sec": best,
+            "median_job_sec": med,
+            "all_runs_sec": {c: [r["build_sec"] for r in runs[c]] for c in (lo, hi)},
+            "speedup": round(best[lo] / best[hi], 3),
+            "scaling_efficiency": round((best[lo] / best[hi]) / (hi / lo), 3),
+        }
+    print(
+        json.dumps(
+            {
+                "workload": "cpu-bound sha256 chain (128 tasks, no I/O)",
+                "hashes_per_task": int(os.environ.get("SCALING_CPU_HASHES", "60000")),
+                "reps": REPS,
+                "pairs": results,
+            }
+        )
+    )
 
 
 def orchestrate(pairs: list[tuple[int, int]]) -> None:
@@ -240,15 +328,24 @@ if __name__ == "__main__":
     ap.add_argument(
         "--pairs", help="explicit N:4N pairs, e.g. '2:8,8:32' (overrides --wide)"
     )
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="CPU-bound synthetic control instead of the index build",
+    )
     ap.add_argument("--cores", type=int)
     ap.add_argument("--input")
     ap.add_argument("--root")
     a = ap.parse_args()
-    if a.worker:
+    pairs = (
+        [tuple(int(x) for x in p.split(":")) for p in a.pairs.split(",")]
+        if a.pairs
+        else ([(1, 4), (2, 8), (8, 32)] if a.wide else [(1, 4)])
+    )
+    if a.worker and a.cpu:
+        cpu_worker(a.cores)
+    elif a.worker:
         worker(a.cores, a.input, a.root)
-    elif a.pairs:
-        orchestrate(
-            [tuple(int(x) for x in p.split(":")) for p in a.pairs.split(",")]
-        )
+    elif a.cpu:
+        orchestrate_cpu(pairs)
     else:
-        orchestrate([(1, 4), (2, 8), (8, 32)] if a.wide else [(1, 4)])
+        orchestrate(pairs)

@@ -38,15 +38,25 @@ def test_crash_before_commit_resumes_without_recompute(spark, tmp_root, monkeypa
     # nothing is visible to readers yet (atomicity contract)
     assert mf.current_version(tmp_root) is None
 
-    staging = os.path.join(tmp_root, "manifest", "v00000001", "staging.parquet")
-    before = _mtimes(os.path.join(staging, "*.parquet"))
-    assert before, "staging stage should have completed before the crash"
+    # heavy stages completed before the crash: staging scratch + the
+    # commit's manifest segment (delta layout)
+    staging = glob.glob(
+        os.path.join(tmp_root, "manifest", "staging", "*", "staging.parquet")
+    )
+    assert staging, "staging stage should have completed before the crash"
+    seg_glob = os.path.join(
+        tmp_root, "manifest", "segments", "*-build", "*.parquet", "*.parquet"
+    )
+    before = _mtimes(seg_glob)
+    assert before, "segment writes should have completed before the crash"
 
     # resume: same deterministic build -> completed stages are skipped
     idx = build_index(spark, df, tmp_root, CFG)
-    after = _mtimes(os.path.join(staging, "*.parquet"))
-    assert after == before, "resume must NOT recompute the completed staging stage"
+    after = _mtimes(seg_glob)
+    assert after == before, "resume must NOT recompute the completed stages"
     assert idx.version == "v00000001"
+    # scratch is deleted once the commit owns the data
+    assert not glob.glob(os.path.join(tmp_root, "manifest", "staging", "*"))
 
     # and the resumed index is fully correct
     assert idx.blocks().agg(F.sum("row_count")).collect()[0][0] == 1_000
