@@ -24,14 +24,21 @@ partial state):
   bitwise OR (M4) and minmax maps union-widen (M5) — no re-tokenization,
   unlike the reference's row-streaming re-index.
 
-Plus ``expire_blocks`` (M9, TTL/prefilter-based expiry) and ``vacuum``
-(M8 tombstoning: delete block dirs no longer referenced by CURRENT).
+Plus ``expire_blocks`` (M9, TTL/prefilter-based expiry), ``vacuum`` (M8
+tombstoning: delete block dirs no longer referenced by CURRENT), and the
+manifest's own maintenance: ``fold_manifest`` (compact the delta-segment
+lists appends accumulate) and ``vacuum_manifest`` (reclaim unreachable
+version/segment/staging dirs).
 
-Scale notes: merge *planning* is driver-side pandas over the files
-manifest (1 row per file — the reference does the same single-threaded,
-:1490); merge *execution* is distributed grouped-maps over manifest rows
-and, for consolidation only, over the affected block data.  Both paths
-shuffle manifest rows, never the indexed dataset.
+Scale notes: merge *planning* runs per param-group on executors
+(``_plan_mapping_df`` — the driver never materializes the manifest);
+merge *execution* is distributed grouped-maps over manifest rows and,
+for consolidation only, over the affected block data.  Both paths
+shuffle manifest rows, never the indexed dataset.  Maintenance commits
+publish with ``expected=`` their snapshot version: a concurrent commit
+(e.g. a streaming append) surfaces as ``CommitConflict`` — reload and
+re-run the op; never retry blindly (the plan was computed from a
+superseded manifest).
 """
 
 from __future__ import annotations

@@ -35,18 +35,30 @@ from ..tokenizer import get_tokenizer
 # to a broadcast semi-join (keeps the driver list bounded at huge scale)
 MAX_COLLECTED_BLOCKS = 100_000
 
-# at or below this many TOTAL blocks, skip the file-level bloom probe and
-# test block blooms directly ("flat probe"): the file level exists to keep
-# the block-probe scan sub-linear at 10^7-10^9 blocks, but on a small
-# manifest it only adds a second sequential Spark job (a broadcast build of
-# the surviving file set) to every query — measured ~0.5-0.8 s of pure
-# latency at 1k blocks.  Results are identical either way (blooms only
-# disqualify; verify is exact); the cost is scanning the block bloom of
-# blocks whose FILE bloom would have pruned them, ≈ block_fpr × n_blocks
-# extra block probes (≤500 rows at this cap with p=0.01) — manifest rows,
-# not data.  Stats-mode queries always run the full hierarchy so the
-# funnel counters stay meaningful.
+# Flat-vs-hierarchical probe choice, MEASURED in r04
+# (scripts/probe_scale_bench.py, PROBE_SCALE*.json; synthetic manifests
+# with realistic ~50%-fill bitsets up to 10^6 blocks):
+#
+# - the warm MANIFEST-probe cost alone favors flat at every size ≤ 10^6
+#   blocks on this hardware (the file level adds a ~0.07-0.15 s second
+#   Spark job; scanning even 10^6 cached small bitsets costs ~0.1-0.2 s);
+# - what actually decides the crossover is DOWNSTREAM: the flat probe
+#   admits ≈ block_fpr × n_blocks false-positive blocks, and every
+#   survivor costs a data-block directory read (~2-3 ms here).  Measured
+#   end-to-end (survivor dirs materialized): flat wins at 2k blocks,
+#   loses from ~10k up — 13.5 s vs 0.86 s at 10^6 blocks (p=0.01).
+#
+# So the rule is an FP BUDGET, not a raw block count: go flat only while
+# the expected spurious data reads (n_blocks × block_fpr) cost less than
+# the hierarchy's extra probe job.  50 expected FP blocks ≈ 0.1-0.15 s of
+# directory reads ≈ that job's latency.  FLAT_PROBE_MAX_BLOCKS remains as
+# a hard cap (and the tests' forcing knob).  Final query ROWS are
+# identical either way — blooms only disqualify, verify is exact; the
+# hierarchy's survivor set is a subset of the flat probe's.  Stats-mode
+# queries always run the full hierarchy so the funnel counters stay
+# meaningful.
 FLAT_PROBE_MAX_BLOCKS = 50_000
+FLAT_PROBE_FP_BUDGET = 50.0
 
 _AQE_EMPTY_RULE = "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
 
@@ -240,12 +252,16 @@ def prune_blocks(
     bcols = None if index.uniform_params("blocks") is None else needed
     blocks = index.probe_view("blocks", bcols)
     # flat probe on small manifests: one Spark job instead of two, and the
-    # (much larger) file-bloom manifest is never read at all
-    flat = (
-        stats is None
-        and prune_tree is not None
-        and index.n_blocks() <= FLAT_PROBE_MAX_BLOCKS
-    )
+    # (much larger) file-bloom manifest is never read at all — but only
+    # while the expected bloom-FP data reads stay inside the budget (see
+    # FLAT_PROBE_FP_BUDGET above; measured crossover ~10k blocks at p=0.01)
+    flat = False
+    if stats is None and prune_tree is not None:
+        n = index.n_blocks()
+        flat = (
+            n <= FLAT_PROBE_MAX_BLOCKS
+            and n * index.config.block_fpr <= FLAT_PROBE_FP_BUDGET
+        )
     files = None
     if not flat:
         fcols = None if index.uniform_params("files") is None else needed

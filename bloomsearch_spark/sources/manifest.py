@@ -145,11 +145,11 @@ def current_version(root: str) -> str | None:
 
 
 def next_version_dir(root: str) -> tuple[str, str]:
-    cur = current_version(root)
-    n = int(cur[1:]) + 1 if cur else 1
-    v = f"v{n:08d}"
-    d = fsx.join(_manifest_dir(root), v)
-    return v, d
+    """GUESS of the next version (name, dir) — used for attempt tags and
+    segment names before the commit lock is taken; the authoritative
+    version is assigned inside publish_commit's finalize."""
+    v = version_after(current_version(root))
+    return v, fsx.join(_manifest_dir(root), v)
 
 
 def commit_version(root: str, version: str) -> None:

@@ -110,15 +110,18 @@ def synthesize_probe_manifest(
     fpr: float = 0.01,
 ):
     """Manifest-ONLY synthetic index (no data files) for probe-path
-    benchmarking: ``n_blocks`` block rows with real serialized bitsets.
-    Every ``match_every``-th block carries ``token`` in its token bloom
-    (and its file's file bloom); every other bitset is zeroed, so the
-    probe prunes it exactly.  Small bloom params keep a 10^6-block
-    manifest to a few hundred MB.  Committed as a normal manifest version
-    — used by scripts/probe_scale_bench.py and tests/test_probe_scale.py
-    to measure the flat-vs-hierarchical probe crossover
-    (plans/search.py FLAT_PROBE_MAX_BLOCKS) at manifest scales the
-    data-backed tests cannot reach.  Returns the committed BloomIndex."""
+    benchmarking: ``n_blocks`` block rows whose token blooms are per-row
+    UNIQUE random bitsets at ~50% bit fill (a correctly-sized bloom at
+    capacity — incompressible bytes, real ~fill^k false-positive rate);
+    every ``match_every``-th block additionally carries ``token`` (and its
+    file's file bloom does too).  ``block_expected`` sets bitset bytes
+    (~1.2 B/item at p=0.01): small params reach 10^6 blocks in a few
+    hundred MB, production-size params (10k) measure the real per-block
+    scan cost.  Committed as a normal manifest version — used by
+    scripts/probe_scale_bench.py and tests/test_probe_scale.py to measure
+    the flat-vs-hierarchical probe crossover (plans/search.py
+    FLAT_PROBE_MAX_BLOCKS) at manifest scales the data-backed tests
+    cannot reach.  Returns the committed BloomIndex."""
     import pyarrow as pa
 
     from .. import bloom
@@ -129,15 +132,35 @@ def synthesize_probe_manifest(
     bp = bloom.BloomParams(block_expected, fpr)
     fp = bloom.BloomParams(file_expected, fpr)
     tok = np.asarray([token], dtype=object)
-    b_hit = bloom.new_bitset(bp)
-    bloom.insert(b_hit, tok, bp)
-    b_hit, b_miss = b_hit.tobytes(), bloom.new_bitset(bp).tobytes()
-    f_hit = bloom.new_bitset(fp)
-    bloom.insert(f_hit, tok, fp)
-    f_hit, f_miss = f_hit.tobytes(), bloom.new_bitset(fp).tobytes()
+
+    def _tok_positions(params):
+        h1, h2 = bloom._base_hashes(tok)
+        pos = bloom._positions(h1, h2, *params.mk).reshape(-1)
+        return (pos >> np.uint64(3)).astype(np.int64), (
+            np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)
+        )
+
+    b_pos, f_pos = _tok_positions(bp), _tok_positions(fp)
+
+    def _bitsets(n, nbytes, hit_mask, positions, seed):
+        """Per-row UNIQUE bitsets at ~50% bit fill (a correctly-sized bloom
+        at capacity) — incompressible, so the cached/stored manifest costs
+        what a real one costs (constant bitsets would let columnar
+        compression fake the flat-probe scan), and probe false positives
+        occur at the real ~fill^k rate.  Planted rows get the token's k
+        bits OR'd on top."""
+        rng = np.random.default_rng(seed)
+        arr = rng.integers(0, 256, size=(n, nbytes), dtype=np.uint8)
+        idx = np.flatnonzero(hit_mask)
+        for b_i, bit in zip(*positions):
+            arr[idx, b_i] |= bit
+        return pa.array([r.tobytes() for r in arr], pa.binary())
 
     empty_map = pa.array([[]], type=pa.map_(pa.string(), pa.int64()))
     bpf, me = blocks_per_file, match_every
+
+    zero_b = bloom.new_bitset(bp).tobytes()
+    zero_f = bloom.new_bitset(fp).tobytes()
 
     def gen_blocks(batches):
         for batch in batches:
@@ -158,11 +181,14 @@ def synthesize_probe_manifest(
                 "minmax_max": pa.concat_arrays([empty_map] * n),
                 "expected_items": pa.array([block_expected] * n, pa.int64()),
                 "fpr": pa.array([fpr] * n, pa.float64()),
-                "field_bloom": pa.array([b_miss] * n, pa.binary()),
-                "token_bloom": pa.array(
-                    [b_hit if h else b_miss for h in hit], pa.binary()
+                # token_bloom is the probed column: unique realistic
+                # bitsets; the never-probed field/fieldtoken columns stay
+                # zeroed (column pruning drops them from the probe view)
+                "field_bloom": pa.array([zero_b] * n, pa.binary()),
+                "token_bloom": _bitsets(
+                    n, bp.nbytes, hit, b_pos, seed=int(ids[0]) + 1 if n else 1
                 ),
-                "fieldtoken_bloom": pa.array([b_miss] * n, pa.binary()),
+                "fieldtoken_bloom": pa.array([zero_b] * n, pa.binary()),
             }
             yield pa.RecordBatch.from_pydict(cols)
 
@@ -174,7 +200,7 @@ def synthesize_probe_manifest(
             n = len(ids)
             # file i holds blocks [i*bpf, (i+1)*bpf): it matches when any
             # multiple of match_every falls in that range
-            hit = [(-(int(i) * bpf) % me) < bpf for i in ids]
+            hit = np.array([(-(int(i) * bpf) % me) < bpf for i in ids])
             cols = {
                 "file_id": pa.array([f"f{int(i):08d}" for i in ids]),
                 "partition_id": pa.array(["p"] * n),
@@ -186,11 +212,11 @@ def synthesize_probe_manifest(
                 "minmax_max": pa.concat_arrays([empty_map] * n),
                 "expected_items": pa.array([file_expected] * n, pa.int64()),
                 "fpr": pa.array([fpr] * n, pa.float64()),
-                "field_bloom": pa.array([f_miss] * n, pa.binary()),
-                "token_bloom": pa.array(
-                    [f_hit if h else f_miss for h in hit], pa.binary()
+                "field_bloom": pa.array([zero_f] * n, pa.binary()),
+                "token_bloom": _bitsets(
+                    n, fp.nbytes, hit, f_pos, seed=int(ids[0]) + 7 if n else 7
                 ),
-                "fieldtoken_bloom": pa.array([f_miss] * n, pa.binary()),
+                "fieldtoken_bloom": pa.array([zero_f] * n, pa.binary()),
             }
             yield pa.RecordBatch.from_pydict(cols)
 

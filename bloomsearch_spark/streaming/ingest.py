@@ -80,6 +80,7 @@ def stream_build(
     checkpoint_dir: str,
     trigger: dict | None = None,
     source_desc: str = "stream",
+    fold_every: int | None = 64,
 ):
     """Start a streaming index build over ``stream_df`` (a streaming
     DataFrame).  Returns the StreamingQuery handle.
@@ -88,13 +89,32 @@ def stream_build(
     ``{"availableNow": True}`` (drain-and-stop, the reference's forced
     flush) or ``{"processingTime": "10 seconds"}`` (MaxBufferedTime
     analog).
+
+    ``fold_every``: each micro-batch appends one delta manifest segment;
+    when the blocks table reaches this many segments, the sink folds the
+    manifest (one segment per table) and vacuums unreachable metadata —
+    bounding reader union width AND metadata garbage for indefinitely
+    running streams.  The fold is the same single-committer, so it cannot
+    conflict with the stream's own appends; ``None`` disables (run
+    ``fold_manifest`` on your own maintenance cadence, e.g. alongside
+    ``merge_files``).  Folding costs O(manifest) every ``fold_every``
+    batches — amortized O(manifest/fold_every) per batch, vs O(manifest)
+    EVERY batch in the pre-segment design.
     """
     spark = stream_df.sparkSession
 
     def _batch(df: DataFrame, batch_id: int) -> None:
         if df.isEmpty():
             return
-        append_batch(spark, df, root, cfg, batch_id, source_desc)
+        if not append_batch(spark, df, root, cfg, batch_id, source_desc):
+            return
+        if fold_every is not None:
+            idx = mf.BloomIndex.load(spark, root)
+            if len(idx.table_refs()["blocks"]) >= fold_every:
+                from ..plans.merge import fold_manifest, vacuum_manifest
+
+                folded = fold_manifest(spark, idx)
+                vacuum_manifest(folded)
 
     writer = stream_df.writeStream.foreachBatch(_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -71,6 +71,43 @@ def test_stream_build_file_source(spark, tmp_root, tmp_path):
     assert any(d.startswith("stream-batch-") for d in descs)
 
 
+def test_stream_fold_every_bounds_segments(spark, tmp_root, tmp_path):
+    """r04: every micro-batch appends one delta manifest segment;
+    ``fold_every`` folds + vacuums inside the sink so an indefinitely
+    running stream's segment count (and metadata garbage) stays bounded.
+    The replay watermark must survive the folds, and results stay exact."""
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    pdf = generate_pdf(1_000)
+    for i in range(5):  # 5 files -> 5 micro-batches
+        spark.createDataFrame(
+            pdf.iloc[i * 200 : (i + 1) * 200], schema=SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, f"f{i}"))
+
+    stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(
+        src + "/*"
+    )
+    q = stream_build(
+        stream, tmp_root, CFG, ckpt, trigger={"availableNow": True}, fold_every=2
+    )
+    q.awaitTermination(180)
+
+    idx = BloomIndex.load(spark, tmp_root)
+    # folds kept the union width under the threshold
+    assert len(idx.table_refs()["blocks"]) <= 2
+    assert idx.blocks().agg(F.sum("row_count")).collect()[0][0] == 1_000
+    # watermark survived the folds: all 5 batches committed exactly once
+    assert idx.meta()["last_stream_batch"] == 4
+    got = search(spark, idx, new_query().token("needle_alpha").build())
+    expect = sum("needle_alpha" in c.lower().split() for c in pdf["content"])
+    assert got.count() == expect
+    # vacuum_manifest ran inside the sink: no superseded version dirs pile up
+    mdir = os.path.join(tmp_root, "manifest")
+    vdirs = [d for d in os.listdir(mdir) if d.startswith("v")]
+    assert len(vdirs) <= 3  # current + at most the post-fold commits
+
+
 def test_replayed_batch_is_noop(spark, tmp_root):
     """foreachBatch replay (same batch_id) must not double-ingest."""
     pdf = generate_pdf(300)
