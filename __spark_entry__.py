@@ -45,6 +45,7 @@ from bloomsearch_spark import (
     vacuum,
 )
 from bloomsearch_spark.functions.dedup import (
+    duplicate_clusters,
     exact_duplicates,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -496,6 +497,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_simhash": lambda spark, sf: simhash_pairs(
             _docs(spark, sf), "text", "doc_id", max_hamming=3
         ),
+        # connected components over the verified near-dup pair graph ->
+        # canonical cluster assignment (iterative min-label propagation,
+        # edge-sized joins; oracle = recursive-CTE transitive closure)
+        "dd_cluster": lambda spark, sf: duplicate_clusters(
+            minhash_lsh_pairs(_docs(spark, sf), "text", "doc_id", threshold=0.8, n=3)
+        ).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+        ),
         # --- similarity family ---
         "sim_topk": lambda spark, sf: brute_force_topk(
             _embs(spark, sf), _embs(spark, sf).filter(F.col("vec_id") < 5), k=10
@@ -832,6 +842,24 @@ def oracle_sql() -> dict[str, str]:
         # deterministic LSH with these (seeds, bands) has recall 1 on the
         # J>=0.97 planted pairs; verified-exact output == exact oracle
         "dd_minhash": _JACCARD_ORACLE,
+        # connected components: recursive-CTE transitive closure over the
+        # same (exact) pair set, min reachable id per doc
+        "dd_cluster": (
+            f"WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),\n"
+            "edges AS (\n"
+            "  SELECT doc_a AS u, doc_b AS v FROM pairs\n"
+            "  UNION\n"
+            "  SELECT doc_b, doc_a FROM pairs\n"
+            "),\n"
+            "reach(u, v) AS (\n"
+            "  SELECT u, u FROM (SELECT DISTINCT u FROM edges)\n"
+            "  UNION\n"
+            "  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u\n"
+            "),\n"
+            "final AS (SELECT u, min(v) AS c FROM reach GROUP BY u)\n"
+            "SELECT CAST(u AS BIGINT) AS doc_id, CAST(c AS BIGINT) AS cluster_id "
+            "FROM final"
+        ),
         "sim_topk": _TOPK_ORACLE,
         "sim_neardup": _NEARDUP_ORACLE,
         "txt_stats": _TXT_STATS_ORACLE,

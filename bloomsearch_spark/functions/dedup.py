@@ -409,3 +409,72 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iterations: int = 50,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Connected components over a near-duplicate PAIR graph ->
+    ``(doc_id, cluster_id)`` where ``cluster_id`` is the minimum id
+    reachable from the doc — the canonical-representative assignment a
+    dedup pipeline applies after pair finding ("keep cluster_id, drop the
+    rest").  No reference analog (bloomsearch stops at search); standard
+    min-label propagation CC (the simple variant of Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14).
+
+    Each round is one edge-sized equi-join + a vertex-sized min-groupBy:
+    every vertex takes the min of its own and its neighbors' labels;
+    converged when no label changes.  Rounds needed = component DIAMETER —
+    near-dup components are clique-ish (usually 1-2 rounds); a pathological
+    k-chain needs k rounds, bounded by ``max_iterations`` (RuntimeError
+    beyond, never a silently-partial clustering).  At 100 TB scale the
+    per-round cost is a shuffle of the EDGE list (pairs, already a tiny
+    output of the bucketed pair joins), never the corpus; the only
+    driver-side value is the per-round changed-count scalar.  Lineage is
+    truncated every ``checkpoint_every`` rounds via localCheckpoint (on a
+    real cluster prefer ``spark.sparkContext.setCheckpointDir`` +
+    ``checkpoint`` for executor-loss resilience).
+    """
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    try:
+        for it in range(max_iterations):
+            nbr_min = (
+                edges.join(
+                    labels.select(F.col("u").alias("v"), "label"), "v"
+                )
+                .groupBy("u")
+                .agg(F.min("label").alias("nbr_min"))
+            )
+            stepped = (
+                labels.join(nbr_min, "u", "left")
+                .select(
+                    "u",
+                    F.col("label").alias("old_label"),
+                    F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
+                )
+                .persist(StorageLevel.MEMORY_ONLY)
+            )
+            if (it + 1) % checkpoint_every == 0:
+                stepped = stepped.localCheckpoint(eager=True)
+            changed = stepped.filter(F.col("label") != F.col("old_label")).count()
+            labels = stepped.drop("old_label")
+            if changed == 0:
+                return labels.select(
+                    F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
+                )
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iterations} rounds "
+            "(component diameter exceeds the bound) — raise max_iterations"
+        )
+    finally:
+        edges.unpersist()

@@ -200,18 +200,47 @@ def _plan_mapping_df(
 # ---------------------------------------------------------------------------
 
 
+def _retry_conflicts(spark, index: BloomIndex, conflict_retries: int, run):
+    """Optimistic-concurrency loop for maintenance ops: ``run(index)``
+    plans AND commits from its snapshot; on CommitConflict (something —
+    e.g. a streaming append — committed meanwhile) the op is RE-PLANNED
+    from the freshly loaded version, never blindly re-published.  Bounded
+    retries; the last conflict propagates."""
+    while True:
+        try:
+            return run(index)
+        except mf.CommitConflict:
+            if conflict_retries <= 0:
+                raise
+            conflict_retries -= 1
+            index = BloomIndex.load(spark, index.root)
+
+
 def merge_files(
     spark: SparkSession,
     index: BloomIndex,
     max_blocks_per_file: int = 64,
     max_files_per_merge: int = 10,
     max_file_bytes: int | None = None,
+    conflict_retries: int = 0,
 ) -> tuple[BloomIndex, MergeStats]:
     """Metadata-only file compaction: fewer, larger logical files; zero
     data movement.  Commits and returns a new manifest version.
 
     Files with differing bloom params are left untouched (the reference's
-    unmergeable case, bloom_tree_engine_test.go:986-1246)."""
+    unmergeable case, bloom_tree_engine_test.go:986-1246).
+
+    ``conflict_retries``: re-plan + retry this many times when a
+    concurrent commit (streaming append, another maintenance op) wins the
+    race (CommitConflict)."""
+    if conflict_retries:
+        return _retry_conflicts(
+            spark, index, conflict_retries,
+            lambda ix: merge_files(
+                spark, ix, max_blocks_per_file, max_files_per_merge,
+                max_file_bytes, conflict_retries=0,
+            ),
+        )
     stats = MergeStats()
     files = index.files()
     blocks = index.blocks()
@@ -365,6 +394,7 @@ def compact_blocks(
     spark: SparkSession,
     index: BloomIndex,
     max_block_rows: int | None = None,
+    conflict_retries: int = 0,
 ) -> tuple[BloomIndex, MergeStats]:
     """Rewrite undersized sibling blocks into consolidated block dirs.
 
@@ -372,6 +402,11 @@ def compact_blocks(
     re-tokenization; only the affected blocks' row data is read/written.
     File-level rows are unchanged (their blooms already cover the union).
     """
+    if conflict_retries:
+        return _retry_conflicts(
+            spark, index, conflict_retries,
+            lambda ix: compact_blocks(spark, ix, max_block_rows, 0),
+        )
     cfg = index.config
     if index.meta().get("external", False):
         raise ValueError(
@@ -428,13 +463,19 @@ def compact_blocks(
 
 
 def expire_blocks(
-    spark: SparkSession, index: BloomIndex, expired: Column
+    spark: SparkSession, index: BloomIndex, expired: Column,
+    conflict_retries: int = 0,
 ) -> tuple[BloomIndex, MergeStats]:
     """Drop blocks matching ``expired`` (a Column over block-manifest rows,
     e.g. a minmax/partition predicate — README.md:283-287).  File rows with
     no remaining blocks are dropped; partially-expired files keep their
     (now conservative, still sound) blooms — bloom filters only disqualify.
     """
+    if conflict_retries:
+        return _retry_conflicts(
+            spark, index, conflict_retries,
+            lambda ix: expire_blocks(spark, ix, expired, 0),
+        )
     stats = MergeStats()
     blocks = index.blocks()
     stats.blocks_before = blocks.count()
@@ -609,7 +650,9 @@ def vacuum(index: BloomIndex) -> int:
 # ---------------------------------------------------------------------------
 
 
-def fold_manifest(spark: SparkSession, index: BloomIndex) -> BloomIndex:
+def fold_manifest(
+    spark: SparkSession, index: BloomIndex, conflict_retries: int = 0
+) -> BloomIndex:
     """Compact the manifest's segment lists into ONE segment per table.
 
     Appends (and every streaming micro-batch) write O(batch) delta
@@ -619,8 +662,14 @@ def fold_manifest(spark: SparkSession, index: BloomIndex) -> BloomIndex:
     it: the "compaction folds segments" half of the manifest-list design
     (readers union; folds reset the union width).  Run at the same cadence
     as merge_files; raises CommitConflict if anything commits concurrently
-    (re-load and re-run).  The superseded segments become unreachable —
-    reclaim with vacuum_manifest()."""
+    (``conflict_retries`` re-plans from the fresh version automatically).
+    The superseded segments become unreachable — reclaim with
+    vacuum_manifest()."""
+    if conflict_retries:
+        return _retry_conflicts(
+            spark, index, conflict_retries,
+            lambda ix: fold_manifest(spark, ix, 0),
+        )
     root = index.root
     version_guess, _ = mf.next_version_dir(root)
     seg_name = f"{version_guess}-fold"

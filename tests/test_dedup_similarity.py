@@ -176,3 +176,34 @@ def test_ivf_topk_recall_floor(spark, embs):
     brute = brute_force_topk(embs, q, k=10)
     assert _recall(ivf_topk(embs, q, k=10), brute) >= 0.8
     assert _recall(ivf_topk(embs, q, k=10, n_probe=8), brute) >= 0.9
+
+
+def test_duplicate_clusters_components_and_chain(spark):
+    """CC over a pair graph: clique-ish component, a 4-chain (needs
+    multiple propagation rounds), and an isolated pair; cluster_id = min
+    reachable id.  Convergence bound raises instead of silently
+    mis-clustering."""
+    from bloomsearch_spark.functions.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3),            # triangle-ish via shared 2
+            (10, 11), (11, 12), (12, 13),  # 4-chain: diameter 3
+            (20, 21),                  # isolated pair
+        ],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10), (12, 10), (13, 10),
+        (20, 20), (21, 20),
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(pairs, max_iterations=1)

@@ -150,6 +150,57 @@ def test_stale_snapshot_maintenance_conflicts(spark, tmp_root):
     assert merged.blocks().agg(F.sum("row_count")).collect()[0][0] == 700
 
 
+def test_conflict_retries_replan_from_fresh_version(spark, tmp_root):
+    """conflict_retries=N re-PLANS the maintenance op from the freshly
+    loaded version (never blindly re-publishes the stale plan): the
+    interleaved append's rows survive the retried merge."""
+    idx1 = build_index(spark, generate_df(spark, 500), tmp_root, CFG)
+    build_index(
+        spark, generate_df(spark, 200, seed=7).coalesce(1), tmp_root, CFG,
+        mode="append", source_desc="interleaved",
+    )
+    merged, stats = merge_files(spark, idx1, conflict_retries=2)
+    assert merged.blocks().agg(F.sum("row_count")).collect()[0][0] == 700
+    assert stats.files_after <= stats.files_before
+
+
+def test_append_crash_before_commit_resumes_exactly_once(spark, tmp_root, monkeypatch):
+    """A crash between an append's segment write and its CURRENT swap must
+    resume to exactly-once semantics: the re-run reuses the attempt's
+    segment (deterministic tag) and the final manifest lists it ONCE."""
+    build_index(spark, generate_df(spark, 500), tmp_root, CFG)
+
+    real_commit = mf.commit_version
+
+    def boom(root, version):
+        raise RuntimeError("simulated crash before append commit")
+
+    monkeypatch.setattr(mf, "commit_version", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        build_index(
+            spark, generate_df(spark, 200, seed=7).coalesce(1), tmp_root, CFG,
+            mode="append", source_desc="a1",
+        )
+    monkeypatch.setattr(mf, "commit_version", real_commit)
+    # readers still see only the base commit
+    assert mf.BloomIndex.load(spark, tmp_root).version == "v00000001"
+
+    idx = build_index(
+        spark, generate_df(spark, 200, seed=7).coalesce(1), tmp_root, CFG,
+        mode="append", source_desc="a1",
+    )
+    assert idx.version == "v00000002"
+    assert idx.blocks().agg(F.sum("row_count")).collect()[0][0] == 700
+    # the crashed attempt's segment is referenced exactly once per table
+    for refs in idx.table_refs().values():
+        assert len(refs) == len(set(refs)) == 2
+    got = {
+        r.commit
+        for r in search(spark, idx, new_query().token("needle_alpha").build()).collect()
+    }
+    assert got == _expected_commits(generate_pdf(500), generate_pdf(200, seed=7))
+
+
 def test_merge_appends_lineage_delta_only(spark, tmp_root):
     """Maintenance commits write a lineage DELTA segment; the parent's
     lineage segments are referenced, never recopied."""
