@@ -446,6 +446,7 @@ def duplicate_clusters(
         .persist(StorageLevel.MEMORY_ONLY)
     )
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    prev_cached = None  # round i-1's cache: releasable once round i is hot
     try:
         for it in range(max_iterations):
             nbr_min = (
@@ -467,8 +468,16 @@ def duplicate_clusters(
             if (it + 1) % checkpoint_every == 0:
                 stepped = stepped.localCheckpoint(eager=True)
             changed = stepped.filter(F.col("label") != F.col("old_label")).count()
+            # this round is materialized; the previous round's cache is no
+            # longer referenced — release it instead of accumulating one
+            # vertex-sized cached frame per round
+            if prev_cached is not None:
+                prev_cached.unpersist()
+            prev_cached = stepped
             labels = stepped.drop("old_label")
             if changed == 0:
+                # the final frame stays cached: the returned (lazy) result
+                # reads from it; eviction merely recomputes
                 return labels.select(
                     F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
                 )

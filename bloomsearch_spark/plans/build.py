@@ -601,12 +601,10 @@ def build_index(
             }
             prev_up = prev_meta.get("uniform_params") or {}
             up = {lvl: (v if prev_up.get(lvl) == v else None) for lvl, v in up.items()}
-            # the streaming replay watermark must survive intervening
-            # commits (a plain append between stream batches would
-            # otherwise reset it and let foreachBatch re-append an
-            # already-committed batch)
-            if "last_stream_batch" in prev_meta:
-                carry["last_stream_batch"] = prev_meta["last_stream_batch"]
+            # the streaming replay watermark (and nothing else — an append
+            # redefines its own identity keys) must survive intervening
+            # commits: see manifest.carried_meta
+            carry = mf.carried_meta(prev_meta, for_append=True)
         mf.write_meta(
             vdir,
             cfg,

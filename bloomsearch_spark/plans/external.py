@@ -186,7 +186,13 @@ def build_external_index(
         F.lit("build-external").alias("op"),
         F.lit(time.time()).alias("committed_at"),
     )
-    seg_name = f"{version}-external"
+    # per-attempt nonce (see merge._commit): a racing committer sharing the
+    # version guess must not overwrite a committed immutable segment.  The
+    # heavy staging above stays deterministic (resume); re-writing the
+    # manifest-sized segment on resume is cheap.
+    import uuid as _uuid
+
+    seg_name = f"{version}-external-{_uuid.uuid4().hex[:8]}"
     seg_dir = mf.segment_dir(root, seg_name)
     for name, data in (("blocks", new_blocks), ("files", new_files), ("lineage", new_lineage)):
         out = fsx.join(seg_dir, f"{name}.parquet")

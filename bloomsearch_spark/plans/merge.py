@@ -44,6 +44,7 @@ superseded manifest).
 from __future__ import annotations
 
 import time
+import uuid
 from dataclasses import dataclass
 
 import pandas as pd
@@ -515,7 +516,13 @@ def _commit(
     raised instead and the caller re-plans from the fresh version."""
     root = index.root
     version_guess, _ = mf.next_version_dir(root)
-    seg_name = f"{version_guess}-{op}"
+    # per-attempt nonce: two racing maintenance committers (e.g. a
+    # double-fired cron merge on two hosts) share the version guess, and a
+    # deterministic name would let the LOSER overwrite the winner's
+    # already-committed immutable segment before its CommitConflict fires.
+    # A crashed/lost attempt's segment is unreachable garbage for
+    # vacuum_manifest, never corruption.
+    seg_name = f"{version_guess}-{op}-{uuid.uuid4().hex[:8]}"
     seg_dir = mf.segment_dir(root, seg_name)
     new_blocks.write.mode("overwrite").parquet(fsx.join(seg_dir, "blocks.parquet"))
     committed_blocks = spark.read.schema(mf.BLOCKS_SCHEMA).parquet(
@@ -553,21 +560,9 @@ def _commit(
             extra={
                 "build_id": version,
                 "source_desc": f"{op} of {index.version}",
-                "source_columns": meta.get("source_columns"),
                 "parent_version": index.version,
-                # merges only combine equal-param blooms (M2/M3 gates), so
-                # the parent's uniformity carries over unchanged
-                "uniform_params": meta.get("uniform_params"),
                 "tables": tables,
-                **({"external": True} if meta.get("external") else {}),
-                # the streaming replay watermark must survive maintenance
-                # commits or a crashed-then-restarted stream re-appends its
-                # last batch (duplicate rows)
-                **(
-                    {"last_stream_batch": meta["last_stream_batch"]}
-                    if "last_stream_batch" in meta
-                    else {}
-                ),
+                **mf.carried_meta(meta),
             },
         )
         return version
@@ -621,27 +616,33 @@ def vacuum(index: BloomIndex) -> int:
     dead = listed.join(
         index.blocks().select("data_path"), "data_path", "left_anti"
     )
-    # co-locate each file dir's dead blocks so the post-delete empty-parent
-    # sweep sees the whole dir's deletions in one task
-    dead = dead.withColumn(
-        "file_dir", F.regexp_replace("data_path", "/[^/]+$", "")
-    ).repartition("file_dir")
 
     def delete(pdfs):
         n = 0
-        parents: set[str] = set()
         for pdf in pdfs:
             for p in pdf["data_path"]:
                 fsx.delete_dir(fsx.join(data_dir, p))
                 n += 1
-            parents.update(pdf["file_dir"])
-        for fd in parents:  # drop now-empty file dirs (one stat per FILE)
-            fsx.delete_dir_if_empty(fsx.join(data_dir, fd))
         yield pd.DataFrame({"n": [n]})
 
     removed = (
         dead.mapInPandas(delete, "n long").agg(F.sum("n")).collect()[0][0] or 0
     )
+
+    # empty-parent sweep over ALL file dirs (distributed, one stat+list per
+    # FILE): covers dirs emptied by THIS run and dirs a previous crashed
+    # vacuum emptied but never removed (sweeping only this run's dead
+    # parents would leak those forever).  fd_df re-lists lazily, so fully
+    # removed dirs are already gone from the sweep's input.
+    def sweep(pdfs):
+        n = 0
+        for pdf in pdfs:
+            for fd in pdf["file_dir"]:
+                if fsx.delete_dir_if_empty(fsx.join(data_dir, fd)):
+                    n += 1
+        yield pd.DataFrame({"n": [n]})
+
+    fd_df.mapInPandas(sweep, "n long").agg(F.sum("n")).collect()
     return int(removed)
 
 
@@ -672,7 +673,7 @@ def fold_manifest(
         )
     root = index.root
     version_guess, _ = mf.next_version_dir(root)
-    seg_name = f"{version_guess}-fold"
+    seg_name = f"{version_guess}-fold-{uuid.uuid4().hex[:8]}"  # see _commit
     seg_dir = mf.segment_dir(root, seg_name)
     (
         index.blocks(cache=False)
@@ -697,16 +698,9 @@ def fold_manifest(
             extra={
                 "build_id": version,
                 "source_desc": f"fold of {index.version}",
-                "source_columns": meta.get("source_columns"),
                 "parent_version": index.version,
-                "uniform_params": meta.get("uniform_params"),
                 "tables": {t: [mf.segment_ref(seg_name, t)] for t in mf.TABLES},
-                **({"external": True} if meta.get("external") else {}),
-                **(
-                    {"last_stream_batch": meta["last_stream_batch"]}
-                    if "last_stream_batch" in meta
-                    else {}
-                ),
+                **mf.carried_meta(meta),
             },
         )
         return version

@@ -145,7 +145,10 @@ def resolve(path_or_uri: str) -> tuple[pafs.FileSystem, str]:
     treated as one, and an *unregistered* scheme is routed to pyarrow only
     when followed by ``//`` — so a legal relative local path containing a
     colon (``run:3/data``) stays local instead of failing inside
-    ``FileSystem.from_uri`` (ADVICE r03)."""
+    ``FileSystem.from_uri`` (ADVICE r03).  A SINGLE-slash scheme spelling
+    (``hdfs:/nn/path`` — Hadoop accepts it, pyarrow does not) is rejected
+    loudly: silently treating it as a local path would scatter index bytes
+    across executor-local disks with no error."""
     s = path_or_uri
     m = _SCHEME_RE.match(s.split("/", 1)[0])
     if m:
@@ -158,9 +161,15 @@ def resolve(path_or_uri: str) -> tuple[pafs.FileSystem, str]:
             while p.startswith("//"):
                 p = p[1:]
             return pafs.LocalFileSystem(), p
-        if s[len(scheme) + 1 :].startswith("//"):
+        rest = s[len(scheme) + 1 :]
+        if rest.startswith("//"):
             fs, p = pafs.FileSystem.from_uri(s)
             return fs, p
+        if rest.startswith("/"):
+            raise ValueError(
+                f"ambiguous single-slash URI {s!r}: spell it "
+                f"'{scheme}://...' or register_scheme({scheme!r}, fs)"
+            )
     return pafs.LocalFileSystem(), s
 
 

@@ -202,6 +202,33 @@ def version_after(prev: str | None) -> str:
     return f"v{n:08d}"
 
 
+def carried_meta(parent_meta: dict, for_append: bool = False) -> dict:
+    """Meta keys a child commit must inherit from its parent — the ONE
+    list every commit path shares (three hand-maintained copies of it is
+    how a safety-critical key gets silently dropped from one path).
+
+    - ``last_stream_batch`` (always): the streaming replay watermark; a
+      commit that drops it lets a crashed-then-restarted stream re-append
+      its last batch (duplicate rows).
+    - maintenance commits (``for_append=False``) additionally inherit the
+      parent's identity: ``source_columns`` (result projection),
+      ``uniform_params`` (merges only combine equal-param blooms, so
+      uniformity carries), ``external`` (zero-copy scan path).  An APPEND
+      redefines these itself (fresh columns, its own uniformity merge) and
+      must NOT inherit ``external`` — appending internally-stored blocks
+      to an external overlay is not supported.
+    """
+    out: dict = {}
+    if "last_stream_batch" in parent_meta:
+        out["last_stream_batch"] = parent_meta["last_stream_batch"]
+    if not for_append:
+        out["source_columns"] = parent_meta.get("source_columns")
+        out["uniform_params"] = parent_meta.get("uniform_params")
+        if parent_meta.get("external"):
+            out["external"] = True
+    return out
+
+
 @dataclass
 class BloomIndex:
     """Handle to a committed index: root dir + resolved manifest version.

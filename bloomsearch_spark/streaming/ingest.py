@@ -92,14 +92,21 @@ def stream_build(
 
     ``fold_every``: each micro-batch appends one delta manifest segment;
     when the blocks table reaches this many segments, the sink folds the
-    manifest (one segment per table) and vacuums unreachable metadata —
-    bounding reader union width AND metadata garbage for indefinitely
-    running streams.  The fold is the same single-committer, so it cannot
-    conflict with the stream's own appends; ``None`` disables (run
-    ``fold_manifest`` on your own maintenance cadence, e.g. alongside
-    ``merge_files``).  Folding costs O(manifest) every ``fold_every``
-    batches — amortized O(manifest/fold_every) per batch, vs O(manifest)
-    EVERY batch in the pre-segment design.
+    manifest (one segment per table) — bounding reader union width for
+    indefinitely running streams.  A fold that loses a commit race with a
+    user-run maintenance op (the docstring above tells users to run
+    merge/fold on their own cadence too) is simply SKIPPED — the next
+    batch retries — rather than killing the StreamingQuery.  ``None``
+    disables.  Folding costs O(manifest) every ``fold_every`` batches —
+    amortized O(manifest/fold_every) per batch, vs O(manifest) EVERY
+    batch in the pre-segment design.
+
+    The sink deliberately does NOT auto-run ``vacuum_manifest``: vacuum
+    deletes every segment/staging dir not referenced by CURRENT, which is
+    only safe when no other committer is mid-write and no reader still
+    resolves an older version — conditions a live streaming sink cannot
+    see.  Superseded segments are garbage, not corruption; reclaim them
+    from your maintenance cadence when those conditions hold.
     """
     spark = stream_df.sparkSession
 
@@ -111,10 +118,12 @@ def stream_build(
         if fold_every is not None:
             idx = mf.BloomIndex.load(spark, root)
             if len(idx.table_refs()["blocks"]) >= fold_every:
-                from ..plans.merge import fold_manifest, vacuum_manifest
+                from ..plans.merge import fold_manifest
 
-                folded = fold_manifest(spark, idx)
-                vacuum_manifest(folded)
+                try:
+                    fold_manifest(spark, idx)
+                except mf.CommitConflict:
+                    pass  # a maintenance op won the race; fold next batch
 
     writer = stream_df.writeStream.foreachBatch(_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -118,3 +118,10 @@ def test_resolve_forms():
     assert all(isinstance(f, pafs.LocalFileSystem) for f in (fs1, fs2, fs3))
     with pytest.raises(Exception):
         fsx.resolve("unknownscheme://x")
+    # a relative local path containing a colon stays local (ADVICE r03)...
+    fs4, p4 = fsx.resolve("run:3/data")
+    assert isinstance(fs4, pafs.LocalFileSystem) and p4 == "run:3/data"
+    # ...but a single-slash scheme spelling fails LOUDLY instead of
+    # silently scattering bytes across executor-local disks (r04 review)
+    with pytest.raises(ValueError, match="single-slash"):
+        fsx.resolve("hdfs:/nn/path")

@@ -255,6 +255,35 @@ def test_fold_and_vacuum_manifest(spark, tmp_root):
     assert vacuum(live) == 0  # all data dirs still referenced
 
 
+def test_heterogeneous_param_append_across_segments(spark, tmp_root):
+    """Config evolution: an append with DIFFERENT bloom params lands as
+    its own segment; uniform_params degrades to None, the probe falls back
+    to the per-(m,k) pandas UDF over the multi-segment union, and results
+    stay exact."""
+    cfg_b = IndexConfig(
+        indexed_fields=("repo", "path", "lang", "content"),
+        partition_expr="lang",
+        max_block_rows=50,
+        blocks_per_file=2,
+        block_fpr=0.02,
+        file_fpr=0.02,
+        file_expected_items=10_000,
+        sha_col="content",
+    )
+    build_index(spark, generate_df(spark, 600), tmp_root, CFG)
+    idx = build_index(
+        spark, generate_df(spark, 300, seed=7).coalesce(1), tmp_root, cfg_b,
+        mode="append", source_desc="evolved",
+    )
+    assert idx.uniform_params("blocks") is None
+    assert idx.uniform_params("files") is None
+    got = {
+        r.commit
+        for r in search(spark, idx, new_query().token("needle_alpha").build()).collect()
+    }
+    assert got == _expected_commits(generate_pdf(600), generate_pdf(300, seed=7))
+
+
 def test_registered_commit_lock_serializes_mock_scheme():
     """The pluggable lock hook: a registered scheme lock serializes
     publish_commit on a non-POSIX store — two racing committers, both

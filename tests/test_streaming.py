@@ -102,10 +102,18 @@ def test_stream_fold_every_bounds_segments(spark, tmp_root, tmp_path):
     got = search(spark, idx, new_query().token("needle_alpha").build())
     expect = sum("needle_alpha" in c.lower().split() for c in pdf["content"])
     assert got.count() == expect
-    # vacuum_manifest ran inside the sink: no superseded version dirs pile up
+    # the sink deliberately does NOT vacuum (unsafe with concurrent
+    # committers/readers); once the stream is drained, the explicit
+    # maintenance call reclaims superseded versions/segments
+    from bloomsearch_spark import vacuum_manifest
+
+    assert vacuum_manifest(idx) > 0
     mdir = os.path.join(tmp_root, "manifest")
     vdirs = [d for d in os.listdir(mdir) if d.startswith("v")]
-    assert len(vdirs) <= 3  # current + at most the post-fold commits
+    assert vdirs == [idx.version]
+    got2 = search(spark, BloomIndex.load(spark, tmp_root),
+                  new_query().token("needle_alpha").build())
+    assert got2.count() == expect
 
 
 def test_replayed_batch_is_noop(spark, tmp_root):
