@@ -544,7 +544,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- streaming index ingest (ST1): micro-batched stream_build with
         #     per-batch delta manifest commits + replay guard, then search ---
         "strm_index_build": _strm_index_build,
+        # --- transparent-read DataSource (r04): spark.read.format over the
+        #     index, WHERE-clause partition pushdown + exact verify ---
+        "bs_datasource": _bs_datasource,
     }
+
+
+def _bs_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark-4 Python DataSource surface (sources/datasource.py): a
+    plain ``spark.read.format("bloomsearch")`` token query whose WHERE
+    clause prunes via filter pushdown — hash-exact vs the raw-table
+    oracle, proving the convenience path's driver-side prune + executor
+    verify match the engine's semantics end to end."""
+    from bloomsearch_spark.sources.datasource import BloomSearchDataSource
+
+    idx = _index(spark, sf_dir, "main")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(BloomSearchDataSource)
+    df = (
+        spark.read.format("bloomsearch")
+        .option("root", idx.root)
+        .option("token", "stream")
+        .load()
+    )
+    return df.filter(F.col("lang").isin("de", "es")).select(
+        *[c.strip() for c in DOC_COLS.split(",")]
+    )
 
 
 def _evt_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -837,6 +862,10 @@ def oracle_sql() -> dict[str, str]:
         "strm_index_build": (
             f"SELECT {DOC_COLS}, TRUE AS replay_ok FROM documents "
             f"WHERE {_any_field_tok('stream')}"
+        ),
+        # the DataSource surface: token query + pushed WHERE, row-exact
+        "bs_datasource": (
+            f"{sel} WHERE {_any_field_tok('stream')} AND lang IN ('de', 'es')"
         ),
         "dd_jaccard": _JACCARD_ORACLE,
         # deterministic LSH with these (seeds, bands) has recall 1 on the

@@ -54,6 +54,7 @@ from .plans.search import (
     search,
     verify_integrity,
 )
+from .sources.datasource import BloomSearchDataSource
 from .sources.manifest import BloomIndex, CommitConflict
 from .tokenizer import Tokenizer, get_tokenizer, register_tokenizer
 
@@ -68,4 +69,5 @@ __all__ = [
     "search", "sizing", "vacuum", "verify_integrity",
     "enable_read_checksum_verification",
     "CommitConflict", "fold_manifest", "vacuum_manifest",
+    "BloomSearchDataSource",
 ]

@@ -1,0 +1,196 @@
+"""Transparent-read DataSource (r04): ``spark.read.format("bloomsearch")``
+with WHERE-clause pushdown pruning and exact verify.
+
+Covers: token-query exactness vs the library search() and the raw data;
+partition/minmax WHERE pushdown actually reduces planned partitions;
+zero-survivor queries; SQL temp views; and a randomized equivalence sweep
+pinning the driver-side pandas prune (prefilter + bloom tree) to the
+Spark prune_blocks path — the two implementations must select identical
+survivor sets for any query."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bloomsearch_spark import (
+    Between,
+    Eq,
+    Gte,
+    In,
+    IndexConfig,
+    MinMax,
+    NotBetween,
+    Partition,
+    PrefilterAnd,
+    build_index,
+    new_query,
+    search,
+)
+from bloomsearch_spark.sources.datasource import (
+    BloomSearchDataSource,
+    BloomSearchReader,
+    prune_blocks_driver,
+)
+from bloomsearch_spark.sources.manifest import BloomIndex
+from bloomsearch_spark.plans.search import prune_blocks
+
+SF_DIR = "/root/testdata/sf0.001"
+
+CFG = IndexConfig(
+    indexed_fields=("text", "lang", "source"),
+    partition_expr="lang",
+    minmax_fields=("n_chars", "doc_id"),
+    max_block_rows=64,
+    blocks_per_file=4,
+    sha_col="text",
+)
+
+
+@pytest.fixture(scope="module")
+def ds_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("dsidx"))
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    build_index(spark, docs, root, CFG)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(BloomSearchDataSource)
+    return root
+
+
+@pytest.fixture(scope="module")
+def docs_pdf():
+    return pd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+
+
+def _tok_mask(pdf, token):
+    return pdf["text"].str.lower().str.split().map(lambda t: token in t)
+
+
+def test_token_query_exact(spark, ds_root, docs_pdf):
+    df = (
+        spark.read.format("bloomsearch").option("root", ds_root)
+        .option("token", "stream").load()
+    )
+    got = {r.doc_id for r in df.collect()}
+    exp = set(docs_pdf[_tok_mask(docs_pdf, "stream")]["doc_id"])
+    assert got == exp
+    # and identical to the library's distributed search
+    lib = search(
+        spark, BloomIndex.load(spark, ds_root), new_query().token("stream").build()
+    )
+    assert {r.doc_id for r in lib.collect()} == exp
+
+
+def test_where_pushdown_prunes_partitions(spark, ds_root, docs_pdf):
+    """The WHERE clause must both prune (fewer planned partitions) and
+    stay exact (Spark re-applies every filter after the scan)."""
+    from pyspark.sql.datasource import EqualTo
+
+    schema = spark.read.format("bloomsearch").option("root", ds_root).option(
+        "token", "stream"
+    ).load().schema
+    r_all = BloomSearchReader({"root": ds_root, "token": "stream"}, schema)
+    n_all = len(r_all.partitions())
+    r_de = BloomSearchReader({"root": ds_root, "token": "stream"}, schema)
+    returned = list(r_de.pushFilters([EqualTo(("lang",), "de")]))
+    assert len(returned) == 1  # every filter reported back for re-apply
+    n_de = len(r_de.partitions())
+    assert 0 < n_de < n_all
+
+    df = (
+        spark.read.format("bloomsearch").option("root", ds_root)
+        .option("token", "stream").load()
+    )
+    got = {r.doc_id for r in df.filter("lang = 'de'").collect()}
+    exp = set(
+        docs_pdf[_tok_mask(docs_pdf, "stream") & (docs_pdf["lang"] == "de")]["doc_id"]
+    )
+    assert got == exp
+
+
+def test_minmax_where_and_sql_view(spark, ds_root, docs_pdf):
+    df = spark.read.format("bloomsearch").option("root", ds_root).load()
+    df.createOrReplaceTempView("bs_docs")
+    got = {
+        r.doc_id
+        for r in spark.sql(
+            "SELECT doc_id FROM bs_docs WHERE n_chars >= 150 AND lang IN ('de','es')"
+        ).collect()
+    }
+    exp = set(
+        docs_pdf[
+            (docs_pdf["n_chars"] >= 150) & docs_pdf["lang"].isin(["de", "es"])
+        ]["doc_id"]
+    )
+    assert got == exp
+
+
+def test_miss_token_yields_empty(spark, ds_root):
+    df = (
+        spark.read.format("bloomsearch").option("root", ds_root)
+        .option("token", "zz_totally_absent").load()
+    )
+    assert df.count() == 0
+
+
+def test_field_token_and_multi_token(spark, ds_root, docs_pdf):
+    df = (
+        spark.read.format("bloomsearch").option("root", ds_root)
+        .option("field_token", "text:vector").option("token", "stream").load()
+    )
+    got = {r.doc_id for r in df.collect()}
+    exp = set(
+        docs_pdf[_tok_mask(docs_pdf, "vector") & _tok_mask(docs_pdf, "stream")]["doc_id"]
+    )
+    assert got == exp
+
+
+def test_driver_prune_equivalent_to_spark_prune(spark, ds_root):
+    """The semantic keystone: for a sweep of prefilter+bloom queries, the
+    driver-side pandas prune selects EXACTLY the block set the Spark
+    prune_blocks path selects."""
+    idx = BloomIndex.load(spark, ds_root)
+    queries = [
+        new_query().token("stream").build(),
+        new_query().token("zz_absent").build(),
+        new_query().field("text").build(),
+        new_query().field_token("text", "vector").build(),
+        new_query()
+        .match_prefilter(Partition(Eq("de")))
+        .token("stream")
+        .build(),
+        new_query()
+        .match_prefilter(
+            PrefilterAnd(Partition(In("de", "es")), MinMax("n_chars", Gte(150)))
+        )
+        .build(),
+        new_query()
+        .match_prefilter(MinMax("doc_id", Between(100, 300)))
+        .token("query")
+        .build(),
+        new_query()
+        .match_prefilter(MinMax("n_chars", NotBetween(120, 400)))
+        .build(),
+    ]
+    schema = spark.read.format("bloomsearch").option("root", ds_root).load().schema
+    reader = BloomSearchReader({"root": ds_root}, schema)
+    # compare against the HIERARCHICAL Spark path (the driver prune is
+    # hierarchical by construction; the flat path is a superset that keeps
+    # block-bloom FPs whose file bloom rejects — see test_probe_scale)
+    from bloomsearch_spark.plans import search as search_mod
+
+    prev = search_mod.FLAT_PROBE_MAX_BLOCKS, search_mod.FLAT_PROBE_FP_BUDGET
+    search_mod.FLAT_PROBE_MAX_BLOCKS = 0
+    search_mod.FLAT_PROBE_FP_BUDGET = 0.0
+    try:
+        for q in queries:
+            driver_set = set(
+                prune_blocks_driver(None, ds_root, idx.version, q, reader._table_refs())
+            )
+            spark_set = {
+                r.data_path for r in prune_blocks(idx, q).select("data_path").collect()
+            }
+            assert driver_set == spark_set, q
+    finally:
+        search_mod.FLAT_PROBE_MAX_BLOCKS, search_mod.FLAT_PROBE_FP_BUDGET = prev
