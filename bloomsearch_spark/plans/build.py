@@ -242,7 +242,9 @@ STAGING_PA_SCHEMA = pa.schema(
 )
 
 
-def _make_map_build_fn(cfg: IndexConfig, data_dir: str, build_tag: str):
+def _make_map_build_fn(
+    cfg: IndexConfig, data_dir: str, build_tag: str, task_id: int | None = None
+):
     """mapInArrow body: the reference's partition-buffer ingest actor
     (processIngestRequest, bloom_tree_engine.go:460-675) run once per input
     split — buffer rows per partition_id, flush one data block (blooms +
@@ -268,7 +270,10 @@ def _make_map_build_fn(cfg: IndexConfig, data_dir: str, build_tag: str):
         from pyspark import TaskContext
 
         register_tokenizer(tok)
-        tid = TaskContext.get().partitionId()
+        # mapInArrow path: the Spark task id keys deterministic file ids
+        # (resume safety).  The DataSource-writer path passes its own id
+        # (its worker may not expose a TaskContext).
+        tid = task_id if task_id is not None else TaskContext.get().partitionId()
         buffers: dict[str, list[pa.Table]] = {}
         counts: dict[str, int] = {}
         seqs: dict[str, int] = {}
@@ -576,50 +581,18 @@ def build_index(
             )
         )
 
-    seg_tables = {t: [mf.segment_ref(seg_name, t)] for t in mf.TABLES}
-
-    def finalize(prev_version: str | None) -> str:
-        """Runs inside the commit lock: O(meta.json) work only.  Reads the
-        FRESH predecessor (an append adapts to whatever committed since the
-        build started), unions table lists, writes the new version's
-        meta.json."""
-        version = mf.version_after(prev_version)
-        vdir = fsx.join(root, "manifest", version)
-        tables = dict(seg_tables)
-        # record bloom-param uniformity so queries can skip the probe job
-        # and compile the pure-JVM bloom probe without touching the manifest
-        up = {
-            "blocks": [cfg.max_block_rows, cfg.block_fpr],
-            "files": [cfg.file_expected_items, cfg.file_fpr],
-        }
-        carry: dict = {}
-        if mode == "append" and prev_version is not None:
-            prev = mf.BloomIndex(spark, root, prev_version)
-            prev_meta = prev.meta()
-            tables = {
-                t: prev.table_refs()[t] + seg_tables[t] for t in mf.TABLES
-            }
-            prev_up = prev_meta.get("uniform_params") or {}
-            up = {lvl: (v if prev_up.get(lvl) == v else None) for lvl, v in up.items()}
-            # the streaming replay watermark (and nothing else — an append
-            # redefines its own identity keys) must survive intervening
-            # commits: see manifest.carried_meta
-            carry = mf.carried_meta(prev_meta, for_append=True)
-        mf.write_meta(
-            vdir,
-            cfg,
-            extra={
-                "build_id": build_id,
-                "source_desc": source_desc,
-                "source_columns": list(df.columns),
-                "uniform_params": up,
-                "tables": tables,
-                **carry,
-                **(meta_extra or {}),
-            },
-        )
-        return version
-
-    version = mf.publish_commit(root, finalize)
+    # finalize runs inside the commit lock, O(meta.json) work only: reads
+    # the FRESH predecessor (an append adapts to whatever committed since
+    # the build started), unions table lists, records bloom-param
+    # uniformity (lets queries compile the pure-JVM probe without touching
+    # the manifest), carries the stream watermark — shared with the
+    # DataSource writer (manifest.build_commit_finalize)
+    version = mf.publish_commit(
+        root,
+        mf.build_commit_finalize(
+            root, cfg, mode, seg_name, source_desc, list(df.columns),
+            build_id, meta_extra,
+        ),
+    )
     fsx.delete_dir(scratch)  # staging is scratch; the commit owns the data
     return mf.BloomIndex(spark, root, version)

@@ -54,6 +54,7 @@ import pandas as pd
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     Filter,
@@ -63,6 +64,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 from .. import bloom
@@ -558,3 +560,261 @@ class BloomSearchDataSource(DataSource):
 
     def reader(self, schema) -> BloomSearchReader:
         return BloomSearchReader(dict(self.options), schema)
+
+    def writer(self, schema, overwrite: bool):
+        return BloomSearchArrowWriter(dict(self.options), schema, overwrite)
+
+
+# ---------------------------------------------------------------------------
+# the write path: df.write.format("bloomsearch")
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _TaskStaging(WriterCommitMessage):
+    """One task's staging rows (block + completed-file entries) as Arrow
+    IPC bytes — the per-task half of the delta-segment commit protocol."""
+
+    ipc: bytes
+
+
+def _cfg_from_options(options: dict, root: str, overwrite: bool):
+    """Writer config: start from the committed index's config when
+    appending (the natural 'same index, more data' case), overlay any
+    explicitly passed options; a fresh/overwritten root must pass at least
+    ``indexed_fields``."""
+    import json as _json
+
+    from ..config import IndexConfig
+
+    # an existing index's config is the default even for overwrite —
+    # "rebuild the same index" shouldn't force re-passing every option
+    base: dict = {}
+    cur = mf.current_version(root)
+    if cur is not None:
+        base = _json.loads(
+            fsx.read_bytes(fsx.join(root, "manifest", cur, "meta.json"))
+        )["config"]
+    o = {k: v for k, v in options.items()}
+    if "indexed_fields" in o:
+        base["indexed_fields"] = tuple(
+            f for f in o["indexed_fields"].split(",") if f
+        )
+    if "minmax_fields" in o:
+        base["minmax_fields"] = tuple(f for f in o["minmax_fields"].split(",") if f)
+    if "partition_col" in o:
+        base["partition_expr"] = o["partition_col"]
+    for k, cast in (
+        ("max_block_rows", int), ("blocks_per_file", int),
+        ("block_fpr", float), ("file_fpr", float),
+        ("file_expected_items", int), ("compression", str),
+        ("sha_col", str), ("tokenizer", str),
+    ):
+        if k in o:
+            base[k] = cast(o[k])
+    if not base.get("indexed_fields"):
+        raise ValueError(
+            "bloomsearch writer on a fresh root needs "
+            ".option('indexed_fields', 'col1,col2,...')"
+        )
+    cfg = IndexConfig.from_dict(base)
+    pe = cfg.partition_expr or ""
+    # the writer evaluates the partition expr OUTSIDE Catalyst, so it must
+    # be a bare column (or the constant '' default) — anything richer
+    # belongs to build_index, which runs the expr through Spark
+    if pe not in ("", "''") and not pe.isidentifier():
+        raise ValueError(
+            f"bloomsearch writer needs partition_expr to be a bare column "
+            f"(got {pe!r}); pre-compute the column or use build_index()"
+        )
+    return cfg
+
+
+class BloomSearchArrowWriter(DataSourceArrowWriter):
+    """``df.write.format("bloomsearch").mode("append"|"overwrite")``.
+
+    The DSv2 write protocol maps 1:1 onto the delta-segment commit:
+
+    - ``write`` (per task): the SAME partition-buffer flush kernel as the
+      batch build (`plans.build._make_map_build_fn` — blooms + minmax +
+      the block's own parquet file, written through the fs layer, invisible
+      until commit); returns the task's staging rows as the commit message.
+    - ``commit`` (driver, exactly once): assemble blocks/files/lineage
+      from the messages, write ONE manifest segment, publish through
+      ``publish_commit`` (append unions the fresh predecessor — a racing
+      committer cannot be lost; overwrite starts clean).
+    - ``abort``: nothing to undo — uncommitted data files are unreachable
+      (never referenced by any manifest) and ``vacuum()`` reclaims them.
+
+    Constraints (use ``build_index()`` beyond them): partition_expr must
+    be a bare column; a ``sha_col`` must be a string column (the writer
+    computes ``content_sha`` with hashlib to match ``F.sha2``).
+    """
+
+    def __init__(self, options: dict, schema, overwrite: bool) -> None:
+        import uuid as _uuid
+
+        self.root = options.get("root")
+        if not self.root:
+            raise ValueError("bloomsearch writer requires .option('root', ...)")
+        self.overwrite = overwrite
+        self.cfg = _cfg_from_options(options, self.root, overwrite)
+        self.schema = schema
+        names = [f.name for f in schema.fields]
+        if self.cfg.sha_col:
+            if self.cfg.sha_col not in names:
+                raise ValueError(f"sha_col {self.cfg.sha_col!r} not in written columns")
+            from pyspark.sql.types import StringType
+
+            if not isinstance(schema[self.cfg.sha_col].dataType, StringType):
+                raise ValueError(
+                    "bloomsearch writer computes content_sha outside Catalyst "
+                    "and only matches F.sha2 for STRING sha_col columns; "
+                    "cast it or use build_index()"
+                )
+        pe = self.cfg.partition_expr
+        if pe.isidentifier() and pe not in names:
+            raise ValueError(f"partition column {pe!r} not in written columns")
+        version_guess, _ = mf.next_version_dir(self.root)
+        # one nonce per WRITE JOB, minted on the driver and shipped in the
+        # pickled writer: all tasks share it (stable file-id prefix), no
+        # two jobs collide
+        self.build_id = f"{version_guess}-w{_uuid.uuid4().hex[:8]}"
+        self.source_columns = names
+
+    # -- executor side ------------------------------------------------------
+
+    def _prepare(self, batch):
+        import hashlib
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        cols = dict(zip(batch.schema.names, batch.columns))
+        pe = self.cfg.partition_expr
+        if pe.isidentifier():
+            pid = pc.fill_null(pc.cast(cols[pe], pa.string()), "")
+        else:
+            pid = pa.array([""] * len(batch), pa.string())
+        arrays = list(batch.columns) + [pid]
+        names = list(batch.schema.names) + ["partition_id"]
+        if self.cfg.sha_col:
+            vals = cols[self.cfg.sha_col].to_pylist()
+            sha = pa.array(
+                [
+                    hashlib.sha256((v or "").encode()).hexdigest() if v is not None else None
+                    for v in vals
+                ],
+                pa.string(),
+            )
+            arrays.append(sha)
+            names.append("content_sha")
+        return pa.RecordBatch.from_arrays(arrays, names=names)
+
+    def write(self, iterator) -> _TaskStaging:
+        import pyarrow as pa
+
+        from ..plans.build import STAGING_PA_SCHEMA, _make_map_build_fn
+
+        try:
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            tid = ctx.partitionId() if ctx is not None else None
+        except Exception:
+            tid = None
+        if tid is None:
+            import uuid as _uuid
+
+            tid = _uuid.uuid4().int % (1 << 31)
+        fn = _make_map_build_fn(
+            self.cfg, fsx.join(self.root, "data"), self.build_id, task_id=tid
+        )
+        out = list(fn(self._prepare(b) for b in iterator))
+        tbl = (
+            pa.Table.from_batches(out, schema=STAGING_PA_SCHEMA)
+            if out
+            else STAGING_PA_SCHEMA.empty_table()
+        )
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, STAGING_PA_SCHEMA) as w:
+            w.write_table(tbl)
+        return _TaskStaging(ipc=sink.getvalue().to_pybytes())
+
+    # -- driver side --------------------------------------------------------
+
+    def commit(self, messages) -> None:
+        import time
+
+        import pyarrow as pa
+
+        from ..plans.build import STAGING_PA_SCHEMA
+
+        tables = [
+            pa.ipc.open_stream(pa.BufferReader(m.ipc)).read_all()
+            for m in messages
+            if m is not None
+        ]
+        st = (
+            pa.concat_tables(tables) if tables else STAGING_PA_SCHEMA.empty_table()
+        )
+        is_block = pa.compute.is_valid(st.column("block_id"))
+        blocks = st.filter(is_block).select(
+            [
+                "file_id", "block_id", "partition_id", "data_path", "row_count",
+                "token_count", "byte_size", "minmax_min", "minmax_max",
+                "expected_items", "fpr", "field_bloom", "token_bloom",
+                "fieldtoken_bloom",
+            ]
+        ).sort_by("partition_id")
+        frows = st.filter(pa.compute.invert(is_block))
+        files = pa.table(
+            {
+                "file_id": frows.column("file_id"),
+                "partition_id": frows.column("partition_id"),
+                "block_count": frows.column("block_count"),
+                "row_count": frows.column("row_count"),
+                "token_count": frows.column("token_count"),
+                "byte_size": frows.column("byte_size"),
+                "minmax_min": frows.column("minmax_min"),
+                "minmax_max": frows.column("minmax_max"),
+                "expected_items": frows.column("file_expected_items"),
+                "fpr": frows.column("file_fpr"),
+                "field_bloom": frows.column("file_field_bloom"),
+                "token_bloom": frows.column("file_token_bloom"),
+                "fieldtoken_bloom": frows.column("file_fieldtoken_bloom"),
+            }
+        )
+        now = time.time()
+        nb = len(blocks)
+        lineage = pa.table(
+            {
+                "build_id": pa.array([self.build_id] * nb, pa.string()),
+                "file_id": blocks.column("file_id"),
+                "block_id": blocks.column("block_id"),
+                "partition_id": blocks.column("partition_id"),
+                "source_desc": pa.array(["datasource-write"] * nb, pa.string()),
+                "rows_indexed": blocks.column("row_count"),
+                "tokens_inserted": blocks.column("token_count"),
+                "op": pa.array(["build"] * nb, pa.string()),
+                "committed_at": pa.array([now] * nb, pa.float64()),
+            }
+        )
+        seg_name = f"{self.build_id}-dswrite"
+        seg_dir = mf.segment_dir(self.root, seg_name)
+        for name, tbl in (("blocks", blocks), ("files", files), ("lineage", lineage)):
+            fsx.write_parquet_atomic(
+                fsx.join(seg_dir, f"{name}.parquet"), tbl, "part-0.parquet"
+            )
+        mode = "overwrite" if self.overwrite else "append"
+        mf.publish_commit(
+            self.root,
+            mf.build_commit_finalize(
+                self.root, self.cfg, mode, seg_name, "datasource-write",
+                self.source_columns, self.build_id,
+            ),
+        )
+
+    def abort(self, messages) -> None:
+        """Nothing to undo: no manifest was published, so every file the
+        tasks wrote is unreachable; ``vacuum()`` reclaims the orphans."""

@@ -202,6 +202,59 @@ def version_after(prev: str | None) -> str:
     return f"v{n:08d}"
 
 
+def build_commit_finalize(
+    root: str,
+    cfg,
+    mode: str,
+    seg_name: str,
+    source_desc: str,
+    source_columns: list,
+    build_id: str,
+    meta_extra: dict | None = None,
+):
+    """The finalize callable every BUILD commit (batch build_index, the
+    DataSource writer) passes to :func:`publish_commit` — ONE
+    implementation of "append unions the fresh predecessor's table lists,
+    merges bloom-param uniformity, carries the stream watermark; overwrite
+    starts clean".  Runs inside the commit lock: O(meta.json) work only."""
+
+    def finalize(prev_version: str | None) -> str:
+        version = version_after(prev_version)
+        vdir = fsx.join(_manifest_dir(root), version)
+        seg_tables = {t: [segment_ref(seg_name, t)] for t in TABLES}
+        tables = dict(seg_tables)
+        up = {
+            "blocks": [cfg.max_block_rows, cfg.block_fpr],
+            "files": [cfg.file_expected_items, cfg.file_fpr],
+        }
+        carry: dict = {}
+        if mode == "append" and prev_version is not None:
+            prev = BloomIndex(None, root, prev_version)
+            prev_meta = prev.meta()
+            tables = {t: prev.table_refs()[t] + seg_tables[t] for t in TABLES}
+            prev_up = prev_meta.get("uniform_params") or {}
+            up = {
+                lvl: (v if prev_up.get(lvl) == v else None) for lvl, v in up.items()
+            }
+            carry = carried_meta(prev_meta, for_append=True)
+        write_meta(
+            vdir,
+            cfg,
+            extra={
+                "build_id": build_id,
+                "source_desc": source_desc,
+                "source_columns": list(source_columns),
+                "uniform_params": up,
+                "tables": tables,
+                **carry,
+                **(meta_extra or {}),
+            },
+        )
+        return version
+
+    return finalize
+
+
 def carried_meta(parent_meta: dict, for_append: bool = False) -> dict:
     """Meta keys a child commit must inherit from its parent — the ONE
     list every commit path shares (three hand-maintained copies of it is

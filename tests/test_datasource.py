@@ -194,3 +194,83 @@ def test_driver_prune_equivalent_to_spark_prune(spark, ds_root):
             assert driver_set == spark_set, q
     finally:
         search_mod.FLAT_PROBE_MAX_BLOCKS, search_mod.FLAT_PROBE_FP_BUDGET = prev
+
+
+# ---------------------------------------------------------------------------
+# write path
+# ---------------------------------------------------------------------------
+
+
+def test_writer_build_append_and_interop(spark, tmp_path):
+    """df.write.format('bloomsearch') builds a real index (same flush
+    kernel as build_index): search is exact, integrity holds, an append
+    inherits the existing config, and the result interoperates with the
+    library maintenance ops (merge) and the read DataSource."""
+    from bloomsearch_spark import merge_files, verify_integrity
+    from bloomsearch_spark.sources.synthetic import generate_df, generate_pdf
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(BloomSearchDataSource)
+    root = str(tmp_path / "widx")
+    (
+        generate_df(spark, 1_200).write.format("bloomsearch")
+        .option("root", root)
+        .option("indexed_fields", "repo,path,lang,content")
+        .option("partition_col", "lang")
+        .option("max_block_rows", "100")
+        .option("blocks_per_file", "4")
+        .option("sha_col", "content")
+        .mode("overwrite").save()
+    )
+    (
+        generate_df(spark, 300, seed=7).coalesce(2).write.format("bloomsearch")
+        .option("root", root).mode("append").save()
+    )
+    idx = BloomIndex.load(spark, root)
+    assert idx.blocks().agg(F.sum("row_count")).collect()[0][0] == 1_500
+    pdf = pd.concat([generate_pdf(1_200), generate_pdf(300, seed=7)])
+    mask = pdf["content"].str.lower().str.split().map(lambda t: "needle_alpha" in t)
+    exp = set(pdf[mask]["commit"])
+    got = {
+        r.commit
+        for r in search(spark, idx, new_query().token("needle_alpha").build()).collect()
+    }
+    assert got == exp
+    assert verify_integrity(spark, idx) == 0
+
+    # library maintenance over a writer-built index
+    merged, stats = merge_files(spark, idx, max_blocks_per_file=1000,
+                                max_files_per_merge=1000)
+    assert stats.files_after <= stats.files_before
+    got2 = {
+        r.commit
+        for r in search(spark, merged, new_query().token("needle_alpha").build()).collect()
+    }
+    assert got2 == exp
+
+    # and the read DataSource over the written index
+    rt = (
+        spark.read.format("bloomsearch").option("root", root)
+        .option("token", "needle_alpha").load()
+    )
+    assert {r.commit for r in rt.collect()} == exp
+
+
+def test_writer_option_validation(spark, tmp_path):
+    from bloomsearch_spark.sources.synthetic import generate_df
+
+    spark.dataSource.register(BloomSearchDataSource)
+    df = generate_df(spark, 50)
+    # fresh root without indexed_fields
+    with pytest.raises(Exception, match="indexed_fields"):
+        df.write.format("bloomsearch").option(
+            "root", str(tmp_path / "a")
+        ).mode("overwrite").save()
+    # partition expr must be a bare column for the writer
+    with pytest.raises(Exception, match="bare column"):
+        (
+            df.write.format("bloomsearch").option("root", str(tmp_path / "b"))
+            .option("indexed_fields", "content")
+            .option("partition_col", "upper(lang)")
+            .mode("overwrite").save()
+        )
