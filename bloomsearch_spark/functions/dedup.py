@@ -456,7 +456,7 @@ def duplicate_clusters(
                 .groupBy("u")
                 .agg(F.min("label").alias("nbr_min"))
             )
-            stepped = (
+            cached = stepped = (
                 labels.join(nbr_min, "u", "left")
                 .select(
                     "u",
@@ -466,14 +466,18 @@ def duplicate_clusters(
                 .persist(StorageLevel.MEMORY_ONLY)
             )
             if (it + 1) % checkpoint_every == 0:
+                # the checkpoint copies the data; the pre-checkpoint cache
+                # would otherwise leak one vertex-sized frame per 3 rounds
                 stepped = stepped.localCheckpoint(eager=True)
+                cached.unpersist()
+                cached = None
             changed = stepped.filter(F.col("label") != F.col("old_label")).count()
             # this round is materialized; the previous round's cache is no
             # longer referenced — release it instead of accumulating one
             # vertex-sized cached frame per round
             if prev_cached is not None:
                 prev_cached.unpersist()
-            prev_cached = stepped
+            prev_cached = cached
             labels = stepped.drop("old_label")
             if changed == 0:
                 # the final frame stays cached: the returned (lazy) result
@@ -481,6 +485,8 @@ def duplicate_clusters(
                 return labels.select(
                     F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
                 )
+        if prev_cached is not None:  # error path: leave nothing cached
+            prev_cached.unpersist()
         raise RuntimeError(
             f"duplicate_clusters did not converge in {max_iterations} rounds "
             "(component diameter exceeds the bound) — raise max_iterations"

@@ -229,12 +229,27 @@ def verify_pdf(
     indexed = set(indexed_fields) & cols
     tok_cache: dict[str, pd.Series] = {}
 
+    def _cast_value(v):
+        # mirror the Spark verify path's F.col(c).cast("string") before the
+        # tokenizer sees the value: value_fn's contract is a string input
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            return None
+        if isinstance(v, str):
+            return v
+        if isinstance(v, (bool, np.bool_)):
+            return "true" if v else "false"
+        return str(v)
+
     def tokens_of(col: str) -> pd.Series:
         if col not in tok_cache:
             if tokenizer.name == "whitespace_lower":
                 tok_cache[col] = tokenize_series(pdf[col])
             else:
-                tok_cache[col] = pdf[col].map(tokenizer.value_fn)
+                tok_cache[col] = pdf[col].map(
+                    lambda v: None
+                    if _cast_value(v) is None
+                    else tokenizer.value_fn(_cast_value(v))
+                )
         return tok_cache[col]
 
     def tok_in(col: str, t: str) -> np.ndarray:
@@ -386,11 +401,19 @@ class BloomSearchReader(DataSourceReader):
         self._pushed_prefilter: list[PrefilterExpr] = []
 
     def _meta(self) -> dict:
-        import json
+        # cached: a version is immutable, and one load() otherwise pays
+        # several meta.json fetch+parse round-trips (schema, __init__,
+        # partitions) — real latency on an object-store root
+        m = getattr(self, "_meta_cache", None)
+        if m is None:
+            import json
 
-        return json.loads(
-            fsx.read_bytes(fsx.join(self.root, "manifest", self.version, "meta.json"))
-        )
+            m = self._meta_cache = json.loads(
+                fsx.read_bytes(
+                    fsx.join(self.root, "manifest", self.version, "meta.json")
+                )
+            )
+        return m
 
     def _table_refs(self) -> dict:
         refs = self._meta().get("tables")
@@ -431,16 +454,35 @@ class BloomSearchReader(DataSourceReader):
                 self._pushed_prefilter.append(cond)
         return list(filters)
 
+    @staticmethod
+    def _partition_str(v):
+        """The pushed value compared against the STRING partition_id must
+        use Spark's cast-to-string spelling, or a typed WHERE value (int
+        year, bool flag) would never equal the stored id and the "prune
+        only" contract would silently drop every matching block."""
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
+
     def _prefilter_of(self, f: "Filter") -> PrefilterExpr | None:
         attr = getattr(f, "attribute", None)
         if not attr or len(attr) != 1:
             return None
         col = attr[0]
         if col == self.partition_src:
+            # the library's prefilter is STRICT: empty partition_id fails
+            # every condition.  A WHERE clause genuinely matching ''
+            # (or NULL) rows must therefore NOT be harvested — pruning on
+            # it would exclude the very blocks holding those rows
             if isinstance(f, EqualTo):
-                return Partition(Eq(f.value))
+                if f.value is None or self._partition_str(f.value) == "":
+                    return None
+                return Partition(Eq(self._partition_str(f.value)))
             if isinstance(f, In):
-                return Partition(QIn(*f.value))
+                vals = [self._partition_str(v) for v in f.value if v is not None]
+                if len(vals) != len(f.value) or "" in vals:
+                    return None  # NULL/'' member -> unprunable, stay sound
+                return Partition(QIn(*vals))
             return None
         if col in self.minmax_fields:
             if isinstance(f, EqualTo):
@@ -544,14 +586,26 @@ class BloomSearchDataSource(DataSource):
             t: [f"{version}/{t}.parquet"] for t in mf.TABLES
         }
         # one block's parquet schema gives the stored dtypes; project to
-        # the meta's source_columns (order preserved)
+        # the meta's source_columns (order preserved).  Scan segments until
+        # a block row is found — a zero-row segment (empty append, full
+        # expiry) must not break reads of an otherwise healthy index
         import pyarrow.dataset as pads
 
-        first_blocks = fsx.join(root, "manifest", refs["blocks"][0])
-        fs, local = fsx.resolve(first_blocks)
-        ds = pads.dataset(local, format="parquet", filesystem=fs)
-        one = next(iter(ds.to_batches(columns=["data_path"], batch_size=1)))
-        rel = one.column("data_path")[0].as_py()
+        rel = None
+        for seg in refs["blocks"]:
+            fs, local = fsx.resolve(fsx.join(root, "manifest", seg))
+            ds = pads.dataset(local, format="parquet", filesystem=fs)
+            for batch in ds.to_batches(columns=["data_path"], batch_size=1):
+                if len(batch):
+                    rel = batch.column("data_path")[0].as_py()
+                    break
+            if rel is not None:
+                break
+        if rel is None:
+            raise ValueError(
+                f"index at {root} has no blocks — cannot infer a schema; "
+                "pass one explicitly via spark.read.schema(...)"
+            )
         dfs, dlocal = fsx.resolve(fsx.join(root, "data", rel))
         dset = pads.dataset(dlocal, format="parquet", filesystem=dfs)
         full = from_arrow_schema(dset.schema)
@@ -673,8 +727,30 @@ class BloomSearchArrowWriter(DataSourceArrowWriter):
                     "cast it or use build_index()"
                 )
         pe = self.cfg.partition_expr
-        if pe.isidentifier() and pe not in names:
-            raise ValueError(f"partition column {pe!r} not in written columns")
+        if pe.isidentifier():
+            if pe not in names:
+                raise ValueError(f"partition column {pe!r} not in written columns")
+            # the writer stringifies partition values with a pyarrow cast,
+            # which must agree with build_index's Spark cast or one logical
+            # partition splits into two ids (e.g. double 2020.0 -> Spark
+            # '2020.0' vs pyarrow '2020').  string/integer/boolean casts
+            # agree; reject the rest
+            from pyspark.sql.types import (
+                BooleanType,
+                ByteType,
+                IntegerType,
+                LongType,
+                ShortType,
+                StringType,
+            )
+
+            ok = (StringType, ByteType, ShortType, IntegerType, LongType, BooleanType)
+            if not isinstance(schema[pe].dataType, ok):
+                raise ValueError(
+                    f"bloomsearch writer supports string/integer/boolean "
+                    f"partition columns (got {schema[pe].dataType}); cast it "
+                    "or use build_index()"
+                )
         version_guess, _ = mf.next_version_dir(self.root)
         # one nonce per WRITE JOB, minted on the driver and shipped in the
         # pickled writer: all tasks share it (stable file-id prefix), no

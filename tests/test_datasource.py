@@ -274,3 +274,50 @@ def test_writer_option_validation(spark, tmp_path):
             .option("partition_col", "upper(lang)")
             .mode("overwrite").save()
         )
+
+
+def test_pushdown_typed_partition_and_empty_string(spark, tmp_path):
+    """r04 review regressions: (a) a typed (int) WHERE value on the
+    partition source column must prune with Spark's cast-to-string
+    spelling, not drop every block; (b) a WHERE matching ''-partition rows
+    must not be harvested at all (the strict prefilter would exclude the
+    blocks holding them)."""
+    from pyspark.sql import Row
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(BloomSearchDataSource)
+    rows = [
+        Row(year=2019 + (i % 3), text=f"alpha tok{i}") for i in range(60)
+    ] + [Row(year=None, text="alpha nullpart")]
+    df = spark.createDataFrame(rows)
+    root = str(tmp_path / "typed")
+    build_index(
+        spark, df, root,
+        IndexConfig(indexed_fields=("text",), partition_expr="year",
+                    max_block_rows=10, blocks_per_file=2),
+    )
+    ds = (
+        spark.read.format("bloomsearch").option("root", root)
+        .option("token", "alpha").load()
+    )
+    got = ds.filter("year = 2020").count()
+    assert got == sum(1 for r in rows if r.year == 2020)
+    # typed IN prunes with the stringified members and stays exact
+    assert ds.filter("year IN (2019, 2021)").count() == sum(
+        1 for r in rows if r.year in (2019, 2021)
+    )
+
+    # '' partition: strict prefilter may not be harvested for it
+    rows2 = [Row(part="", text="alpha empty"), Row(part="x", text="alpha other")]
+    root2 = str(tmp_path / "emptypart")
+    build_index(
+        spark, spark.createDataFrame(rows2), root2,
+        IndexConfig(indexed_fields=("text",), partition_expr="part",
+                    max_block_rows=4, blocks_per_file=2),
+    )
+    ds2 = (
+        spark.read.format("bloomsearch").option("root", root2)
+        .option("token", "alpha").load()
+    )
+    assert ds2.filter("part = ''").count() == 1
+    assert ds2.filter("part IN ('', 'x')").count() == 2
