@@ -587,11 +587,15 @@ def build_index(
     # uniformity (lets queries compile the pure-JVM probe without touching
     # the manifest), carries the stream watermark — shared with the
     # DataSource writer (manifest.build_commit_finalize)
+    # the source schema rides in meta so a fully-empty index (empty build,
+    # expire-everything) can still answer queries with a typed empty frame
+    # — without it the empty-scan path had no dtypes to construct one
     version = mf.publish_commit(
         root,
         mf.build_commit_finalize(
             root, cfg, mode, seg_name, source_desc, list(df.columns),
-            build_id, meta_extra,
+            build_id,
+            {"source_schema": df.schema.json(), **(meta_extra or {})},
         ),
     )
     fsx.delete_dir(scratch)  # staging is scratch; the commit owns the data

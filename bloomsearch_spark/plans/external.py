@@ -208,6 +208,7 @@ def build_external_index(
                 "build_id": version,
                 "source_desc": source_desc,
                 "source_columns": list(df.columns),
+                "source_schema": df.schema.json(),
                 "external": True,
                 "uniform_params": {
                     "blocks": [cfg.max_block_rows, cfg.block_fpr],

@@ -385,6 +385,16 @@ def scan_blocks(
             return (
                 spark.read.option("basePath", index.data_dir).parquet(one).limit(0)
             )
+        # FULLY empty index (empty build / expire-everything): the stored
+        # source schema (meta, r04) yields a typed empty frame without
+        # touching the (possibly nonexistent) data root
+        sj = index.meta().get("source_schema")
+        if sj:
+            import json as _json
+
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], StructType.fromJson(_json.loads(sj)))
         data = spark.read.option("basePath", index.data_dir).parquet(index.data_dir)
         return data.limit(0)
     paths = index.block_paths([r.data_path for r in keys])

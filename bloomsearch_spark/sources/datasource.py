@@ -585,10 +585,17 @@ class BloomSearchDataSource(DataSource):
         refs = meta.get("tables") or {
             t: [f"{version}/{t}.parquet"] for t in mf.TABLES
         }
-        # one block's parquet schema gives the stored dtypes; project to
-        # the meta's source_columns (order preserved).  Scan segments until
-        # a block row is found — a zero-row segment (empty append, full
-        # expiry) must not break reads of an otherwise healthy index
+        # the stored source schema (r04 builds) answers without touching
+        # any parquet — and is the ONLY answer for a fully-empty index
+        sj = meta.get("source_schema")
+        if sj:
+            full = StructType.fromJson(json.loads(sj))
+            keep = meta.get("source_columns") or [f.name for f in full.fields]
+            return StructType([f for f in full.fields if f.name in keep])
+        # pre-r04 manifest: one block's parquet schema gives the stored
+        # dtypes; project to the meta's source_columns (order preserved).
+        # Scan segments until a block row is found — a zero-row segment
+        # (empty append, full expiry) must not break reads
         import pyarrow.dataset as pads
 
         rel = None
@@ -888,6 +895,7 @@ class BloomSearchArrowWriter(DataSourceArrowWriter):
             mf.build_commit_finalize(
                 self.root, self.cfg, mode, seg_name, "datasource-write",
                 self.source_columns, self.build_id,
+                {"source_schema": self.schema.json()},
             ),
         )
 

@@ -277,6 +277,8 @@ def carried_meta(parent_meta: dict, for_append: bool = False) -> dict:
     if not for_append:
         out["source_columns"] = parent_meta.get("source_columns")
         out["uniform_params"] = parent_meta.get("uniform_params")
+        if parent_meta.get("source_schema") is not None:
+            out["source_schema"] = parent_meta["source_schema"]
         if parent_meta.get("external"):
             out["external"] = True
     return out

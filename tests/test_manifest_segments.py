@@ -363,3 +363,18 @@ def test_no_lock_scheme_conflict_check():
         assert mf.publish_commit(root, mk("b"), expected=v1) == "v00000002"
     finally:
         fsx.unregister_scheme("mock2")
+
+
+def test_expire_everything_leaves_queryable_empty_index(spark, tmp_root):
+    """r04: the source schema rides in meta, so an index whose every block
+    was expired still answers queries with a TYPED empty frame (the old
+    path tried to infer the schema from the data root and threw)."""
+    from bloomsearch_spark import expire_blocks
+
+    build_index(spark, generate_df(spark, 300), tmp_root, CFG)
+    idx = BloomIndex.load(spark, tmp_root)
+    empty, stats = expire_blocks(spark, idx, F.lit(True))
+    assert stats.blocks_after == 0
+    out = search(spark, empty, new_query().token("needle_alpha").build())
+    assert out.count() == 0
+    assert out.columns == ["repo", "path", "commit", "lang", "content"]
