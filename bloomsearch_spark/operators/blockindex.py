@@ -36,10 +36,16 @@ from ..tokenizer import (
 )
 
 
-def minmax_coerce(lo: float, hi: float) -> tuple[int, int]:
+def minmax_coerce(lo, hi) -> tuple[int, int]:
     """Reference int64 coercion: floor for min, ceil for max
-    (min_max.go:16-28)."""
-    return int(math.floor(lo)), int(math.ceil(hi))
+    (min_max.go:16-28).  Integer inputs pass through EXACTLY — routing an
+    int64 through float64 rounds |values| > 2^53 (64-bit hash ids, ns
+    timestamps) and a rounded zone-map bound silently drops matching
+    blocks from strict minmax queries (r05; found by the 2^53 pushdown
+    test)."""
+    lo_i = lo if isinstance(lo, int) and not isinstance(lo, bool) else int(math.floor(lo))
+    hi_i = hi if isinstance(hi, int) and not isinstance(hi, bool) else int(math.ceil(hi))
+    return lo_i, hi_i
 
 
 def _index_entries_fixed(pdf: pd.DataFrame, cfg: IndexConfig) -> tuple[list, list, list]:
@@ -136,7 +142,8 @@ def _minmax_maps_arrow(tbl: pa.Table, cfg: IndexConfig) -> tuple[dict, dict]:
         lo, hi = mm["min"].as_py(), mm["max"].as_py()
         if lo is None:
             continue
-        mn_map[f], mx_map[f] = minmax_coerce(float(lo), float(hi))
+        # as_py() of an int64 column is an exact Python int — keep it so
+        mn_map[f], mx_map[f] = minmax_coerce(lo, hi)
     return mn_map, mx_map
 
 
@@ -299,7 +306,10 @@ def _minmax_maps(pdf: pd.DataFrame, cfg: IndexConfig) -> tuple[dict, dict]:
             s = pd.to_numeric(pdf[f], errors="coerce").dropna()
             if s.empty:
                 continue
-            lo, hi = float(s.min()), float(s.max())
+            if pd.api.types.is_integer_dtype(s):
+                lo, hi = int(s.min()), int(s.max())  # exact past 2^53
+            else:
+                lo, hi = float(s.min()), float(s.max())
         mn_map[f], mx_map[f] = minmax_coerce(lo, hi)
     return mn_map, mx_map
 

@@ -709,10 +709,19 @@ def fold_manifest(
     return mf.BloomIndex(spark, root, version)
 
 
-def vacuum_manifest(index: BloomIndex) -> int:
+def vacuum_manifest(index: BloomIndex, staging_ttl: float = 24 * 3600.0) -> int:
     """Delete manifest metadata unreachable from CURRENT: superseded
     version dirs, segment dirs no version references (failed or folded-away
-    commits), and leftover build staging scratch.  Returns dirs removed.
+    commits), and STALE build staging scratch.  Returns dirs removed.
+
+    Staging scratch is special: a build is exposed for its whole
+    multi-minute (at scale multi-hour) staging window, not just the brief
+    commit window the "no commit in flight" contract covers — deleting a
+    live build's scratch would silently restart its heavy stages.  A
+    staging tree is therefore only reclaimed when NOTHING under it was
+    modified for ``staging_ttl`` seconds (default 24 h — older than any
+    live build attempt; pass 0 to force, e.g. in tests or after verifying
+    no build runs).
 
     Driver listings here are one level deep and bounded by VERSION/SEGMENT
     count (kept small by fold_manifest) — never by blocks or files.  Same
@@ -740,8 +749,16 @@ def vacuum_manifest(index: BloomIndex) -> int:
             fsx.delete_dir(fsx.join(mdir, d))
             removed += 1
         elif d == "staging":
-            fsx.delete_dir(fsx.join(mdir, d))
-            removed += 1
+            import time as _time
+
+            sdir = fsx.join(mdir, d)
+            for tag in fsx.list_subdirs(sdir):
+                tdir = fsx.join(sdir, tag)
+                ts = fsx.newest_mtime(tdir)
+                if ts is None or _time.time() - ts >= staging_ttl:
+                    fsx.delete_dir(tdir)
+                    removed += 1
+            fsx.delete_dir_if_empty(sdir)
     for s in fsx.list_subdirs(mf.segments_dir(root)):
         if s not in referenced:
             fsx.delete_dir(mf.segment_dir(root, s))

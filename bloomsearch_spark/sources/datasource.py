@@ -17,31 +17,47 @@ How the pieces map:
 
 - ``pushFilters`` receives the query's WHERE conditions: equality/IN on
   the partition source column and comparisons on ``minmax_fields`` become
-  partition/zone-map PREFILTERS (Q2-Q5).  Every filter is returned as
-  "unsupported" so **Spark re-applies it after the scan** — the pushed
-  form is used purely to prune, which is always sound (blooms and zone
-  maps only disqualify; prefilter semantics are conservative supersets).
+  partition/zone-map PREFILTERS (Q2-Q5); equality/IN on any other
+  *indexed* field becomes a ``field:token`` BLOOM prefilter (the
+  reference's query builder reaches the same pruning for every indexed
+  field, query.go:673-778) — a value whose tokenization is multi-token
+  pushes the AND of its tokens, which a matching row necessarily
+  contains.  Every filter is returned as "unsupported" so **Spark
+  re-applies it after the scan** — the pushed form is used purely to
+  prune, which is always sound (blooms and zone maps only disqualify;
+  prefilter semantics are conservative supersets).
 - ``partitions()`` runs the hierarchical prune (Q6-Q10) ON THE DRIVER
   over the manifest via pyarrow — structurally the reference's
   single-node read path (``MetaStore.GetMaybeFilesForQuery`` + file/block
   bloom walk, bloom_tree_engine.go:910-1118): stream the files manifest,
   probe file blooms, stream only surviving files' block rows, apply
   prefilter + block blooms; each surviving block becomes an
-  ``InputPartition``.
+  ``InputPartition``.  Past ``max_driver_blocks`` survivors the planner
+  switches to the DISTRIBUTED fallback: each manifest part-file becomes
+  one ``InputPartition`` and the executors run the (flat) prune + scan
+  themselves — the driver never holds a block list at any index size.
 - ``read()`` runs on executors: CRC-verified block read through the fs
-  layer + the EXACT verify stage (Q12) re-derived with the index's
+  layer + the EXACT verify stage (Q12/Q13) re-derived with the index's
   tokenizer — so the DataFrame contains exactly the query's matches, not
-  a candidate superset.
+  a candidate superset.  Regex queries (``field_regex`` option) prune via
+  the Q14 field-guard rewrite and verify with the same final-stage
+  semantics as the library path.  External (zero-copy) indexes scan the
+  SOURCE parquet files in place, re-deriving block membership per row.
 
 Scope/limits (use :func:`bloomsearch_spark.search` beyond them — it is
 the scale path; this is the convenience/compatibility surface):
 
-- driver-side pruning streams the manifest in batches (bounded memory)
-  but the surviving-block LIST is driver-held — capped at
-  ``MAX_DRIVER_BLOCKS``;
-- regex queries and external (zero-copy) indexes are not exposed here;
+- external indexes need a bare-column (or empty) ``partition_expr`` of
+  string/integer/boolean type — the executor re-derives partition ids
+  outside Catalyst (same constraint as the writer);
 - a custom tokenizer must be registered in the executor interpreters
-  (same contract as the build, fs.register_scheme docstring).
+  (same contract as the build, fs.register_scheme docstring);
+- **one** ``load()`` **per query shape** (Spark sharp edge, observed on
+  4.1): Spark caches the planned partition list on the loaded relation
+  and only re-plans when the action pushes filters — a FILTERLESS action
+  on the same DataFrame after a filtered one reuses the filtered
+  (pruned) partitions and under-counts.  Filtered-after-filtered and
+  fresh ``load()`` calls are always correct.
 """
 
 from __future__ import annotations
@@ -74,6 +90,7 @@ from ..query import (
     Condition,
     Eq,
     Field,
+    FieldRegex,
     FieldToken,
     Gt,
     Gte,
@@ -81,11 +98,15 @@ from ..query import (
     Lt,
     Lte,
     MinMax,
+    Or,
     Partition,
     PrefilterAnd,
     PrefilterExpr,
     Query,
+    RegexExpr,
     Token,
+    and_bloom,
+    validate_regexes,
 )
 from . import fs as fsx
 from . import manifest as mf
@@ -184,9 +205,11 @@ def eval_prefilter_pdf(expr: PrefilterExpr | None, pdf: pd.DataFrame) -> np.ndar
         has = (mn.notna() & mx.notna()).to_numpy()
         out = np.zeros(n, bool)
         if has.any():
-            out[has] = _cond_minmax(
-                mn[has].astype("float64"), mx[has].astype("float64"), expr.condition
-            )
+            # compare on the object series (Python ints — exact), matching
+            # the Spark path's map<string,long> comparisons: a float64 cast
+            # would round |values| > 2^53 (hash ids, ns timestamps) and
+            # could DROP a block that contains matches (ADVICE r04)
+            out[has] = _cond_minmax(mn[has], mx[has], expr.condition)
         return out
     raise AssertionError(expr.kind)
 
@@ -290,6 +313,63 @@ def verify_pdf(
     return ev(expr)
 
 
+def _spark_cast_str(s: pd.Series) -> pd.Series:
+    """pandas twin of Catalyst ``cast("string")`` for verify purposes:
+    bools render lowercase, everything else via ``str()`` (floats keep
+    their decimal point, matching Spark — NOT the Go-%v tokenizer form).
+    Nulls stay null."""
+    if pd.api.types.is_bool_dtype(s):
+        return s.map({True: "true", False: "false"})
+    notna = s.notna()
+    out = pd.Series(None, index=s.index, dtype=object)
+    if notna.any():
+        out[notna] = s[notna].map(
+            lambda v: ("true" if v else "false")
+            if isinstance(v, (bool, np.bool_))
+            else str(v)
+        )
+    return out
+
+
+def regex_verify_pdf(expr: RegexExpr | None, pdf: pd.DataFrame) -> np.ndarray:
+    """Final-stage regex verify (Q13) over candidate rows — the pandas
+    twin of verify.compile_regex_verify: re.search over the Spark-cast
+    string form of full field values; null / missing column -> False.
+    Dialect caveat as the library path documents: Python ``re`` here vs
+    Java regex in ``rlike`` — both cover the Go RE2 subset the reference
+    tests exercise."""
+    import re
+
+    n = len(pdf)
+    cols = set(pdf.columns)
+    cache: dict[str, "re.Pattern"] = {}
+
+    def ev(e: RegexExpr | None) -> np.ndarray:
+        if e is None:
+            return np.ones(n, bool)
+        if e.kind == "AND":
+            out = np.ones(n, bool)
+            for ch in e.children:
+                out &= ev(ch)
+            return out
+        if e.kind == "OR":
+            out = np.zeros(n, bool)
+            for ch in e.children:
+                out |= ev(ch)
+            return out
+        if e.field not in cols:
+            return np.zeros(n, bool)
+        pat = cache.get(e.pattern)
+        if pat is None:
+            pat = cache[e.pattern] = re.compile(e.pattern)
+        s = _spark_cast_str(pdf[e.field])
+        return s.map(
+            lambda v: v is not None and pat.search(v) is not None
+        ).to_numpy(dtype=bool)
+
+    return ev(expr)
+
+
 # ---------------------------------------------------------------------------
 # driver-side hierarchical prune over the manifest (pyarrow, no Spark jobs)
 # ---------------------------------------------------------------------------
@@ -306,17 +386,26 @@ def _manifest_batches(paths: list[str], columns: list[str]) -> Iterator[pd.DataF
             yield batch.to_pandas(maps_as_pydicts="strict")
 
 
+class DriverPruneOverflow(Exception):
+    """More blocks survived than the driver-held list may carry —
+    ``partitions()`` catches this and switches to the distributed
+    manifest-slice fallback (executors prune their own slice)."""
+
+
 def prune_blocks_driver(
     spark_unused,
     root: str,
     version: str,
     query: Query,
     table_refs: dict[str, list[str]],
-) -> list[str]:
+    max_blocks: int = MAX_DRIVER_BLOCKS,
+) -> list[tuple[str, str]]:
     """Hierarchical prune entirely on the driver: surviving block
-    ``data_path`` values.  Streams the manifest in arrow batches (memory
-    bounded by batch size), file level first — the reference's read walk
-    (bloom_tree_engine.go:910-1118) without a cluster."""
+    ``(data_path, partition_id)`` pairs.  Streams the manifest in arrow
+    batches (memory bounded by batch size), file level first — the
+    reference's read walk (bloom_tree_engine.go:910-1118) without a
+    cluster.  Raises :class:`DriverPruneOverflow` past ``max_blocks``
+    survivors (the caller falls back to distributed pruning)."""
     mdir = fsx.join(root, "manifest")
     tree = query.prune_bloom()
     from ..operators.probe import needed_bloom_cols
@@ -335,7 +424,7 @@ def prune_blocks_driver(
         if not surviving_files:
             return []
 
-    out: list[str] = []
+    out: list[tuple[str, str]] = []
     for pdf in _manifest_batches(
         [fsx.join(mdir, rel) for rel in table_refs["blocks"]],
         [
@@ -351,13 +440,11 @@ def prune_blocks_driver(
         keep = eval_prefilter_pdf(query.prefilter, pdf)
         if tree is not None:
             keep &= _probe_pdf(tree, pdf)
-        out.extend(pdf["data_path"].to_numpy()[keep])
-        if len(out) > MAX_DRIVER_BLOCKS:
-            raise RuntimeError(
-                f"query survives > {MAX_DRIVER_BLOCKS} blocks — beyond the "
-                "convenience DataSource's driver bound; use "
-                "bloomsearch_spark.search() (distributed prune, no bound)"
-            )
+        out.extend(
+            zip(pdf["data_path"].to_numpy()[keep], pdf["partition_id"].to_numpy()[keep])
+        )
+        if len(out) > max_blocks:
+            raise DriverPruneOverflow(len(out))
     return out
 
 
@@ -371,6 +458,24 @@ class _BlockChunk(InputPartition):
     rel_paths: list
 
 
+@dataclass
+class _ExternalChunk(InputPartition):
+    """One SOURCE parquet file of a zero-copy external index plus the
+    surviving partition values within it (external block = (file, pid))."""
+
+    src: str
+    partition_ids: list
+
+
+@dataclass
+class _ManifestSlice(InputPartition):
+    """Distributed-prune fallback unit: one part-file of a blocks-manifest
+    segment; the executor prunes and scans it (see _slice_partitions)."""
+
+    rel: str
+    part: str
+
+
 class BloomSearchReader(DataSourceReader):
     def __init__(self, options: dict, schema) -> None:
         self.root = options.get("root")
@@ -378,16 +483,14 @@ class BloomSearchReader(DataSourceReader):
             raise ValueError("bloomsearch datasource requires .option('root', ...)")
         self.out_schema = schema
         self.blocks_per_task = int(options.get("blocks_per_task", "4"))
-        version = mf.current_version(self.root)
+        # the DataSource pins the version it inferred the schema from
+        # (option also user-settable: time travel to any committed version)
+        version = options.get("version") or mf.current_version(self.root)
         if version is None:
             raise FileNotFoundError(f"no committed manifest under {self.root}")
         self.version = version
         meta = self._meta()
-        if meta.get("external"):
-            raise NotImplementedError(
-                "external (zero-copy) indexes are not exposed through the "
-                "DataSource — use bloomsearch_spark.search()"
-            )
+        self.external = bool(meta.get("external"))
         cfg = meta["config"]
         self.indexed_fields = tuple(cfg.get("indexed_fields") or ())
         self.tokenizer_name = cfg.get("tokenizer", "whitespace_lower")
@@ -396,9 +499,44 @@ class BloomSearchReader(DataSourceReader):
         # filters on the partition SOURCE column map to partition prefilters
         # only when the expr is a bare column name (the common case)
         self.partition_src = pe if pe.isidentifier() else None
+        if self.external:
+            # the executor re-derives partition ids OUTSIDE Catalyst (block
+            # = (source file, partition value)): only a bare column — or no
+            # partitioning — of a type whose pandas string form matches
+            # Spark's cast is supported (same constraint as the writer)
+            if pe not in ("", "''") and not pe.isidentifier():
+                raise ValueError(
+                    f"external index partition_expr {pe!r} is not a bare "
+                    "column — the DataSource cannot re-derive it; use "
+                    "bloomsearch_spark.search()"
+                )
+            if pe.isidentifier() and pe in {f.name for f in schema.fields}:
+                from pyspark.sql.types import (
+                    BooleanType,
+                    ByteType,
+                    IntegerType,
+                    LongType,
+                    ShortType,
+                    StringType,
+                )
+
+                ok = (StringType, ByteType, ShortType, IntegerType, LongType,
+                      BooleanType)
+                if not isinstance(schema[pe].dataType, ok):
+                    raise ValueError(
+                        f"external index partition column {pe!r} has type "
+                        f"{schema[pe].dataType} — the DataSource only "
+                        "re-derives string/integer/boolean partitions; use "
+                        "bloomsearch_spark.search()"
+                    )
         self.source_columns = meta.get("source_columns") or []
+        self.max_driver_blocks = int(
+            options.get("max_driver_blocks", str(MAX_DRIVER_BLOCKS))
+        )
         self._bloom = self._parse_bloom_options(options)
+        self._regex = self._parse_regex_options(options)
         self._pushed_prefilter: list[PrefilterExpr] = []
+        self._pushed_bloom: list[BloomExpr] = []
 
     def _meta(self) -> dict:
         # cached: a version is immutable, and one load() otherwise pays
@@ -441,6 +579,21 @@ class BloomSearchReader(DataSourceReader):
             return None
         return leaves[0] if len(leaves) == 1 else And(*leaves)
 
+    @staticmethod
+    def _parse_regex_options(options: dict) -> RegexExpr | None:
+        """``field_regex=f:pattern`` — the final-stage regex query (Q13),
+        implicit-AND with the bloom options; prunes via the Q14 field-guard
+        rewrite inside ``Query.prune_bloom``."""
+        raw = options.get("field_regex")
+        if not raw:
+            return None
+        f, _, pat = raw.partition(":")
+        if not pat:
+            raise ValueError("field_regex option must be 'field:pattern'")
+        expr = FieldRegex(f, pat)
+        validate_regexes(expr)
+        return expr
+
     def pushFilters(self, filters: list["Filter"]) -> Iterator["Filter"]:
         """Harvest prunable WHERE conditions.  EVERY filter is returned
         back (reported unsupported) so Spark re-applies it after the scan:
@@ -452,6 +605,9 @@ class BloomSearchReader(DataSourceReader):
             cond = self._prefilter_of(f)
             if cond is not None:
                 self._pushed_prefilter.append(cond)
+            tree = self._bloom_of(f)
+            if tree is not None:
+                self._pushed_bloom.append(tree)
         return list(filters)
 
     @staticmethod
@@ -485,6 +641,16 @@ class BloomSearchReader(DataSourceReader):
                 return Partition(QIn(*vals))
             return None
         if col in self.minmax_fields:
+            # NULL never matches a range: drop None members (sound) and
+            # leave a pure-NULL comparison unharvested — a pushed
+            # EqualTo(None)/IN-with-NULL must not reach _cond_minmax,
+            # where `mn <= None` raises at partition-planning time
+            # (ADVICE r04)
+            if isinstance(f, In):
+                vals = [v for v in f.value if v is not None]
+                return MinMax(col, QIn(*vals)) if vals else None
+            if getattr(f, "value", None) is None:
+                return None
             if isinstance(f, EqualTo):
                 return MinMax(col, Eq(f.value))
             if isinstance(f, GreaterThan):
@@ -495,9 +661,63 @@ class BloomSearchReader(DataSourceReader):
                 return MinMax(col, Lt(f.value))
             if isinstance(f, LessThanOrEqual):
                 return MinMax(col, Lte(f.value))
-            if isinstance(f, In):
-                return MinMax(col, QIn(*f.value))
             return None
+        return None
+
+    # value types whose Go-%v token form provably matches what the build
+    # inserted for an equal stored value (tokenizer.stringify_series) —
+    # bloom harvesting of other types (dates, decimals...) could prune a
+    # block whose rows DO match, so they stay unharvested
+    _BLOOM_PUSH_TYPES = (str, bool, int, float, np.integer, np.floating, np.bool_)
+
+    def _bloom_of(self, f: "Filter") -> BloomExpr | None:
+        """Equality/IN on an *indexed* field -> a ``field:token`` bloom
+        prefilter (the reference's query-builder pruning for any indexed
+        field, query.go:673-778).  Prune-only and sound: a row equal to the
+        value necessarily carries EVERY token of the value's tokenization,
+        so the AND of its FieldToken leaves is a conservative superset; an
+        IN is the OR over its members.  Unharvestable cases (value
+        tokenizes to nothing, unregistered custom tokenizer, unproven type)
+        return None — never a wrong tree."""
+        attr = getattr(f, "attribute", None)
+        if not attr or len(attr) != 1:
+            return None
+        col = attr[0]
+        if col not in self.indexed_fields:
+            return None
+        try:
+            from ..tokenizer import get_tokenizer
+
+            value_fn = get_tokenizer(self.tokenizer_name).value_fn
+        except KeyError:
+            return None  # custom tokenizer not registered here: skip, sound
+
+        def leaf(v) -> BloomExpr | None:
+            if not isinstance(v, self._BLOOM_PUSH_TYPES):
+                return None
+            toks = value_fn(v)
+            if not toks:
+                return None  # zero-token value: blooms cannot characterize it
+            return (
+                FieldToken(col, toks[0])
+                if len(toks) == 1
+                else And(*[FieldToken(col, t) for t in toks])
+            )
+
+        if isinstance(f, EqualTo):
+            return None if f.value is None else leaf(f.value)
+        if isinstance(f, In):
+            branches = []
+            for v in f.value:
+                if v is None:
+                    continue  # NULL member never matches: droppable, sound
+                b = leaf(v)
+                if b is None:
+                    return None  # one uncharacterizable member poisons the OR
+                branches.append(b)
+            if not branches:
+                return None
+            return branches[0] if len(branches) == 1 else Or(*branches)
         return None
 
     def _query(self) -> Query:
@@ -508,45 +728,143 @@ class BloomSearchReader(DataSourceReader):
                 if len(self._pushed_prefilter) == 1
                 else PrefilterAnd(*self._pushed_prefilter)
             )
-        return Query(prefilter=pre, bloom=self._bloom)
+        # pushed bloom trees join the PRUNE tree only — read()'s exact
+        # verify enforces just the option query (self._bloom/_regex);
+        # Spark re-applies the WHERE filters the pushed trees came from
+        prune_bloom = self._bloom
+        for t in self._pushed_bloom:
+            prune_bloom = and_bloom(prune_bloom, t)
+        return Query(prefilter=pre, bloom=prune_bloom, regex=self._regex)
 
     def partitions(self) -> list[InputPartition]:
         # Spark's planning worker treats NotImplementedError as "reader has
         # no partitions" and silently substitutes [None] — re-wrap so a
         # real failure inside the prune can never be masked as that
         try:
-            paths = prune_blocks_driver(
-                None, self.root, self.version, self._query(), self._table_refs()
+            pairs = prune_blocks_driver(
+                None, self.root, self.version, self._query(),
+                self._table_refs(), self.max_driver_blocks,
             )
+        except DriverPruneOverflow:
+            # too many survivors for a driver-held list: one partition per
+            # manifest part-file; executors prune + scan their own slice
+            return self._slice_partitions()
         except NotImplementedError as e:
             raise RuntimeError(f"bloomsearch partition planning failed: {e}") from e
+        if self.external:
+            # external block = (source file, partition value); several
+            # partition-blocks share one physical file -> group by file
+            by_src: dict[str, list[str]] = {}
+            for src, pid in pairs:
+                by_src.setdefault(src, []).append(pid)
+            return [
+                _ExternalChunk(src=s, partition_ids=pids)
+                for s, pids in sorted(by_src.items())
+            ]
         k = max(1, self.blocks_per_task)
+        paths = [p for p, _ in pairs]
         return [
             _BlockChunk(rel_paths=paths[i : i + k]) for i in range(0, len(paths), k)
         ]
 
-    def read(self, partition: _BlockChunk):
-        """Executor-side: CRC-verified block read + EXACT verify (Q12)."""
+    def _slice_partitions(self) -> list[InputPartition]:
+        """Distributed-prune fallback: the driver holds only the manifest
+        part-file list (bounded by segment x part count, never by blocks).
+        Each executor task streams its slice of the BLOCK manifest, runs
+        prefilter + block-bloom probe, and scans its survivors.  The
+        file-level probe is skipped — its survivor set is a superset
+        (sound; blooms only disqualify, verify is exact), and keeping it
+        would mean shipping an unbounded surviving-file set."""
+        mdir = fsx.join(self.root, "manifest")
+        out: list[InputPartition] = []
+        for rel in self._table_refs()["blocks"]:
+            for part in fsx.list_parquet_files(fsx.join(mdir, rel)):
+                out.append(_ManifestSlice(rel=rel, part=part))
+        return out
+
+    def read(self, partition):
+        """Executor-side: CRC-verified block read + EXACT verify (Q12/Q13)."""
         if partition is None:  # zero surviving blocks -> Spark sends [None]
             return
+        if isinstance(partition, _ManifestSlice):
+            yield from self._read_manifest_slice(partition)
+        elif isinstance(partition, _ExternalChunk):
+            yield from self._read_external(partition.src, partition.partition_ids)
+        else:
+            for rel in partition.rel_paths:
+                yield from self._read_block(rel)
+
+    def _verify_batches(self, pdf: pd.DataFrame):
+        """Exact verify (option query only — pushed WHERE trees are
+        re-applied by Spark) + projection to the output schema."""
         import pyarrow as pa
 
         from ..tokenizer import get_tokenizer
 
-        tok = get_tokenizer(self.tokenizer_name)
         names = [f.name for f in self.out_schema.fields]
-        data_dir = fsx.join(self.root, "data")
-        for rel in partition.rel_paths:
-            tbl = fsx.read_parquet_dir(fsx.join(data_dir, rel))
-            pdf = tbl.to_pandas()
-            if self._bloom is not None:
-                keep = verify_pdf(self._bloom, pdf, self.indexed_fields, tok)
-                pdf = pdf[keep]
-            if len(pdf):
-                out = pa.Table.from_pandas(
-                    pdf[names], preserve_index=False
-                ).cast(self._arrow_schema())
-                yield from out.to_batches()
+        if self._bloom is not None:
+            tok = get_tokenizer(self.tokenizer_name)
+            pdf = pdf[verify_pdf(self._bloom, pdf, self.indexed_fields, tok)]
+        if self._regex is not None and len(pdf):
+            pdf = pdf[regex_verify_pdf(self._regex, pdf)]
+        if len(pdf):
+            out = pa.Table.from_pandas(
+                pdf[names], preserve_index=False
+            ).cast(self._arrow_schema())
+            yield from out.to_batches()
+
+    def _read_block(self, rel: str):
+        tbl = fsx.read_parquet_dir(fsx.join(self.root, "data", rel))
+        yield from self._verify_batches(tbl.to_pandas())
+
+    def _read_external(self, src: str, partition_ids: Sequence[str]):
+        """Zero-copy external block scan: read the SOURCE file in place and
+        re-derive block membership per row (the plans/search._scan_external
+        semantics — block = (source file, partition value))."""
+        import pyarrow.parquet as pq
+        from urllib.parse import unquote
+
+        fs, local = fsx.resolve(unquote(src))
+        tbl = pq.read_table(local, filesystem=fs)
+        pdf = tbl.to_pandas()
+        pe = (self._meta()["config"].get("partition_expr") or "").strip()
+        if pe and pe != "''":
+            pid = _spark_cast_str(pdf[pe]).fillna("")
+        else:
+            pid = pd.Series([""] * len(pdf))
+        pdf = pdf[pid.isin(set(partition_ids)).to_numpy()]
+        yield from self._verify_batches(pdf)
+
+    def _read_manifest_slice(self, sl: "_ManifestSlice"):
+        """Distributed-prune fallback task: stream one manifest part-file,
+        prune (prefilter + flat block-bloom probe), scan survivors."""
+        import pyarrow.dataset as pads
+
+        query = self._query()
+        tree = query.prune_bloom()
+        from ..operators.probe import needed_bloom_cols
+
+        needed = list(needed_bloom_cols(tree))
+        fs, local = fsx.resolve(sl.part)
+        ds = pads.dataset(local, format="parquet", filesystem=fs)
+        cols = [
+            "partition_id", "data_path", "minmax_min", "minmax_max",
+            "expected_items", "fpr", *needed,
+        ]
+        avail = [c for c in cols if c in ds.schema.names]
+        for batch in ds.to_batches(columns=avail):
+            pdf = batch.to_pandas(maps_as_pydicts="strict")
+            keep = eval_prefilter_pdf(query.prefilter, pdf)
+            if tree is not None:
+                keep &= _probe_pdf(tree, pdf)
+            for src, pid in zip(
+                pdf["data_path"].to_numpy()[keep],
+                pdf["partition_id"].to_numpy()[keep],
+            ):
+                if self.external:
+                    yield from self._read_external(src, [pid])
+                else:
+                    yield from self._read_block(src)
 
     def _arrow_schema(self):
         from pyspark.sql.pandas.types import to_arrow_schema
@@ -567,6 +885,20 @@ class BloomSearchDataSource(DataSource):
     def name(cls) -> str:
         return "bloomsearch"
 
+    def _pinned_version(self, root: str) -> str:
+        """Resolve CURRENT exactly once per DataSource instance: schema
+        inference and the reader must see the SAME manifest version, or a
+        commit landing between the two makes the reader scan newer data
+        under an older schema (ADVICE r04).  A user-passed
+        ``.option("version", "vNNNNNNNN")`` pins explicitly (time travel)."""
+        v = self.options.get("version") or getattr(self, "_resolved_version", None)
+        if v is None:
+            v = mf.current_version(root)
+            if v is None:
+                raise FileNotFoundError(f"no committed manifest under {root}")
+            self._resolved_version = v
+        return v
+
     def schema(self):
         root = self.options.get("root")
         if not root:
@@ -576,9 +908,7 @@ class BloomSearchDataSource(DataSource):
         from pyspark.sql.pandas.types import from_arrow_schema
         from pyspark.sql.types import StructType
 
-        version = mf.current_version(root)
-        if version is None:
-            raise FileNotFoundError(f"no committed manifest under {root}")
+        version = self._pinned_version(root)
         meta = json.loads(
             fsx.read_bytes(fsx.join(root, "manifest", version, "meta.json"))
         )
@@ -620,7 +950,11 @@ class BloomSearchDataSource(DataSource):
         return StructType([f for f in full.fields if f.name in keep])
 
     def reader(self, schema) -> BloomSearchReader:
-        return BloomSearchReader(dict(self.options), schema)
+        opts = dict(self.options)
+        root = opts.get("root")
+        if root:
+            opts["version"] = self._pinned_version(root)
+        return BloomSearchReader(opts, schema)
 
     def writer(self, schema, overwrite: bool):
         return BloomSearchArrowWriter(dict(self.options), schema, overwrite)

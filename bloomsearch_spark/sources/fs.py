@@ -276,6 +276,22 @@ def parquet_dir_rows(dir_uri: str) -> int:
     return total
 
 
+def list_parquet_files(dir_uri: str) -> list[str]:
+    """URIs (``dir_uri``-joined, so they stay resolvable in any process)
+    of the ``*.parquet`` files directly under ``dir_uri``; [] if missing."""
+    fs, d = resolve(dir_uri)
+    if fs.get_file_info(d).type == pafs.FileType.NotFound:
+        return []
+    infos = fs.get_file_info(pafs.FileSelector(d, recursive=False))
+    return sorted(
+        join(dir_uri, i.base_name)
+        for i in infos
+        if i.type == pafs.FileType.File
+        and i.base_name.endswith(".parquet")
+        and not i.base_name.startswith(".")
+    )
+
+
 def list_subdirs(uri: str) -> list[str]:
     """Immediate child directory NAMES of ``uri`` ([] if it doesn't exist)."""
     fs, p = resolve(uri)
@@ -285,6 +301,25 @@ def list_subdirs(uri: str) -> list[str]:
     return sorted(
         i.base_name for i in infos if i.type == pafs.FileType.Directory
     )
+
+
+def newest_mtime(uri: str) -> float | None:
+    """Newest modification time (unix seconds) of any entry under ``uri``
+    (recursive), or of ``uri`` itself if it has no entries; None if it does
+    not exist.  Used by vacuum_manifest's staging TTL — an actively-written
+    staging tree keeps a recent mtime, a crashed build's goes stale."""
+    fs, p = resolve(uri)
+    info = fs.get_file_info(p)
+    if info.type == pafs.FileType.NotFound:
+        return None
+    newest = info.mtime.timestamp() if info.mtime is not None else None
+    if info.type == pafs.FileType.Directory:
+        for i in fs.get_file_info(pafs.FileSelector(p, recursive=True)):
+            if i.mtime is not None:
+                t = i.mtime.timestamp()
+                if newest is None or t > newest:
+                    newest = t
+    return newest
 
 
 def delete_dir(uri: str) -> None:

@@ -222,6 +222,25 @@ def build_commit_finalize(
         version = version_after(prev_version)
         vdir = fsx.join(_manifest_dir(root), version)
         seg_tables = {t: [segment_ref(seg_name, t)] for t in TABLES}
+        # committed-segment collision guard: batch build_index's segment
+        # name is DETERMINISTIC (version guess + hash of mode|source_desc)
+        # so a crashed build resumes without rewriting it.  Two IDENTICAL
+        # builds racing in the same version window therefore share the
+        # name — if the fresh predecessor already references it, a
+        # same-named twin committed first and this attempt's segment
+        # writes raced over a now-immutable committed segment.  Fail
+        # loudly (never re-reference it: double-counted rows) — the caller
+        # re-runs and lands under a fresh version guess / segment name.
+        if prev_version is not None:
+            prev_refs = BloomIndex(None, root, prev_version).table_refs()
+            mine = {ref for refs in seg_tables.values() for ref in refs}
+            if mine & {ref for refs in prev_refs.values() for ref in refs}:
+                raise CommitConflict(
+                    f"segment {seg_name!r} is already referenced by committed "
+                    f"version {prev_version} — an identical concurrent build "
+                    "(same mode/source_desc, same version window) won the "
+                    "race; re-run this build (it will mint a fresh segment)"
+                )
         tables = dict(seg_tables)
         up = {
             "blocks": [cfg.max_block_rows, cfg.block_fpr],

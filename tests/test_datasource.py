@@ -185,15 +185,219 @@ def test_driver_prune_equivalent_to_spark_prune(spark, ds_root):
     search_mod.FLAT_PROBE_FP_BUDGET = 0.0
     try:
         for q in queries:
-            driver_set = set(
-                prune_blocks_driver(None, ds_root, idx.version, q, reader._table_refs())
-            )
+            driver_set = {
+                p
+                for p, _ in prune_blocks_driver(
+                    None, ds_root, idx.version, q, reader._table_refs()
+                )
+            }
             spark_set = {
                 r.data_path for r in prune_blocks(idx, q).select("data_path").collect()
             }
             assert driver_set == spark_set, q
     finally:
         search_mod.FLAT_PROBE_MAX_BLOCKS, search_mod.FLAT_PROBE_FP_BUDGET = prev
+
+
+# ---------------------------------------------------------------------------
+# r05: indexed-field bloom pushdown, regex, external, distributed fallback
+# ---------------------------------------------------------------------------
+
+
+def test_indexed_field_bloom_pushdown(spark, tmp_path):
+    """WHERE equality/IN on an indexed NON-partition, NON-minmax field must
+    prune blocks as a field:token bloom prefilter (r04 verdict top item) —
+    and stay exact (Spark re-applies the filter).  Uses a block-clustered
+    tag column so pruning is observable (sf-table values spread over every
+    block and genuinely survive)."""
+    from pyspark.sql import Row
+    from pyspark.sql.datasource import EqualTo, In as DSIn
+
+    # 6 blocks of 50 rows; rows of block b carry tag "zz<b> yy<b>"
+    rows = [
+        Row(doc_id=i, tag=f"zz{i // 50} yy{i // 50}", text=f"alpha w{i}")
+        for i in range(300)
+    ]
+    root = str(tmp_path / "tagidx")
+    build_index(
+        spark, spark.createDataFrame(rows).coalesce(1), root,
+        IndexConfig(indexed_fields=("tag", "text"), max_block_rows=50,
+                    blocks_per_file=2),
+    )
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(BloomSearchDataSource)
+    schema = spark.read.format("bloomsearch").option("root", root).load().schema
+    opts = {"root": root, "blocks_per_task": "1"}
+    n_all = len(BloomSearchReader(dict(opts), schema).partitions())
+    assert n_all == 6
+
+    # single-token equality on the indexed field prunes to ~1 block
+    r_eq = BloomSearchReader(dict(opts), schema)
+    r_eq.pushFilters([EqualTo(("tag",), "zz2 yy2")])  # multi-token: AND
+    n_eq = len(r_eq.partitions())
+    assert 0 < n_eq < n_all
+
+    r_in = BloomSearchReader(dict(opts), schema)
+    r_in.pushFilters([DSIn(("tag",), ("zz2 yy2", "zz4 yy4"))])
+    assert n_eq <= len(r_in.partitions()) < n_all
+
+    # end to end: exact results with the pushdown active
+    df = spark.read.format("bloomsearch").option("root", root).load()
+    assert {r.doc_id for r in df.filter("tag = 'zz2 yy2'").collect()} == set(
+        range(100, 150)
+    )
+    assert df.filter("tag IN ('zz2 yy2', 'zz4 yy4')").count() == 100
+
+    # unharvestable cases stay sound: NULL member dropped, zero-token value
+    # leaves the filter unpushed (no pruning, no error, exact results)
+    r_edge = BloomSearchReader(dict(opts), schema)
+    r_edge.pushFilters(
+        [DSIn(("tag",), ("zz2 yy2", None)), EqualTo(("tag",), "  ")]
+    )
+    assert 0 < len(r_edge.partitions()) <= n_all
+    assert df.filter("tag = '  '").count() == 0
+
+
+def test_regex_option_exact(spark, ds_root, docs_pdf):
+    """field_regex option: prunes via the Q14 field-guard rewrite, verifies
+    with Q13 semantics — same rows as the library's regex search."""
+    from bloomsearch_spark import FieldRegex
+
+    df = (
+        spark.read.format("bloomsearch").option("root", ds_root)
+        .option("field_regex", "text:vector (search|database)").load()
+    )
+    got = {r.doc_id for r in df.collect()}
+    lib = search(
+        spark,
+        BloomIndex.load(spark, ds_root),
+        new_query().field_regex("text", "vector (search|database)").build(),
+    )
+    assert got == {r.doc_id for r in lib.collect()}
+    import re
+
+    pat = re.compile("vector (search|database)")
+    exp = set(docs_pdf[docs_pdf["text"].map(lambda t: pat.search(t) is not None)]["doc_id"])
+    assert got == exp
+    # regex AND token compose (implicit AND, like the query builder)
+    both = (
+        spark.read.format("bloomsearch").option("root", ds_root)
+        .option("field_regex", "text:vector (search|database)")
+        .option("token", "stream").load()
+    )
+    exp_both = exp & set(docs_pdf[_tok_mask(docs_pdf, "stream")]["doc_id"])
+    assert {r.doc_id for r in both.collect()} == exp_both
+
+
+def test_external_index_datasource(spark, tmp_path, docs_pdf):
+    """A zero-copy external index reads through the DataSource: the scan
+    hits the SOURCE parquet in place, block membership (file, partition)
+    is re-derived per row, results match the library search."""
+    from bloomsearch_spark import build_external_index
+
+    root = str(tmp_path / "xidx")
+    build_external_index(
+        spark, os.path.join(SF_DIR, "documents.parquet"), root,
+        IndexConfig(
+            indexed_fields=("text", "lang", "source"),
+            partition_expr="lang",
+            minmax_fields=("n_chars",),
+        ),
+    )
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(BloomSearchDataSource)
+    df = (
+        spark.read.format("bloomsearch").option("root", root)
+        .option("token", "stream").load()
+    )
+    exp = set(docs_pdf[_tok_mask(docs_pdf, "stream")]["doc_id"])
+    assert {r.doc_id for r in df.collect()} == exp
+    # WHERE on the partition source column prunes + stays exact
+    got_de = {r.doc_id for r in df.filter("lang = 'de'").collect()}
+    assert got_de == set(
+        docs_pdf[_tok_mask(docs_pdf, "stream") & (docs_pdf["lang"] == "de")]["doc_id"]
+    )
+    lib = search(
+        spark, BloomIndex.load(spark, root), new_query().token("stream").build()
+    )
+    assert {r.doc_id for r in lib.collect()} == exp
+
+
+def test_distributed_fallback_past_driver_cap(spark, ds_root, docs_pdf):
+    """Past max_driver_blocks survivors, partitions() falls back to
+    manifest slices (executors prune their own slice) instead of erroring;
+    results stay identical."""
+    from bloomsearch_spark.sources.datasource import _ManifestSlice
+
+    schema = spark.read.format("bloomsearch").option("root", ds_root).load().schema
+    r = BloomSearchReader(
+        {"root": ds_root, "token": "stream", "max_driver_blocks": "1"}, schema
+    )
+    parts = r.partitions()
+    assert parts and all(isinstance(p, _ManifestSlice) for p in parts)
+
+    df = (
+        spark.read.format("bloomsearch").option("root", ds_root)
+        .option("token", "stream").option("max_driver_blocks", "1").load()
+    )
+    exp = set(docs_pdf[_tok_mask(docs_pdf, "stream")]["doc_id"])
+    assert {r2.doc_id for r2 in df.collect()} == exp
+    # WHERE still applies (executor-side prefilter + Spark re-apply)
+    got_de = {r2.doc_id for r2 in df.filter("lang = 'de'").collect()}
+    assert got_de == set(
+        docs_pdf[_tok_mask(docs_pdf, "stream") & (docs_pdf["lang"] == "de")]["doc_id"]
+    )
+
+
+def test_version_pinning_time_travel(spark, tmp_path):
+    """schema() and the reader resolve the SAME version (a commit between
+    the two can't skew them — ADVICE r04), and .option('version', ...)
+    time-travels to any committed version."""
+    from bloomsearch_spark.sources.synthetic import generate_df
+
+    root = str(tmp_path / "vidx")
+    cfg = IndexConfig(indexed_fields=("content",), partition_expr="lang",
+                      max_block_rows=100, blocks_per_file=4)
+    build_index(spark, generate_df(spark, 300), root, cfg)
+    build_index(spark, generate_df(spark, 200, seed=9), root, cfg, mode="append")
+    spark.dataSource.register(BloomSearchDataSource)
+    cur = (
+        spark.read.format("bloomsearch").option("root", root).load().count()
+    )
+    assert cur == 500
+    v1 = (
+        spark.read.format("bloomsearch").option("root", root)
+        .option("version", "v00000001").load().count()
+    )
+    assert v1 == 300
+
+
+def test_minmax_prune_exact_past_2p53(spark, tmp_path):
+    """int64 zone-map bounds beyond 2^53 must compare EXACTLY in the
+    driver-side prune (the old float64 cast rounded them and could drop a
+    matching block — ADVICE r04 medium)."""
+    from pyspark.sql import Row
+
+    big = (1 << 53) + 1  # not representable in float64 (rounds to 2^53)
+    rows = [Row(k=big, text="alpha one"), Row(k=(1 << 53) + 3, text="alpha two")]
+    root = str(tmp_path / "bigmm")
+    build_index(
+        spark, spark.createDataFrame(rows), root,
+        IndexConfig(indexed_fields=("text",), minmax_fields=("k",),
+                    max_block_rows=1, blocks_per_file=2),
+    )
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(BloomSearchDataSource)
+    df = spark.read.format("bloomsearch").option("root", root).load()
+    # float64 would round big -> 2^53 and the [big, big] block would fail
+    # the EQ overlap test; exact compare keeps it
+    assert df.filter(F.col("k") == big).count() == 1
+    # and a NULL member in a pushed IN is dropped, not a planning crash
+    from pyspark.sql.datasource import In as DSIn
+
+    r = BloomSearchReader({"root": root}, df.schema)
+    r.pushFilters([DSIn(("k",), (big, None))])
+    assert len(r.partitions()) >= 1
 
 
 # ---------------------------------------------------------------------------

@@ -378,3 +378,43 @@ def test_expire_everything_leaves_queryable_empty_index(spark, tmp_root):
     out = search(spark, empty, new_query().token("needle_alpha").build())
     assert out.count() == 0
     assert out.columns == ["repo", "path", "commit", "lang", "content"]
+
+
+def test_identical_concurrent_build_segment_collision(tmp_root):
+    """r05 (ADVICE r04): batch builds name their segment deterministically
+    (resume), so two IDENTICAL builds racing in one version window share
+    the name.  The commit finalize must refuse to reference a segment the
+    fresh predecessor already committed (double-counted rows / clobbered
+    immutable segment) — CommitConflict, never a silent re-reference."""
+    seg = "v00000002-abcdef-build"
+    mf.write_meta(
+        os.path.join(tmp_root, "manifest", "v00000001"),
+        CFG,
+        extra={"tables": {t: [mf.segment_ref(seg, t)] for t in mf.TABLES}},
+    )
+    fin = mf.build_commit_finalize(
+        tmp_root, CFG, "append", seg, "cron-backfill", ["a"], seg
+    )
+    with pytest.raises(CommitConflict, match="already referenced"):
+        fin("v00000001")
+    # a differently-named segment (fresh attempt) commits fine
+    fin2 = mf.build_commit_finalize(
+        tmp_root, CFG, "append", "v00000002-ffffff-build", "cron-backfill",
+        ["a"], "b2",
+    )
+    assert fin2("v00000001") == "v00000002"
+
+
+def test_vacuum_staging_ttl_spares_live_builds(spark, tmp_root):
+    """r05 (ADVICE r04): vacuum_manifest must not destroy the staging
+    scratch of a build still inside its (multi-minute) staging window —
+    only trees untouched for staging_ttl are reclaimed."""
+    idx = build_index(spark, generate_df(spark, 300), tmp_root, CFG)
+    sdir = os.path.join(tmp_root, "manifest", "staging", "live-attempt")
+    os.makedirs(sdir)
+    with open(os.path.join(sdir, "part-0.parquet"), "w") as f:
+        f.write("x")
+    vacuum_manifest(idx)  # default TTL: the fresh tree survives
+    assert os.path.exists(sdir)
+    assert vacuum_manifest(idx, staging_ttl=0.0) >= 1  # stale: reclaimed
+    assert not os.path.exists(sdir)
