@@ -973,6 +973,39 @@ class _TaskStaging(WriterCommitMessage):
     ipc: bytes
 
 
+def _sha256_hex_arrow(col) -> "pa.Array":
+    """sha256 hex of a string column's utf8 bytes, sliced straight off the
+    Arrow offset/data buffers — identical output to ``F.sha2(c, 256)`` /
+    ``hashlib.sha256(v.encode())`` (null -> null, '' -> sha of b'') but
+    with no per-row str decode/encode.  The per-row hashlib call itself is
+    irreducible in Python (~1 us on short values), which is why the writer
+    prefers a pre-computed ``content_sha`` column (JVM-side F.sha2)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    out: list[pa.Array] = []
+    for ch in chunks:
+        if not pa.types.is_string(ch.type):
+            ch = pc.cast(ch, pa.string())
+        bufs = ch.buffers()
+        offs = np.frombuffer(
+            bufs[1], dtype=np.int32, count=len(ch) + 1, offset=ch.offset * 4
+        )
+        data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+        nulls = ch.is_null().to_numpy(zero_copy_only=False)
+        sha = hashlib.sha256
+        res: list = [None] * len(ch)
+        for i in range(len(ch)):
+            if not nulls[i]:
+                res[i] = sha(data[offs[i] : offs[i + 1]]).hexdigest()
+        out.append(pa.array(res, pa.string()))
+    return out[0] if len(out) == 1 else pa.concat_arrays(out)
+
+
 def _cfg_from_options(options: dict, root: str, overwrite: bool):
     """Writer config: start from the committed index's config when
     appending (the natural 'same index, more data' case), overlay any
@@ -1042,8 +1075,12 @@ class BloomSearchArrowWriter(DataSourceArrowWriter):
       (never referenced by any manifest) and ``vacuum()`` reclaims them.
 
     Constraints (use ``build_index()`` beyond them): partition_expr must
-    be a bare column; a ``sha_col`` must be a string column (the writer
-    computes ``content_sha`` with hashlib to match ``F.sha2``).
+    be a bare column; a ``sha_col`` must be a string column.  For
+    sha-heavy writes, pre-compute the integrity column JVM-side —
+    ``df.withColumn("content_sha", F.sha2(F.col(c).cast("string"), 256))``
+    — and the writer uses it as-is (zero Python hashing); otherwise it
+    hashes utf8 bytes off the Arrow buffers (correct, but per-row
+    hashlib).
     """
 
     def __init__(self, options: dict, schema, overwrite: bool) -> None:
@@ -1102,8 +1139,6 @@ class BloomSearchArrowWriter(DataSourceArrowWriter):
     # -- executor side ------------------------------------------------------
 
     def _prepare(self, batch):
-        import hashlib
-
         import pyarrow as pa
         import pyarrow.compute as pc
 
@@ -1115,16 +1150,12 @@ class BloomSearchArrowWriter(DataSourceArrowWriter):
             pid = pa.array([""] * len(batch), pa.string())
         arrays = list(batch.columns) + [pid]
         names = list(batch.schema.names) + ["partition_id"]
-        if self.cfg.sha_col:
-            vals = cols[self.cfg.sha_col].to_pylist()
-            sha = pa.array(
-                [
-                    hashlib.sha256((v or "").encode()).hexdigest() if v is not None else None
-                    for v in vals
-                ],
-                pa.string(),
-            )
-            arrays.append(sha)
+        if self.cfg.sha_col and "content_sha" not in cols:
+            # fallback only: a sha-heavy write should carry a PRE-COMPUTED
+            # content_sha column (F.sha2(col, 256) — JVM-side, no Python
+            # hashing here at all); absent that, hash the utf8 bytes
+            # straight off the Arrow buffers (no str round-trip)
+            arrays.append(_sha256_hex_arrow(cols[self.cfg.sha_col]))
             names.append("content_sha")
         return pa.RecordBatch.from_arrays(arrays, names=names)
 

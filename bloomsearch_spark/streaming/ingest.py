@@ -109,6 +109,14 @@ def stream_build(
     from your maintenance cadence when those conditions hold.
     """
     spark = stream_df.sparkSession
+    # segment-count cache across micro-batches: each committed append adds
+    # exactly one blocks segment, so the sink can COUNT instead of
+    # re-fetching meta.json every trigger (a per-trigger round-trip on an
+    # object-store root).  The cache is re-synced from meta at the fold
+    # threshold (an external maintenance committer may have folded
+    # already) and invalidated on fold/conflict — one meta read per fold
+    # cycle in steady state.
+    state = {"nsegs": None}
 
     def _batch(df: DataFrame, batch_id: int) -> None:
         if df.isEmpty():
@@ -116,14 +124,24 @@ def stream_build(
         if not append_batch(spark, df, root, cfg, batch_id, source_desc):
             return
         if fold_every is not None:
-            idx = mf.BloomIndex.load(spark, root)
-            if len(idx.table_refs()["blocks"]) >= fold_every:
+            if state["nsegs"] is None:
+                state["nsegs"] = len(
+                    mf.BloomIndex.load(spark, root).table_refs()["blocks"]
+                )
+            else:
+                state["nsegs"] += 1
+            if state["nsegs"] >= fold_every:
+                idx = mf.BloomIndex.load(spark, root)  # re-sync + snapshot
+                state["nsegs"] = len(idx.table_refs()["blocks"])
+                if state["nsegs"] < fold_every:
+                    return  # someone else folded meanwhile
                 from ..plans.merge import fold_manifest
 
                 try:
                     fold_manifest(spark, idx)
+                    state["nsegs"] = 1  # folded: one segment per table
                 except mf.CommitConflict:
-                    pass  # a maintenance op won the race; fold next batch
+                    state["nsegs"] = None  # stale view; re-read next batch
 
     writer = stream_df.writeStream.foreachBatch(_batch).option(
         "checkpointLocation", checkpoint_dir

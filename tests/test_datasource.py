@@ -525,3 +525,45 @@ def test_pushdown_typed_partition_and_empty_string(spark, tmp_path):
     )
     assert ds2.filter("part = ''").count() == 1
     assert ds2.filter("part IN ('', 'x')").count() == 2
+
+
+def test_writer_sha_paths(spark, tmp_path):
+    """r05 (verdict item 5): the writer consumes a PRE-COMPUTED content_sha
+    column (JVM-side F.sha2 — zero Python hashing) when present; the
+    fallback hashes utf8 bytes off the Arrow buffers and must agree with
+    F.sha2 on nulls, empties, and unicode."""
+    import pyarrow as pa
+
+    from bloomsearch_spark import verify_integrity
+    from bloomsearch_spark.sources.datasource import _sha256_hex_arrow
+    from pyspark.sql import Row
+
+    # buffer-sliced fallback == hashlib-on-str on edge cases
+    import hashlib
+
+    vals = ["hello", "", None, "naïve ünïcode  nbsp", "x" * 10_000]
+    got = _sha256_hex_arrow(pa.array(vals, pa.string())).to_pylist()
+    exp = [
+        hashlib.sha256(v.encode()).hexdigest() if v is not None else None
+        for v in vals
+    ]
+    assert got == exp
+    # sliced-array offsets handled
+    arr = pa.array(vals * 3, pa.string()).slice(4, 7)
+    assert _sha256_hex_arrow(arr).to_pylist() == (exp * 3)[4:11]
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(BloomSearchDataSource)
+    rows = [Row(doc_id=i, text=f"alpha word{i}") for i in range(200)]
+    df = spark.createDataFrame(rows).withColumn(
+        "content_sha", F.sha2(F.col("text").cast("string"), 256)
+    )
+    root = str(tmp_path / "shaidx")
+    (
+        df.write.format("bloomsearch").option("root", root)
+        .option("indexed_fields", "text").option("sha_col", "text")
+        .option("max_block_rows", "50").mode("overwrite").save()
+    )
+    idx = BloomIndex.load(spark, root)
+    assert verify_integrity(spark, idx) == 0
+    assert search(spark, idx, new_query().token("alpha").build()).count() == 200
