@@ -545,17 +545,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     per-batch delta manifest commits + replay guard, then search ---
         "strm_index_build": _strm_index_build,
         # --- transparent-read DataSource (r04): spark.read.format over the
-        #     index, WHERE-clause partition pushdown + exact verify ---
+        #     index, WHERE-clause partition pushdown + exact verify;
+        #     r05: indexed-field bloom pushdown in the WHERE ---
         "bs_datasource": _bs_datasource,
+        # --- r05: regex option + zero-copy external index through the
+        #     DataSource (verdict item 3) ---
+        "bs_regex_datasource": _bs_regex_datasource,
+        "bs_external_datasource": _bs_external_datasource,
     }
 
 
 def _bs_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Spark-4 Python DataSource surface (sources/datasource.py): a
     plain ``spark.read.format("bloomsearch")`` token query whose WHERE
-    clause prunes via filter pushdown — hash-exact vs the raw-table
-    oracle, proving the convenience path's driver-side prune + executor
-    verify match the engine's semantics end to end."""
+    clause prunes via filter pushdown — the partition column (lang) AND an
+    indexed non-partition field (source, r05: field:token bloom pushdown)
+    — hash-exact vs the raw-table oracle, proving the convenience path's
+    driver-side prune + executor verify match the engine's semantics end
+    to end."""
     from bloomsearch_spark.sources.datasource import BloomSearchDataSource
 
     idx = _index(spark, sf_dir, "main")
@@ -567,7 +574,66 @@ def _bs_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("token", "stream")
         .load()
     )
-    return df.filter(F.col("lang").isin("de", "es")).select(
+    srcs = [f"src{i}" for i in range(0, 20, 2)]
+    return (
+        df.filter(F.col("lang").isin("de", "es") & F.col("source").isin(srcs))
+        .select(*[c.strip() for c in DOC_COLS.split(",")])
+    )
+
+
+def _bs_regex_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r05: the final-stage regex query (Q13/Q14) through the DataSource —
+    the ``field_regex`` option prunes via the field-guard rewrite and
+    verifies on full field values, row-exact vs the raw table."""
+    from bloomsearch_spark.sources.datasource import BloomSearchDataSource
+
+    idx = _index(spark, sf_dir, "main")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(BloomSearchDataSource)
+    df = (
+        spark.read.format("bloomsearch")
+        .option("root", idx.root)
+        .option("field_regex", "text:vector (fast|slow)")
+        .load()
+    )
+    return df.select(*[c.strip() for c in DOC_COLS.split(",")])
+
+
+_EXT_ROOT_CACHE: dict[str, str] = {}
+
+
+def _bs_external_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r05: a zero-copy EXTERNAL index (plans/external.py — the overlay
+    indexes the testdata parquet in place, no row copy) read through the
+    DataSource: the pruned scan hits the SOURCE file, block membership
+    (file, partition) is re-derived per row, partition WHERE prunes."""
+    from bloomsearch_spark import build_external_index
+    from bloomsearch_spark.sources.datasource import BloomSearchDataSource
+
+    key = os.path.abspath(sf_dir)
+    if key not in _EXT_ROOT_CACHE:
+        root = tempfile.mkdtemp(prefix="bsidx-ext-")
+        build_external_index(
+            spark,
+            os.path.join(sf_dir, "documents.parquet"),
+            root,
+            IndexConfig(
+                indexed_fields=("text", "lang", "source"),
+                partition_expr="lang",
+                minmax_fields=("n_chars", "doc_id"),
+            ),
+            source_desc=f"external documents@{sf_dir}",
+        )
+        _EXT_ROOT_CACHE[key] = root
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(BloomSearchDataSource)
+    df = (
+        spark.read.format("bloomsearch")
+        .option("root", _EXT_ROOT_CACHE[key])
+        .option("token", "stream")
+        .load()
+    )
+    return df.filter(F.col("lang") == "de").select(
         *[c.strip() for c in DOC_COLS.split(",")]
     )
 
@@ -863,9 +929,18 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {DOC_COLS}, TRUE AS replay_ok FROM documents "
             f"WHERE {_any_field_tok('stream')}"
         ),
-        # the DataSource surface: token query + pushed WHERE, row-exact
+        # the DataSource surface: token query + pushed WHERE (partition AND
+        # indexed-field bloom pushdown), row-exact
         "bs_datasource": (
-            f"{sel} WHERE {_any_field_tok('stream')} AND lang IN ('de', 'es')"
+            f"{sel} WHERE {_any_field_tok('stream')} AND lang IN ('de', 'es') "
+            "AND source IN ('src0','src2','src4','src6','src8','src10',"
+            "'src12','src14','src16','src18')"
+        ),
+        "bs_regex_datasource": (
+            f"{sel} WHERE regexp_matches(text, 'vector (fast|slow)')"
+        ),
+        "bs_external_datasource": (
+            f"{sel} WHERE {_any_field_tok('stream')} AND lang = 'de'"
         ),
         "dd_jaccard": _JACCARD_ORACLE,
         # deterministic LSH with these (seeds, bands) has recall 1 on the

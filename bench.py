@@ -90,7 +90,7 @@ def main() -> None:
         "sim_topk", "sim_lsh_topk", "sim_ivf_topk", "txt_stats",
         "sim_neardup_lsh", "sim_neardup_oracle",
         "sk_hll", "sk_cms", "sk_tdigest", "sk_kll",
-        "bs_datasource",
+        "bs_datasource", "ref_scale_token", "ref_scale_miss",
     }
     repeat: list[tuple[str, object]] = []
 
@@ -369,6 +369,57 @@ def main() -> None:
         )
         timed("sk_tdigest", lambda: td_sketch(li, "l_extendedprice").quantile(0.5))
         timed("sk_kll", lambda: kll_sketch(li, "l_extendedprice").quantile(0.5))
+
+        # ---- 5. reference-scale pair (r05, verdict item 8) -----------------
+        # The BASELINE headline compares against the reference at 11.2M rows
+        # (PERFORMANCE.md); bench.py's own stages run at ~200k.  This stage
+        # carries an at-reference-scale build + warm point query + miss in
+        # the per-round BENCH_rN.json directly (previously only the manual
+        # cold_probe.py run had it).  Row generation is NOT timed; the
+        # build is single-shot (its cost IS the cold cost), the queries are
+        # min-of-reps like every read stage.  Skipped below sf0.1 so tiny-sf
+        # local iteration stays fast (BENCH_REF_ROWS=0 also disables).
+        ref_rows = int(os.environ.get("BENCH_REF_ROWS", "8000000"))
+        if ref_rows > 0 and sf >= 0.1:
+            ref_src = tempfile.mkdtemp(prefix="bench-refsrc-")
+            roots.append(ref_src)
+            ref_path = os.path.join(ref_src, "code.parquet")
+            generate_df(spark, ref_rows).repartition(64).write.mode(
+                "overwrite"
+            ).parquet(ref_path)
+            ref = spark.read.parquet(ref_path)
+            ref_root = tempfile.mkdtemp(prefix="bench-ref-")
+            roots.append(ref_root)
+            ref_idx = timed(
+                "build_ref_scale",
+                lambda: build_index(spark, ref, ref_root, code_cfg),
+            )
+            extras["ref_rows"] = ref_rows
+            extras["ref_blocks"] = ref_idx.blocks().count()
+            extras["ref_build_rows_per_sec"] = round(
+                ref_rows / timings["build_ref_scale"], 1
+            )
+            # point lookup on a (near-)unique path token — the reference
+            # headline's shape (rare-token search; a planted common needle
+            # appears in EVERY 10k-row block and would time a full verify
+            # scan instead of the pruned read path)
+            ref_tok = (
+                ref.select("path").orderBy(F.xxhash64("path")).limit(1)
+                .collect()[0].path.lower()
+            )
+            timed(
+                "ref_scale_token",
+                lambda: search(
+                    spark, ref_idx,
+                    new_query().field_token("path", ref_tok).build(),
+                ).count(),
+            )
+            timed(
+                "ref_scale_miss",
+                lambda: search(
+                    spark, ref_idx, new_query().token("zz_absent_ref").build()
+                ).count(),
+            )
 
         # extra interleaved passes: per-stage min over REPS total runs
         for _ in range(max(0, REPS - 1)):

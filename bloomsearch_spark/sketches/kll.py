@@ -77,12 +77,17 @@ class KLL:
         if not len(v):
             return
         self.n += len(v)
-        # bulk insert in level-0-capacity chunks, compacting on overflow
-        step = max(8, self._cap(0))
-        for start in range(0, len(v), step):
-            self.levels[0] = np.concatenate([self.levels[0], v[start : start + step]])
-            if len(self.levels[0]) > self._cap(0):
-                self._compress()
+        # bulk insert: append the WHOLE batch to level 0, then one compress
+        # cascade.  Compaction semantics are insertion-time-independent
+        # (sort + keep-every-other), and the rank-error bound is monotone
+        # in the NUMBER of compactions per level — fewer, larger
+        # compactions only tighten it.  The old level-0-capacity stepping
+        # degraded to 8-item chunks once the stack grew (cap(0) shrinks
+        # toward 2 with height), costing a full O(height) python cascade
+        # every 8 rows — ~4x the whole sk_kll bench stage (r05 profile).
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        if len(self.levels[0]) > self._cap(0):
+            self._compress()
 
     def merge(self, other: "KLL") -> "KLL":
         if other.k != self.k:
