@@ -835,6 +835,46 @@ class BloomSearchReader(DataSourceReader):
         pdf = pdf[pid.isin(set(partition_ids)).to_numpy()]
         yield from self._verify_batches(pdf)
 
+    @staticmethod
+    def _pads_partition_filter(expr: PrefilterExpr | None):
+        """Conservative pyarrow-dataset filter from the prefilter tree's
+        PARTITION conditions — pushed into the manifest-slice scan so
+        partition-sorted segments prune at the ROW GROUP level (the same
+        pushdown the Spark path gets from Catalyst, PLANS.md §1).  Only a
+        superset is ever returned (unpushable nodes -> None/dropped);
+        ``eval_prefilter_pdf`` still runs on every batch, so this is
+        purely an I/O saver."""
+        import pyarrow.compute as pc
+
+        def walk(e: PrefilterExpr | None):
+            if e is None:
+                return None
+            if e.kind == "PARTITION":
+                c = e.condition
+                if c.op == "EQ":
+                    return pc.field("partition_id") == c.value
+                if c.op == "IN" and c.values:
+                    return pc.field("partition_id").isin(list(c.values))
+                return None
+            if e.kind == "AND":
+                out = None
+                for ch in e.children:
+                    f = walk(ch)
+                    if f is not None:
+                        out = f if out is None else (out & f)
+                return out  # any conjunct subset is a sound superset
+            if e.kind == "OR":
+                fs_ = [walk(ch) for ch in e.children]
+                if not fs_ or any(f is None for f in fs_):
+                    return None  # one unpushable branch poisons the union
+                out = fs_[0]
+                for f in fs_[1:]:
+                    out = out | f
+                return out
+            return None  # minmax etc: evaluated batch-side only
+
+        return walk(expr)
+
     def _read_manifest_slice(self, sl: "_ManifestSlice"):
         """Distributed-prune fallback task: stream one manifest part-file,
         prune (prefilter + flat block-bloom probe), scan survivors."""
@@ -852,18 +892,26 @@ class BloomSearchReader(DataSourceReader):
             "expected_items", "fpr", *needed,
         ]
         avail = [c for c in cols if c in ds.schema.names]
-        for batch in ds.to_batches(columns=avail):
+        for batch in ds.to_batches(
+            columns=avail, filter=self._pads_partition_filter(query.prefilter)
+        ):
             pdf = batch.to_pandas(maps_as_pydicts="strict")
             keep = eval_prefilter_pdf(query.prefilter, pdf)
             if tree is not None:
                 keep &= _probe_pdf(tree, pdf)
-            for src, pid in zip(
-                pdf["data_path"].to_numpy()[keep],
-                pdf["partition_id"].to_numpy()[keep],
-            ):
-                if self.external:
-                    yield from self._read_external(src, [pid])
-                else:
+            if self.external:
+                # external blocks sharing one source file group into a
+                # single read (several partition values per physical file)
+                by_src: dict[str, list[str]] = {}
+                for src, pid in zip(
+                    pdf["data_path"].to_numpy()[keep],
+                    pdf["partition_id"].to_numpy()[keep],
+                ):
+                    by_src.setdefault(src, []).append(pid)
+                for src, pids in by_src.items():
+                    yield from self._read_external(src, pids)
+            else:
+                for src in pdf["data_path"].to_numpy()[keep]:
                     yield from self._read_block(src)
 
     def _arrow_schema(self):

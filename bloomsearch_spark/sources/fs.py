@@ -84,6 +84,87 @@ def unregister_commit_lock(scheme: str) -> None:
     _COMMIT_LOCKS.pop(scheme, None)
 
 
+class CommitLockTimeout(RuntimeError):
+    """Could not acquire the commit lease within ``timeout`` seconds."""
+
+
+def register_cas_commit_lock(
+    scheme: str,
+    get,
+    put_if,
+    *,
+    lease_ttl: float = 120.0,
+    poll: float = 0.05,
+    timeout: float = 600.0,
+) -> None:
+    """Commit lock for ``scheme`` built from the two conditional-put
+    primitives every real object store offers — the reference adapter for
+    the ``register_commit_lock`` hook (S3 ``If-None-Match``/``If-Match``
+    conditional writes, GCS ``ifGenerationMatch`` preconditions, ABS
+    etags):
+
+    - ``get(path) -> (bytes | None, etag)`` — current object + an opaque
+      version tag (``(None, None)`` if absent);
+    - ``put_if(path, data, etag) -> bool`` — atomic write iff the object
+      still carries ``etag`` (``etag=None`` = create-only-if-absent);
+      False on precondition failure.
+
+    The lock is a LEASE object at ``<path>.lock`` holding
+    ``{"owner", "expires"}``: acquire = conditional-create, or
+    conditional-replace of an expired/released lease (crash of a holder
+    never wedges the root — the lease expires); release = conditional
+    write of a released lease (best-effort: expiry is the backstop).
+    ``lease_ttl`` must comfortably exceed the commit critical section,
+    which is O(meta.json) by design — the default 120 s is ~3 orders of
+    magnitude above a typical finalize.  Clock skew between committers
+    eats into the margin; keep it <<= lease_ttl."""
+    import json as _json
+    import time as _time
+
+    @contextlib.contextmanager
+    def lease(uri: str):
+        lock = uri + ".lock"
+        me = uuid.uuid4().hex
+        deadline = _time.monotonic() + timeout
+        while True:
+            data, etag = get(lock)
+            claim = _json.dumps(
+                {"owner": me, "expires": _time.time() + lease_ttl}
+            ).encode()
+            if data is None:
+                if put_if(lock, claim, None):
+                    break
+            else:
+                try:
+                    cur = _json.loads(data)
+                except Exception:
+                    cur = {"owner": "?", "expires": float("inf")}
+                if not cur.get("owner") or cur.get("expires", 0) < _time.time():
+                    if put_if(lock, claim, etag):  # released/expired: take over
+                        break
+            if _time.monotonic() >= deadline:
+                raise CommitLockTimeout(
+                    f"commit lease at {lock} not acquired within {timeout}s"
+                )
+            _time.sleep(poll)
+        try:
+            yield
+        finally:
+            data, etag = get(lock)
+            if data is not None:
+                try:
+                    if _json.loads(data).get("owner") == me:
+                        put_if(
+                            lock,
+                            _json.dumps({"owner": "", "expires": 0}).encode(),
+                            etag,
+                        )
+                except Exception:
+                    pass  # lease expiry reclaims it
+
+    register_commit_lock(scheme, lease)
+
+
 def scheme_of(uri: str) -> str | None:
     """RFC-3986 scheme of ``uri``, or None for a plain path."""
     m = _SCHEME_RE.match(uri.split("/", 1)[0])

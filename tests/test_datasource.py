@@ -321,6 +321,12 @@ def test_external_index_datasource(spark, tmp_path, docs_pdf):
         spark, BloomIndex.load(spark, root), new_query().token("stream").build()
     )
     assert {r.doc_id for r in lib.collect()} == exp
+    # distributed manifest-slice fallback over an EXTERNAL index: same rows
+    dfb = (
+        spark.read.format("bloomsearch").option("root", root)
+        .option("token", "stream").option("max_driver_blocks", "1").load()
+    )
+    assert {r.doc_id for r in dfb.filter("lang = 'de'").collect()} == got_de
 
 
 def test_distributed_fallback_past_driver_cap(spark, ds_root, docs_pdf):

@@ -418,3 +418,86 @@ def test_vacuum_staging_ttl_spares_live_builds(spark, tmp_root):
     assert os.path.exists(sdir)
     assert vacuum_manifest(idx, staging_ttl=0.0) >= 1  # stale: reclaimed
     assert not os.path.exists(sdir)
+
+
+def test_cas_commit_lock_adapter():
+    """r05: the conditional-put lease adapter (fs.register_cas_commit_lock)
+    — the reference implementation for object stores (S3 If-Match / GCS
+    generation preconditions).  Four threads of racing commits through the
+    REAL publish_commit on a mock-scheme root serialize into a linear
+    history; an expired lease is taken over instead of wedging the root."""
+    import json as _json
+    import time as _time
+
+    from pyarrow import fs as pafs
+
+    store: dict = {}  # path -> (bytes, version)
+    slk = threading.Lock()
+
+    def get(path):
+        with slk:
+            v = store.get(path)
+            return (None, None) if v is None else (v[0], v[1])
+
+    def put_if(path, data, etag):
+        with slk:
+            cur = store.get(path)
+            if etag is None:
+                if cur is not None:
+                    return False
+                store[path] = (data, 1)
+                return True
+            if cur is None or cur[1] != etag:
+                return False
+            store[path] = (data, cur[1] + 1)
+            return True
+
+    fsx.register_scheme("casmock", pafs._MockFileSystem())
+    fsx.register_cas_commit_lock("casmock", get, put_if, poll=0.001)
+    try:
+        root = "casmock://idx"
+        results: list = []
+
+        def committer(wid: int):
+            for i in range(10):
+                def fin(prev, wid=wid, i=i):
+                    v = mf.version_after(prev)
+                    mf.write_meta(
+                        fsx.join(root, "manifest", v), CFG,
+                        extra={"tag": f"{wid}-{i}",
+                               "tables": {t: [] for t in mf.TABLES}},
+                    )
+                    return v
+
+                results.append(mf.publish_commit(root, fin))
+
+        threads = [threading.Thread(target=committer, args=(w,)) for w in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(60)
+        # linear, no duplicate version ever handed out
+        assert sorted(results) == [f"v{i:08d}" for i in range(1, 41)]
+        assert mf.current_version(root) == "v00000040"
+
+        # expired-lease takeover: a crashed holder's stale lease must not
+        # wedge the root.  The adapter keys the store by the full lock URI.
+        lock_path = "casmock://idx/manifest/CURRENT.lock"
+        assert lock_path in store  # the 40 commits went through this lease
+        store[lock_path] = (
+            _json.dumps({"owner": "deadbeef", "expires": _time.time() - 5}).encode(),
+            store[lock_path][1] + 1,
+        )
+
+        def fin2(prev):
+            v = mf.version_after(prev)
+            mf.write_meta(
+                fsx.join(root, "manifest", v), CFG,
+                extra={"tables": {t: [] for t in mf.TABLES}},
+            )
+            return v
+
+        assert mf.publish_commit(root, fin2) == "v00000041"
+    finally:
+        fsx.unregister_commit_lock("casmock")
+        fsx.unregister_scheme("casmock")
