@@ -552,6 +552,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     DataSource (verdict item 3) ---
         "bs_regex_datasource": _bs_regex_datasource,
         "bs_external_datasource": _bs_external_datasource,
+        # --- r05: index changefeed — the index as a Structured Streaming
+        #     SOURCE (each build commit = one micro-batch; maintenance
+        #     commits emit nothing; offsets = manifest versions) ---
+        "strm_changefeed": _strm_changefeed,
     }
 
 
@@ -600,6 +604,51 @@ def _bs_regex_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EXT_ROOT_CACHE: dict[str, str] = {}
+
+_FEED_CACHE: dict[str, str] = {}
+
+
+def _strm_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r05: the index CHANGEFEED (streaming-read DataSource,
+    streaming/changefeed.py): the documents table lands in THREE build
+    commits with a manifest fold in between; a real Structured Streaming
+    query tails the manifest versions and must emit each commit's rows
+    exactly once and the maintenance commit's rows ZERO times — the
+    hash-exact oracle is simply the whole documents table (any replay
+    duplicates or maintenance re-emission breaks the hash)."""
+    from bloomsearch_spark import fold_manifest
+    from bloomsearch_spark.sources.datasource import BloomSearchDataSource
+
+    key = os.path.abspath(sf_dir)
+    if key not in _FEED_CACHE:
+        spark.dataSource.register(BloomSearchDataSource)
+        docs = _docs(spark, sf_dir)
+        root = tempfile.mkdtemp(prefix="bsidx-feed-")
+        for i, mode in ((0, "overwrite"), (1, "append"), (2, "append")):
+            build_index(
+                spark, docs.filter(F.col("doc_id") % 3 == i), root,
+                _CFG_MAIN, mode=mode, source_desc=f"feed-part-{i}",
+            )
+            if i == 1:  # maintenance mid-stream: must emit nothing
+                fold_manifest(spark, BloomIndex.load(spark, root))
+        name = f"bs_feed_{abs(hash(key)) % 10**8}"
+        q = (
+            spark.readStream.format("bloomsearch").option("root", root)
+            .option("starting_version", "earliest").load()
+            .writeStream.format("memory").queryName(name)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="bsfeed-ckpt-")
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        _FEED_CACHE[key] = name
+    return spark.table(_FEED_CACHE[key]).select(
+        *[c.strip() for c in DOC_COLS.split(",")]
+    )
 
 
 def _bs_external_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -942,6 +991,9 @@ def oracle_sql() -> dict[str, str]:
         "bs_external_datasource": (
             f"{sel} WHERE {_any_field_tok('stream')} AND lang = 'de'"
         ),
+        # changefeed: 3 build commits + 1 fold over the whole table ->
+        # the feed must hold the table exactly once
+        "strm_changefeed": f"SELECT {DOC_COLS} FROM documents",
         "dd_jaccard": _JACCARD_ORACLE,
         # deterministic LSH with these (seeds, bands) has recall 1 on the
         # J>=0.97 planted pairs; verified-exact output == exact oracle

@@ -1007,6 +1007,16 @@ class BloomSearchDataSource(DataSource):
     def writer(self, schema, overwrite: bool):
         return BloomSearchArrowWriter(dict(self.options), schema, overwrite)
 
+    def streamReader(self, schema):
+        """``spark.readStream.format("bloomsearch")`` — the index
+        CHANGEFEED: each committed BUILD version's added rows become one
+        micro-batch; maintenance commits emit nothing.  Options:
+        ``starting_version`` ("earliest" default | "latest" | vN | int),
+        ``blocks_per_task``.  See streaming/changefeed.py."""
+        from ..streaming.changefeed import BloomSearchStreamReader
+
+        return BloomSearchStreamReader(dict(self.options), schema)
+
 
 # ---------------------------------------------------------------------------
 # the write path: df.write.format("bloomsearch")

@@ -1,0 +1,180 @@
+"""Index changefeed — the bloom index as a Structured Streaming SOURCE.
+
+``spark.readStream.format("bloomsearch").option("root", ...)`` tails the
+index's committed manifest versions and emits each BUILD commit's rows as
+a micro-batch — the streaming third of the transparent surface (batch
+read r04, batch write r04, streaming read r05).  This is the Delta/Iceberg
+"table changefeed" pattern re-expressed over the delta-segment manifest:
+
+- **offset** = committed manifest version number (versions are strictly
+  linear — ``publish_commit`` serializes them), so offsets are total-ordered
+  and replay-exact: ``partitions(start, end)`` is a pure function of the
+  immutable version metadata.
+- **micro-batch content**: for every version in ``(start, end]`` that is a
+  BUILD commit (batch ``build_index`` append/overwrite, the DSv2 writer,
+  a streaming-ingest batch), the blocks segments it ADDED relative to its
+  predecessor are the commit's delta — O(batch) by the manifest design —
+  and their data blocks are the emitted rows.  MAINTENANCE commits
+  (merge/compact/expire/fold; identified by the ``parent_version`` meta
+  key they all stamp) reorganize existing rows and emit NOTHING.
+- **semantics**: an append-rows feed.  An ``overwrite`` commit emits its
+  (fresh) rows; deletions (expire) are not represented — same contract as
+  an append-only changefeed over a rewriting table.
+
+Scale shape: the driver touches only meta.json files and the added
+segments' ``data_path`` column (bounded by the BATCH, never the index);
+row bytes flow executor-side in ``read()``.
+
+Caveats (documented, enforced):
+- versions between the stream's offset and CURRENT must still exist —
+  ``vacuum_manifest`` deletes superseded version dirs, so don't vacuum
+  a root a changefeed is still catching up on (missing version => loud
+  error naming the version, never a silent gap);
+- external (zero-copy) indexes are not exposed (their "rows" live in
+  caller-owned files that may mutate); use the library search path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql.datasource import DataSourceStreamReader, InputPartition
+
+from ..sources import fs as fsx
+from ..sources import manifest as mf
+
+
+def _vnum(version: str | None) -> int:
+    return int(version[1:]) if version else 0
+
+
+def _vname(n: int) -> str:
+    return f"v{n:08d}"
+
+
+@dataclass
+class _ChangeChunk(InputPartition):
+    """One task's slice of a commit's new blocks (relative data dirs)."""
+
+    rel_paths: list
+
+
+class BloomSearchStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict, schema) -> None:
+        self.root = options.get("root")
+        if not self.root:
+            raise ValueError("bloomsearch stream requires .option('root', ...)")
+        self.out_schema = schema
+        self.blocks_per_task = int(options.get("blocks_per_task", "16"))
+        start = options.get("starting_version", "earliest")
+        cur = mf.current_version(self.root)
+        if cur is not None:
+            meta = self._meta(cur)
+            if meta.get("external"):
+                raise ValueError(
+                    "external (zero-copy) indexes have no changefeed — their "
+                    "rows live in caller-owned source files; use "
+                    "bloomsearch_spark.search()"
+                )
+        if start == "earliest":
+            self._initial = 0
+        elif start == "latest":
+            self._initial = _vnum(cur)
+        else:
+            self._initial = _vnum(str(start)) if str(start).startswith("v") else int(start)
+
+    # -- offsets (driver) ---------------------------------------------------
+
+    def initialOffset(self) -> dict:
+        return {"version": self._initial}
+
+    def latestOffset(self) -> dict:
+        return {"version": _vnum(mf.current_version(self.root))}
+
+    # -- planning (driver) --------------------------------------------------
+
+    def _meta(self, version: str) -> dict:
+        import json
+
+        try:
+            return json.loads(
+                fsx.read_bytes(
+                    fsx.join(self.root, "manifest", version, "meta.json")
+                )
+            )
+        except FileNotFoundError:
+            raise RuntimeError(
+                f"changefeed needs manifest version {version} of {self.root}, "
+                "which no longer exists — it was vacuumed while this stream "
+                "was behind.  Restart the stream from a retained version "
+                "(.option('starting_version', ...)), and do not run "
+                "vacuum_manifest on roots with lagging changefeeds"
+            ) from None
+
+    @staticmethod
+    def _blocks_refs(meta: dict, version: str) -> list[str]:
+        tables = meta.get("tables")
+        if tables is None:  # pre-segment manifest: version-dir-local file
+            return [f"{version}/blocks.parquet"]
+        return list(tables.get("blocks") or [])
+
+    def _segment_data_paths(self, refs: list[str]) -> list[str]:
+        """data_path column of the given blocks-segment files — O(commit
+        batch) rows by the delta-manifest design."""
+        import pyarrow.dataset as pads
+
+        out: list[str] = []
+        for rel in refs:
+            fs, local = fsx.resolve(fsx.join(self.root, "manifest", rel))
+            ds = pads.dataset(local, format="parquet", filesystem=fs)
+            for batch in ds.to_batches(columns=["data_path"]):
+                out.extend(batch.column("data_path").to_pylist())
+        return out
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        lo, hi = int(start["version"]), int(end["version"])
+        if hi <= lo:
+            return []
+        prev_refs: set[str] = (
+            set(self._blocks_refs(self._meta(_vname(lo)), _vname(lo)))
+            if lo > 0
+            else set()
+        )
+        paths: list[str] = []
+        for n in range(lo + 1, hi + 1):
+            v = _vname(n)
+            meta = self._meta(v)
+            refs = self._blocks_refs(meta, v)
+            if meta.get("parent_version") is None:
+                # BUILD commit: its delta = the segments it added
+                added = [r for r in refs if r not in prev_refs]
+                paths.extend(self._segment_data_paths(added))
+            # maintenance commits emit nothing (rows merely reorganized)
+            prev_refs = set(refs)
+        k = max(1, self.blocks_per_task)
+        return [
+            _ChangeChunk(rel_paths=paths[i : i + k])
+            for i in range(0, len(paths), k)
+        ]
+
+    # -- executor side ------------------------------------------------------
+
+    def read(self, partition: _ChangeChunk):
+        import pyarrow as pa
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        names = [f.name for f in self.out_schema.fields]
+        arrow_schema = to_arrow_schema(self.out_schema)
+        data_dir = fsx.join(self.root, "data")
+        for rel in partition.rel_paths:
+            tbl = fsx.read_parquet_dir(fsx.join(data_dir, rel))
+            pdf = tbl.to_pandas()
+            if len(pdf):
+                # reindex: an old commit written under a narrower schema
+                # projects with nulls rather than KeyError
+                out = pa.Table.from_pandas(
+                    pdf.reindex(columns=names), preserve_index=False
+                ).cast(arrow_schema)
+                yield from out.to_batches()
