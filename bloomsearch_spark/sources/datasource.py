@@ -469,11 +469,15 @@ class _ExternalChunk(InputPartition):
 
 @dataclass
 class _ManifestSlice(InputPartition):
-    """Distributed-prune fallback unit: one part-file of a blocks-manifest
-    segment; the executor prunes and scans it (see _slice_partitions)."""
+    """Distributed-prune fallback unit: a ROW-GROUP range of one
+    blocks-manifest part-file; the executor prunes and scans it (see
+    _slice_partitions).  Row-group granularity keeps the fallback
+    parallel even when a fold leaves the whole manifest in a handful of
+    large part files."""
 
     rel: str
     part: str
+    row_groups: list
 
 
 class BloomSearchReader(DataSourceReader):
@@ -533,6 +537,7 @@ class BloomSearchReader(DataSourceReader):
         self.max_driver_blocks = int(
             options.get("max_driver_blocks", str(MAX_DRIVER_BLOCKS))
         )
+        self.slice_rows = int(options.get("slice_rows", "4096"))
         self._bloom = self._parse_bloom_options(options)
         self._regex = self._parse_regex_options(options)
         self._pushed_prefilter: list[PrefilterExpr] = []
@@ -775,11 +780,29 @@ class BloomSearchReader(DataSourceReader):
         file-level probe is skipped — its survivor set is a superset
         (sound; blooms only disqualify, verify is exact), and keeping it
         would mean shipping an unbounded surviving-file set."""
+        import pyarrow.parquet as pq
+
         mdir = fsx.join(self.root, "manifest")
+        slice_rows = self.slice_rows
         out: list[InputPartition] = []
         for rel in self._table_refs()["blocks"]:
             for part in fsx.list_parquet_files(fsx.join(mdir, rel)):
-                out.append(_ManifestSlice(rel=rel, part=part))
+                # footer-only read: per-row-group row counts, bounded by
+                # part-file count — never by blocks
+                fs, local = fsx.resolve(part)
+                md = pq.ParquetFile(local, filesystem=fs).metadata
+                rgs: list[int] = []
+                acc = 0
+                for i in range(md.num_row_groups):
+                    rgs.append(i)
+                    acc += md.row_group(i).num_rows
+                    if acc >= slice_rows:
+                        out.append(
+                            _ManifestSlice(rel=rel, part=part, row_groups=rgs)
+                        )
+                        rgs, acc = [], 0
+                if rgs:
+                    out.append(_ManifestSlice(rel=rel, part=part, row_groups=rgs))
         return out
 
     def read(self, partition):
@@ -886,16 +909,34 @@ class BloomSearchReader(DataSourceReader):
 
         needed = list(needed_bloom_cols(tree))
         fs, local = fsx.resolve(sl.part)
-        ds = pads.dataset(local, format="parquet", filesystem=fs)
+        frag = pads.ParquetFileFormat().make_fragment(
+            local, filesystem=fs, row_groups=list(sl.row_groups)
+        )
+
+        def has_minmax(e: PrefilterExpr | None) -> bool:
+            if e is None:
+                return False
+            if e.kind == "MINMAX":
+                return True
+            return any(has_minmax(ch) for ch in e.children)
+
+        # read (and pydict-convert) the map-typed zone-map columns only
+        # when the prefilter actually tests them — the conversion is the
+        # slice prune's dominant pandas cost
+        mm_cols = (
+            ["minmax_min", "minmax_max"] if has_minmax(query.prefilter) else []
+        )
         cols = [
-            "partition_id", "data_path", "minmax_min", "minmax_max",
-            "expected_items", "fpr", *needed,
+            "partition_id", "data_path", *mm_cols, "expected_items", "fpr",
+            *needed,
         ]
-        avail = [c for c in cols if c in ds.schema.names]
-        for batch in ds.to_batches(
+        avail = [c for c in cols if c in frag.physical_schema.names]
+        for batch in frag.to_batches(
             columns=avail, filter=self._pads_partition_filter(query.prefilter)
         ):
-            pdf = batch.to_pandas(maps_as_pydicts="strict")
+            pdf = batch.to_pandas(
+                **({"maps_as_pydicts": "strict"} if mm_cols else {})
+            )
             keep = eval_prefilter_pdf(query.prefilter, pdf)
             if tree is not None:
                 keep &= _probe_pdf(tree, pdf)
