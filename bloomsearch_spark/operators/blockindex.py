@@ -48,6 +48,21 @@ def minmax_coerce(lo, hi) -> tuple[int, int]:
     return lo_i, hi_i
 
 
+def _widen_float_bounds(lo: float, hi: float) -> tuple[float, float]:
+    """Conservative 1-ULP widening for bounds that ALREADY passed through
+    float64 (a nullable int64 column becomes float64 in pandas before this
+    code runs — clustered build path): int->float64 conversion rounds to
+    nearest (error <= 0.5 ULP), so past 2^53 the rounded bound can sit on
+    the WRONG side of the true value and the now-exact prune comparison
+    would drop a matching block.  Widening by one ULP restores soundness
+    (zone maps only disqualify; a wider range never loses rows)."""
+    if abs(lo) > 2.0**53:
+        lo = math.nextafter(lo, -math.inf)
+    if abs(hi) > 2.0**53:
+        hi = math.nextafter(hi, math.inf)
+    return lo, hi
+
+
 def _index_entries_fixed(pdf: pd.DataFrame, cfg: IndexConfig) -> tuple[list, list, list]:
     """(fields, tokens, fieldtoken keys) arrays for a fixed-schema block
     (pandas shim over the Arrow kernel — used by the clustered build path)."""
@@ -124,7 +139,9 @@ def _minmax_maps_arrow(tbl: pa.Table, cfg: IndexConfig) -> tuple[dict, dict]:
         if f not in tbl.column_names:
             continue
         arr = tbl[f]
+        casted = False
         if not (pa.types.is_integer(arr.type) or pa.types.is_floating(arr.type)):
+            casted = True  # float64 round-trip: widen the bounds below
             try:
                 arr = pc.cast(arr, pa.float64())
             except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
@@ -143,6 +160,8 @@ def _minmax_maps_arrow(tbl: pa.Table, cfg: IndexConfig) -> tuple[dict, dict]:
         if lo is None:
             continue
         # as_py() of an int64 column is an exact Python int — keep it so
+        if casted:  # values took a float64 round-trip: stay conservative
+            lo, hi = _widen_float_bounds(float(lo), float(hi))
         mn_map[f], mx_map[f] = minmax_coerce(lo, hi)
     return mn_map, mx_map
 
@@ -296,7 +315,7 @@ def _minmax_maps(pdf: pd.DataFrame, cfg: IndexConfig) -> tuple[dict, dict]:
                 doc = json.loads(raw) if isinstance(raw, str) else raw
                 v = doc.get(f) if isinstance(doc, dict) else None
                 if isinstance(v, (int, float)) and not isinstance(v, bool):
-                    vals.append(float(v))
+                    vals.append(v)  # keep python ints EXACT (no float cast)
             if not vals:
                 continue
             lo, hi = min(vals), max(vals)
@@ -309,7 +328,9 @@ def _minmax_maps(pdf: pd.DataFrame, cfg: IndexConfig) -> tuple[dict, dict]:
             if pd.api.types.is_integer_dtype(s):
                 lo, hi = int(s.min()), int(s.max())  # exact past 2^53
             else:
-                lo, hi = float(s.min()), float(s.max())
+                # float64 (incl. nullable int64 promoted by the Spark ->
+                # pandas conversion): widen so rounding stays conservative
+                lo, hi = _widen_float_bounds(float(s.min()), float(s.max()))
         mn_map[f], mx_map[f] = minmax_coerce(lo, hi)
     return mn_map, mx_map
 

@@ -33,9 +33,10 @@ How the pieces map:
   probe file blooms, stream only surviving files' block rows, apply
   prefilter + block blooms; each surviving block becomes an
   ``InputPartition``.  Past ``max_driver_blocks`` survivors the planner
-  switches to the DISTRIBUTED fallback: each manifest part-file becomes
-  one ``InputPartition`` and the executors run the (flat) prune + scan
-  themselves — the driver never holds a block list at any index size.
+  switches to the DISTRIBUTED fallback: row-group ranges of the manifest
+  part-files become the ``InputPartition``\\s (``slice_rows``) and the
+  executors run the (flat) prune + scan themselves — the driver never
+  holds a block list at any index size.
 - ``read()`` runs on executors: CRC-verified block read through the fs
   layer + the EXACT verify stage (Q12/Q13) re-derived with the index's
   tokenizer — so the DataFrame contains exactly the query's matches, not
@@ -313,28 +314,79 @@ def verify_pdf(
     return ev(expr)
 
 
-def _spark_cast_str(s: pd.Series) -> pd.Series:
-    """pandas twin of Catalyst ``cast("string")`` for verify purposes:
-    bools render lowercase, everything else via ``str()`` (floats keep
-    their decimal point, matching Spark — NOT the Go-%v tokenizer form).
-    Nulls stay null."""
-    if pd.api.types.is_bool_dtype(s):
-        return s.map({True: "true", False: "false"})
-    notna = s.notna()
-    out = pd.Series(None, index=s.index, dtype=object)
-    if notna.any():
-        out[notna] = s[notna].map(
-            lambda v: ("true" if v else "false")
-            if isinstance(v, (bool, np.bool_))
-            else str(v)
-        )
-    return out
+def _java_number_str(v) -> str:
+    """Java ``Double.toString``/``Float.toString`` rendering — what
+    Catalyst ``cast("string")`` produces for float/double columns: NaN /
+    Infinity spelled out; positional form (always with a fractional
+    digit) for 1e-3 <= |v| < 1e7; otherwise ``d.dddE±x`` scientific with
+    a bare exponent.  ``str(v)`` on the scalar supplies the
+    shortest-roundtrip digits (numpy float32 scalars stringify with
+    float32-shortest digits, matching Float.toString)."""
+    import math as _math
+    from decimal import Decimal
+
+    f = float(v)
+    if _math.isnan(f):
+        return "NaN"
+    if _math.isinf(f):
+        return "Infinity" if f > 0 else "-Infinity"
+    sign, digits, dexp = Decimal(str(v)).as_tuple()
+    raw = "".join(map(str, digits))
+    ds = raw.rstrip("0") or "0"
+    exp = len(raw) + dexp - 1  # decimal exponent of the leading digit
+    neg = "-" if sign else ""
+    if f == 0.0:
+        return neg + "0.0"
+    if -3 <= exp < 7:
+        if exp >= len(ds) - 1:
+            return f"{neg}{ds}{'0' * (exp - len(ds) + 1)}.0"
+        if exp >= 0:
+            return f"{neg}{ds[: exp + 1]}.{ds[exp + 1 :]}"
+        return neg + "0." + "0" * (-exp - 1) + ds
+    return f"{neg}{ds[0]}.{ds[1:] or '0'}E{exp}"
 
 
-def regex_verify_pdf(expr: RegexExpr | None, pdf: pd.DataFrame) -> np.ndarray:
+_SPARK_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
+_SPARK_FLOAT_TYPES = {"float", "double"}
+
+
+def _spark_cast_str_typed(s: pd.Series, spark_type: str | None) -> pd.Series:
+    """pandas twin of Catalyst ``cast("string")``, steered by the SPARK
+    field type (the pandas dtype lies: an int64 parquet column with any
+    NULL arrives as float64 and naive str() renders '5.0' where Spark
+    renders '5').  Nulls stay null."""
+    mask = s.notna().to_numpy()
+    vals = np.full(len(s), None, dtype=object)
+    if mask.any():
+        sub = s[mask]
+        if spark_type == "boolean" or pd.api.types.is_bool_dtype(s):
+            conv = ["true" if v else "false" for v in sub]
+        elif spark_type in _SPARK_INT_TYPES:
+            conv = [str(int(v)) for v in sub]
+        elif spark_type in _SPARK_FLOAT_TYPES or (
+            spark_type is None and pd.api.types.is_float_dtype(s)
+        ):
+            conv = [_java_number_str(v) for v in sub]
+        elif spark_type == "string":
+            conv = list(sub)
+        else:
+            conv = [
+                ("true" if v else "false")
+                if isinstance(v, (bool, np.bool_))
+                else str(v)
+                for v in sub
+            ]
+        vals[mask] = conv
+    return pd.Series(vals, index=s.index, dtype=object)
+
+
+def regex_verify_pdf(
+    expr: RegexExpr | None, pdf: pd.DataFrame, schema=None
+) -> np.ndarray:
     """Final-stage regex verify (Q13) over candidate rows — the pandas
     twin of verify.compile_regex_verify: re.search over the Spark-cast
-    string form of full field values; null / missing column -> False.
+    string form of full field values (``schema``, a StructType, steers
+    the numeric rendering to Catalyst's); null / missing column -> False.
     Dialect caveat as the library path documents: Python ``re`` here vs
     Java regex in ``rlike`` — both cover the Go RE2 subset the reference
     tests exercise."""
@@ -343,6 +395,11 @@ def regex_verify_pdf(expr: RegexExpr | None, pdf: pd.DataFrame) -> np.ndarray:
     n = len(pdf)
     cols = set(pdf.columns)
     cache: dict[str, "re.Pattern"] = {}
+    types = (
+        {f.name: f.dataType.simpleString() for f in schema.fields}
+        if schema is not None
+        else {}
+    )
 
     def ev(e: RegexExpr | None) -> np.ndarray:
         if e is None:
@@ -362,9 +419,9 @@ def regex_verify_pdf(expr: RegexExpr | None, pdf: pd.DataFrame) -> np.ndarray:
         pat = cache.get(e.pattern)
         if pat is None:
             pat = cache[e.pattern] = re.compile(e.pattern)
-        s = _spark_cast_str(pdf[e.field])
+        s = _spark_cast_str_typed(pdf[e.field], types.get(e.field))
         return s.map(
-            lambda v: v is not None and pat.search(v) is not None
+            lambda v: isinstance(v, str) and pat.search(v) is not None
         ).to_numpy(dtype=bool)
 
     return ev(expr)
@@ -475,7 +532,6 @@ class _ManifestSlice(InputPartition):
     parallel even when a fold leaves the whole manifest in a handful of
     large part files."""
 
-    rel: str
     part: str
     row_groups: list
 
@@ -798,11 +854,11 @@ class BloomSearchReader(DataSourceReader):
                     acc += md.row_group(i).num_rows
                     if acc >= slice_rows:
                         out.append(
-                            _ManifestSlice(rel=rel, part=part, row_groups=rgs)
+                            _ManifestSlice(part=part, row_groups=rgs)
                         )
                         rgs, acc = [], 0
                 if rgs:
-                    out.append(_ManifestSlice(rel=rel, part=part, row_groups=rgs))
+                    out.append(_ManifestSlice(part=part, row_groups=rgs))
         return out
 
     def read(self, partition):
@@ -829,7 +885,7 @@ class BloomSearchReader(DataSourceReader):
             tok = get_tokenizer(self.tokenizer_name)
             pdf = pdf[verify_pdf(self._bloom, pdf, self.indexed_fields, tok)]
         if self._regex is not None and len(pdf):
-            pdf = pdf[regex_verify_pdf(self._regex, pdf)]
+            pdf = pdf[regex_verify_pdf(self._regex, pdf, self.out_schema)]
         if len(pdf):
             out = pa.Table.from_pandas(
                 pdf[names], preserve_index=False
@@ -844,18 +900,25 @@ class BloomSearchReader(DataSourceReader):
         """Zero-copy external block scan: read the SOURCE file in place and
         re-derive block membership per row (the plans/search._scan_external
         semantics — block = (source file, partition value))."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
         from urllib.parse import unquote
 
         fs, local = fsx.resolve(unquote(src))
         tbl = pq.read_table(local, filesystem=fs)
-        pdf = tbl.to_pandas()
         pe = (self._meta()["config"].get("partition_expr") or "").strip()
         if pe and pe != "''":
-            pid = _spark_cast_str(pdf[pe]).fillna("")
+            # derive the partition id ARROW-side (same cast family the
+            # build used): a pandas round-trip would promote an int64
+            # column with any NULL to float64 and render '5.0' vs the
+            # manifest's '5' — silently dropping every non-null-partition
+            # row (r05 review finding)
+            pid = pc.fill_null(pc.cast(tbl[pe], pa.string()), "")
         else:
-            pid = pd.Series([""] * len(pdf))
-        pdf = pdf[pid.isin(set(partition_ids)).to_numpy()]
+            pid = pa.array([""] * len(tbl), pa.string())
+        keep = pc.is_in(pid, value_set=pa.array(sorted(set(partition_ids)), pa.string()))
+        pdf = tbl.filter(keep).to_pandas()
         yield from self._verify_batches(pdf)
 
     @staticmethod
@@ -931,6 +994,11 @@ class BloomSearchReader(DataSourceReader):
             *needed,
         ]
         avail = [c for c in cols if c in frag.physical_schema.names]
+        # external blocks sharing one source file group into a single read
+        # — accumulated across ALL of the slice's batches, or a file whose
+        # manifest rows straddle batch boundaries would be re-read per
+        # batch (r05 review finding)
+        by_src: dict[str, list[str]] = {}
         for batch in frag.to_batches(
             columns=avail, filter=self._pads_partition_filter(query.prefilter)
         ):
@@ -941,19 +1009,16 @@ class BloomSearchReader(DataSourceReader):
             if tree is not None:
                 keep &= _probe_pdf(tree, pdf)
             if self.external:
-                # external blocks sharing one source file group into a
-                # single read (several partition values per physical file)
-                by_src: dict[str, list[str]] = {}
                 for src, pid in zip(
                     pdf["data_path"].to_numpy()[keep],
                     pdf["partition_id"].to_numpy()[keep],
                 ):
                     by_src.setdefault(src, []).append(pid)
-                for src, pids in by_src.items():
-                    yield from self._read_external(src, pids)
             else:
                 for src in pdf["data_path"].to_numpy()[keep]:
                     yield from self._read_block(src)
+        for src, pids in by_src.items():
+            yield from self._read_external(src, pids)
 
     def _arrow_schema(self):
         from pyspark.sql.pandas.types import to_arrow_schema

@@ -226,21 +226,40 @@ def build_commit_finalize(
         # name is DETERMINISTIC (version guess + hash of mode|source_desc)
         # so a crashed build resumes without rewriting it.  Two IDENTICAL
         # builds racing in the same version window therefore share the
-        # name — if the fresh predecessor already references it, a
-        # same-named twin committed first and this attempt's segment
-        # writes raced over a now-immutable committed segment.  Fail
-        # loudly (never re-reference it: double-counted rows) — the caller
-        # re-runs and lands under a fresh version guess / segment name.
+        # name — if ANY retained version already references it, a
+        # same-named twin committed first (possibly followed by a fold
+        # that dropped the ref from the predecessor, but whose rows it
+        # absorbed) and this attempt's segment writes raced over a
+        # now-immutable committed segment.  Fail loudly (never
+        # re-reference it: double-counted rows) — the caller re-runs and
+        # lands under a fresh version guess / segment name.  One meta.json
+        # read per retained version, inside the lock — bounded by
+        # retention (vacuum_manifest keeps it small), never by the index.
         if prev_version is not None:
-            prev_refs = BloomIndex(None, root, prev_version).table_refs()
             mine = {ref for refs in seg_tables.values() for ref in refs}
-            if mine & {ref for refs in prev_refs.values() for ref in refs}:
-                raise CommitConflict(
-                    f"segment {seg_name!r} is already referenced by committed "
-                    f"version {prev_version} — an identical concurrent build "
-                    "(same mode/source_desc, same version window) won the "
-                    "race; re-run this build (it will mint a fresh segment)"
-                )
+            mdir = _manifest_dir(root)
+            cur_n = int(prev_version[1:])
+            for vdir_name in fsx.list_subdirs(mdir):
+                # only COMMITTED history (numbers <= CURRENT): a crashed
+                # pre-swap attempt's dir is numbered past CURRENT, and
+                # treating it as committed would wedge the legitimate
+                # crash-RESUME of this very build behind a false conflict
+                if not vdir_name.startswith("v"):
+                    continue
+                try:
+                    if int(vdir_name[1:]) > cur_n:
+                        continue
+                    refs = BloomIndex(None, root, vdir_name).table_refs()
+                except Exception:
+                    continue  # partial/foreign dir: not a committed version
+                if mine & {ref for rs in refs.values() for ref in rs}:
+                    raise CommitConflict(
+                        f"segment {seg_name!r} is already referenced by "
+                        f"committed version {vdir_name} — an identical "
+                        "concurrent build (same mode/source_desc, same "
+                        "version window) won the race; re-run this build "
+                        "(it will mint a fresh segment)"
+                    )
         tables = dict(seg_tables)
         up = {
             "blocks": [cfg.max_block_rows, cfg.block_fpr],

@@ -115,8 +115,17 @@ class BloomSearchStreamReader(DataSourceStreamReader):
     @staticmethod
     def _blocks_refs(meta: dict, version: str) -> list[str]:
         tables = meta.get("tables")
-        if tables is None:  # pre-segment manifest: version-dir-local file
-            return [f"{version}/blocks.parquet"]
+        if tables is None:
+            # pre-segment (legacy) manifest: its blocks.parquet is a FULL
+            # SNAPSHOT, so "added refs" would re-emit the whole index per
+            # legacy version (and legacy maintenance commits carry no
+            # parent_version marker) — refuse rather than duplicate rows
+            raise RuntimeError(
+                f"changefeed requires the segmented manifest: version "
+                f"{version} is a pre-segment snapshot commit.  Start the "
+                "stream from the first segmented version "
+                "(.option('starting_version', ...)) or rebuild the index"
+            )
         return list(tables.get("blocks") or [])
 
     def _segment_data_paths(self, refs: list[str]) -> list[str]:

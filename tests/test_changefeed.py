@@ -158,3 +158,27 @@ def test_changefeed_rejects_external(spark, tmp_path):
                 raise q.exception()
         finally:
             q.stop()
+
+
+def test_changefeed_refuses_presegment_versions(tmp_root):
+    """r05 review: a pre-segment (legacy) version's blocks.parquet is a
+    FULL SNAPSHOT — treating it as a delta would re-emit the whole index
+    per legacy version; the reader refuses loudly instead."""
+    from pyspark.sql.types import StructType, StructField, StringType
+
+    from bloomsearch_spark.sources import manifest as mf
+    from bloomsearch_spark.streaming.changefeed import BloomSearchStreamReader
+
+    mf.write_meta(
+        os.path.join(tmp_root, "manifest", "v00000001"), CFG,
+        extra={"source_schema": StructType(
+            [StructField("content", StringType())]
+        ).json()},  # NO "tables" key = legacy snapshot manifest
+    )
+    mf.commit_version(tmp_root, "v00000001")
+    r = BloomSearchStreamReader(
+        {"root": tmp_root},
+        StructType([StructField("content", StringType())]),
+    )
+    with pytest.raises(RuntimeError, match="segmented manifest"):
+        r.partitions({"version": 0}, {"version": 1})

@@ -573,3 +573,85 @@ def test_writer_sha_paths(spark, tmp_path):
     idx = BloomIndex.load(spark, root)
     assert verify_integrity(spark, idx) == 0
     assert search(spark, idx, new_query().token("alpha").build()).count() == 200
+
+
+def test_regex_numeric_rendering_matches_spark_cast(spark):
+    """r05 review: regex_verify_pdf must render numeric field values the
+    way Catalyst cast('string') does (Java Double.toString — '1.0E20' not
+    '1e+20'; int-with-nulls '5' not '5.0'), or the DataSource's regex
+    verify diverges from the library's cast+rlike."""
+    import numpy as np
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F2
+    from bloomsearch_spark.sources.datasource import _java_number_str
+
+    doubles = [1e20, 1.5, 0.001, 0.0001, 123.45, 5.0, 0.0, -0.0, -4.25e-7,
+               float("nan"), float("inf"), 1234567.0, 9999999.0, 1e7]
+    df = spark.createDataFrame([Row(v=float(x)) for x in doubles])
+    spark_strs = [r.s for r in df.select(F2.col("v").cast("string").alias("s")).collect()]
+    ours = [_java_number_str(v) for v in doubles]
+    assert ours == spark_strs, list(zip(doubles, ours, spark_strs))
+
+    # int64 column WITH nulls: pandas promotes to float64; the typed cast
+    # must still render '5', matching Spark's bigint cast
+    import pandas as pd2
+    from bloomsearch_spark.sources.datasource import _spark_cast_str_typed
+
+    s = pd2.Series([5.0, None, 123.0])  # float64-promoted bigint
+    assert _spark_cast_str_typed(s, "bigint").tolist() == ["5", None, "123"]
+
+    # end to end: field_regex over a double column agrees with the
+    # library path's rlike
+    rows = [Row(doc_id=i, score=float(f"{i}.5") if i % 3 else 1e20,
+                text=f"alpha w{i}") for i in range(30)]
+    import tempfile as tf
+
+    root = tf.mkdtemp(prefix="bs-rgxnum-")
+    build_index(
+        spark, spark.createDataFrame(rows), root,
+        # score must be INDEXED: the regex field-guard prunes on the field
+        # bloom, and an unindexed field deterministically matches nothing
+        IndexConfig(indexed_fields=("text", "score"), max_block_rows=10,
+                    blocks_per_file=2),
+    )
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(BloomSearchDataSource)
+    ds = (
+        spark.read.format("bloomsearch").option("root", root)
+        .option("field_regex", "score:E20$").load()
+    )
+    lib = search(
+        spark, BloomIndex.load(spark, root),
+        new_query().field_regex("score", "E20$").build(),
+    )
+    assert {r.doc_id for r in ds.collect()} == {r.doc_id for r in lib.collect()}
+    assert ds.count() == 10  # every i % 3 == 0
+
+
+def test_external_null_int_partition_exact(spark, tmp_path):
+    """r05 review: an external index partitioned on a NULLABLE int column
+    must not lose rows through the DataSource — pandas promotes the
+    column to float64 ('5.0' vs the manifest's '5'); the pid is derived
+    arrow-side instead."""
+    from pyspark.sql import Row
+    from bloomsearch_spark import build_external_index
+
+    rows = [Row(year=2020 + (i % 2) if i % 7 else None, text=f"alpha w{i}")
+            for i in range(60)]
+    src = str(tmp_path / "src.parquet")
+    spark.createDataFrame(rows).coalesce(1).write.mode("overwrite").parquet(src)
+    root = str(tmp_path / "xnull")
+    build_external_index(
+        spark, src, root,
+        IndexConfig(indexed_fields=("text",), partition_expr="year"),
+    )
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(BloomSearchDataSource)
+    ds = (
+        spark.read.format("bloomsearch").option("root", root)
+        .option("token", "alpha").load()
+    )
+    assert ds.count() == 60  # null-partition rows included, ints matched
+    assert ds.filter("year = 2020").count() == sum(
+        1 for r in rows if r.year == 2020
+    )
