@@ -556,6 +556,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     SOURCE (each build commit = one micro-batch; maintenance
         #     commits emit nothing; offsets = manifest versions) ---
         "strm_changefeed": _strm_changefeed,
+        # --- r05: batch "table changes" read over the same feed root
+        #     (Delta table_changes analog; shares the stream planner) ---
+        "bs_changes_batch": _bs_changes_batch,
     }
 
 
@@ -605,17 +608,15 @@ def _bs_regex_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EXT_ROOT_CACHE: dict[str, str] = {}
 
-_FEED_CACHE: dict[str, str] = {}
+_FEED_CACHE: dict[str, tuple[str, str]] = {}
 
 
-def _strm_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """r05: the index CHANGEFEED (streaming-read DataSource,
-    streaming/changefeed.py): the documents table lands in THREE build
-    commits with a manifest fold in between; a real Structured Streaming
-    query tails the manifest versions and must emit each commit's rows
-    exactly once and the maintenance commit's rows ZERO times — the
-    hash-exact oracle is simply the whole documents table (any replay
-    duplicates or maintenance re-emission breaks the hash)."""
+def _feed_root(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Shared fixture for the changefeed entries: the documents table
+    lands in THREE build commits (doc_id % 3) with a manifest fold
+    between the 2nd and 3rd — version history v1 build, v2 append,
+    v3 fold (maintenance), v4 append.  Returns (memory-table name of a
+    drained stream over it, index root)."""
     from bloomsearch_spark import fold_manifest
     from bloomsearch_spark.sources.datasource import BloomSearchDataSource
 
@@ -645,9 +646,41 @@ def _strm_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
         finally:
             q.stop()
-        _FEED_CACHE[key] = name
-    return spark.table(_FEED_CACHE[key]).select(
-        *[c.strip() for c in DOC_COLS.split(",")]
+        _FEED_CACHE[key] = (name, root)
+    return _FEED_CACHE[key]
+
+
+def _strm_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r05: the index CHANGEFEED (streaming-read DataSource,
+    streaming/changefeed.py): the documents table lands in THREE build
+    commits with a manifest fold in between; a real Structured Streaming
+    query tails the manifest versions and must emit each commit's rows
+    exactly once and the maintenance commit's rows ZERO times — the
+    hash-exact oracle is simply the whole documents table (any replay
+    duplicates or maintenance re-emission breaks the hash)."""
+    name, _root = _feed_root(spark, sf_dir)
+    return spark.table(name).select(*[c.strip() for c in DOC_COLS.split(",")])
+
+
+def _bs_changes_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r05: BATCH "table changes" read (Delta table_changes analog,
+    sources/datasource.BloomSearchChangesReader): over the same 4-version
+    feed root, ``changes_from=2`` must return exactly the rows the final
+    append (v4) committed — skipping the fold (v3, maintenance) — each
+    stamped ``_commit_version = 4`` by the ``commit_metadata`` option.
+    The oracle recomputes that slice (doc_id % 3 == 2) from the raw
+    table; any maintenance re-emission, version misattribution, or
+    snapshot leakage breaks the hash."""
+    from bloomsearch_spark.sources.datasource import BloomSearchDataSource
+
+    _name, root = _feed_root(spark, sf_dir)
+    spark.dataSource.register(BloomSearchDataSource)
+    cols = [c.strip() for c in DOC_COLS.split(",")]
+    return (
+        spark.read.format("bloomsearch").option("root", root)
+        .option("changes_from", "2").option("commit_metadata", "true")
+        .load()
+        .select(*cols, "_commit_version")
     )
 
 
@@ -994,6 +1027,13 @@ def oracle_sql() -> dict[str, str]:
         # changefeed: 3 build commits + 1 fold over the whole table ->
         # the feed must hold the table exactly once
         "strm_changefeed": f"SELECT {DOC_COLS} FROM documents",
+        # batch changes read: (v2, CURRENT] over the same feed root = the
+        # final append's slice only (the fold emits nothing), stamped
+        # with its committing version
+        "bs_changes_batch": (
+            f"SELECT {DOC_COLS}, CAST(4 AS BIGINT) AS _commit_version "
+            "FROM documents WHERE doc_id % 3 = 2"
+        ),
         "dd_jaccard": _JACCARD_ORACLE,
         # deterministic LSH with these (seeds, bands) has recall 1 on the
         # J>=0.97 planted pairs; verified-exact output == exact oracle

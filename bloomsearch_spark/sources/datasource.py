@@ -1026,6 +1026,51 @@ class BloomSearchReader(DataSourceReader):
         return to_arrow_schema(self.out_schema)
 
 
+class BloomSearchChangesReader(DataSourceReader):
+    """Batch "table changes" read (Delta's ``table_changes`` analog):
+    ``spark.read.format("bloomsearch").option("changes_from", N)`` returns
+    the rows ADDED by every BUILD commit in version range ``(changes_from,
+    changes_to]`` (``changes_to`` defaults to CURRENT) — maintenance
+    commits contribute nothing, exactly the changefeed's semantics, and
+    the plumbing IS the changefeed's: this class wraps
+    ``streaming.changefeed.BloomSearchStreamReader`` and replays one fixed
+    offset range as a batch scan, so batch and stream can never disagree.
+    ``commit_metadata`` appends the same ``_commit_version`` column.
+
+    Version bounds accept ints or ``vNNNNNNNN`` names; ``changes_from``
+    is EXCLUSIVE (offset semantics: "everything after what I've seen"),
+    ``changes_to`` inclusive.  Planner cost is O(versions x commit batch)
+    driver-side — meta.json + added-segment ``data_path`` columns only;
+    row bytes flow on executors."""
+
+    def __init__(self, options: dict, schema) -> None:
+        from ..streaming.changefeed import BloomSearchStreamReader, _vnum
+
+        def _bound(raw, default):
+            if raw is None:
+                return default
+            s = str(raw).strip()
+            return _vnum(s) if s.startswith("v") else int(s)
+
+        self._sr = BloomSearchStreamReader(dict(options), schema)
+        cur = _vnum(mf.current_version(options["root"]))
+        self.lo = _bound(options.get("changes_from"), 0)
+        self.hi = _bound(options.get("changes_to"), cur)
+        if not 0 <= self.lo <= self.hi <= cur:
+            raise ValueError(
+                f"changes range ({self.lo}, {self.hi}] is not within the "
+                f"committed history (CURRENT is version {cur})"
+            )
+
+    def partitions(self):
+        return self._sr.partitions(
+            {"version": self.lo}, {"version": self.hi}
+        )
+
+    def read(self, partition):
+        return self._sr.read(partition)
+
+
 class BloomSearchDataSource(DataSource):
     """``spark.read.format("bloomsearch")`` over a committed index root.
 
@@ -1066,6 +1111,25 @@ class BloomSearchDataSource(DataSource):
         meta = json.loads(
             fsx.read_bytes(fsx.join(root, "manifest", version, "meta.json"))
         )
+
+        def _with_meta_cols(st):
+            # changefeed option: provenance column appended LAST (read()
+            # appends it last too — cast() needs identical field order)
+            from ..streaming.changefeed import _opt_bool
+
+            if not _opt_bool(self.options, "commit_metadata"):
+                return st
+            from pyspark.sql.types import LongType, StructField
+
+            if "_commit_version" in {f.name for f in st.fields}:
+                raise ValueError(
+                    "commit_metadata cannot be used on an index whose source "
+                    "schema already has a '_commit_version' column"
+                )
+            return StructType(
+                list(st.fields) + [StructField("_commit_version", LongType())]
+            )
+
         refs = meta.get("tables") or {
             t: [f"{version}/{t}.parquet"] for t in mf.TABLES
         }
@@ -1075,7 +1139,9 @@ class BloomSearchDataSource(DataSource):
         if sj:
             full = StructType.fromJson(json.loads(sj))
             keep = meta.get("source_columns") or [f.name for f in full.fields]
-            return StructType([f for f in full.fields if f.name in keep])
+            return _with_meta_cols(
+                StructType([f for f in full.fields if f.name in keep])
+            )
         # pre-r04 manifest: one block's parquet schema gives the stored
         # dtypes; project to the meta's source_columns (order preserved).
         # Scan segments until a block row is found — a zero-row segment
@@ -1101,10 +1167,33 @@ class BloomSearchDataSource(DataSource):
         dset = pads.dataset(dlocal, format="parquet", filesystem=dfs)
         full = from_arrow_schema(dset.schema)
         keep = meta.get("source_columns") or [f.name for f in full.fields]
-        return StructType([f for f in full.fields if f.name in keep])
+        return _with_meta_cols(
+            StructType([f for f in full.fields if f.name in keep])
+        )
 
-    def reader(self, schema) -> BloomSearchReader:
+    def reader(self, schema) -> "DataSourceReader":
         opts = dict(self.options)
+        if opts.get("changes_from") is not None or opts.get("changes_to") is not None:
+            # batch "table changes" read — commit deltas, not a snapshot
+            bad = [
+                k for k in ("token", "tokens", "field", "field_token",
+                            "field_regex", "max_versions_per_trigger")
+                if opts.get(k)
+            ]
+            if bad:
+                raise ValueError(
+                    f"options {bad} do not apply to a changes read — it "
+                    "returns commit deltas verbatim; query a snapshot "
+                    "load() (optionally .option('version', ...)) instead"
+                )
+            return BloomSearchChangesReader(opts, schema)
+        for stream_only in ("commit_metadata", "max_versions_per_trigger"):
+            if opts.get(stream_only):
+                raise ValueError(
+                    f"{stream_only!r} is a changefeed (readStream / changes "
+                    "read) option — snapshot batch reads see one pinned "
+                    "version, not commits"
+                )
         root = opts.get("root")
         if root:
             opts["version"] = self._pinned_version(root)
@@ -1118,7 +1207,10 @@ class BloomSearchDataSource(DataSource):
         CHANGEFEED: each committed BUILD version's added rows become one
         micro-batch; maintenance commits emit nothing.  Options:
         ``starting_version`` ("earliest" default | "latest" | vN | int),
-        ``blocks_per_task``.  See streaming/changefeed.py."""
+        ``blocks_per_task``, ``commit_metadata`` (append a
+        ``_commit_version`` provenance column), ``max_versions_per_trigger``
+        (bound the backlog admitted per micro-batch).  See
+        streaming/changefeed.py."""
         from ..streaming.changefeed import BloomSearchStreamReader
 
         return BloomSearchStreamReader(dict(self.options), schema)

@@ -25,6 +25,15 @@ Scale shape: the driver touches only meta.json files and the added
 segments' ``data_path`` column (bounded by the BATCH, never the index);
 row bytes flow executor-side in ``read()``.
 
+Options beyond ``root``/``starting_version``/``blocks_per_task``:
+- ``commit_metadata`` ("true"): append a ``_commit_version`` bigint column
+  carrying the manifest version number that committed each row — the CDC
+  provenance column (Delta CDF's ``_commit_version`` analog).
+- ``max_versions_per_trigger`` (int): admit at most this many manifest
+  versions per micro-batch (``maxFilesPerTrigger`` analog) — a feed
+  catching up on a long-lived index streams its backlog in bounded
+  batches instead of one giant first trigger.
+
 Caveats (documented, enforced):
 - versions between the stream's offset and CURRENT must still exist —
   ``vacuum_manifest`` deletes superseded version dirs, so don't vacuum
@@ -55,9 +64,16 @@ def _vname(n: int) -> str:
 
 @dataclass
 class _ChangeChunk(InputPartition):
-    """One task's slice of a commit's new blocks (relative data dirs)."""
+    """One task's slice of a commit's new blocks (relative data dirs).
+    ``version`` is the committing manifest version number — the value of
+    the ``_commit_version`` metadata column when it is requested."""
 
     rel_paths: list
+    version: int = 0
+
+
+def _opt_bool(options: dict, key: str) -> bool:
+    return str(options.get(key, "")).strip().lower() in ("true", "1", "yes")
 
 
 class BloomSearchStreamReader(DataSourceStreamReader):
@@ -67,6 +83,11 @@ class BloomSearchStreamReader(DataSourceStreamReader):
             raise ValueError("bloomsearch stream requires .option('root', ...)")
         self.out_schema = schema
         self.blocks_per_task = int(options.get("blocks_per_task", "16"))
+        self.with_meta = _opt_bool(options, "commit_metadata")
+        mvpt = options.get("max_versions_per_trigger")
+        self.max_versions = int(mvpt) if mvpt is not None else None
+        if self.max_versions is not None and self.max_versions < 1:
+            raise ValueError("max_versions_per_trigger must be >= 1")
         start = options.get("starting_version", "earliest")
         cur = mf.current_version(self.root)
         if cur is not None:
@@ -83,6 +104,10 @@ class BloomSearchStreamReader(DataSourceStreamReader):
             self._initial = _vnum(cur)
         else:
             self._initial = _vnum(str(start)) if str(start).startswith("v") else int(start)
+        # admission-control floor: the highest offset this READER instance
+        # knows the stream has reached (advanced by latestOffset's own
+        # returns and by every partitions() range Spark actually plans)
+        self._floor = self._initial
 
     # -- offsets (driver) ---------------------------------------------------
 
@@ -90,7 +115,21 @@ class BloomSearchStreamReader(DataSourceStreamReader):
         return {"version": self._initial}
 
     def latestOffset(self) -> dict:
-        return {"version": _vnum(mf.current_version(self.root))}
+        cur = _vnum(mf.current_version(self.root))
+        if self.max_versions is None:
+            return {"version": cur}
+        # cap versions admitted per trigger (maxFilesPerTrigger analog): a
+        # changefeed catching up on a long-lived index must not emit its
+        # whole backlog as ONE giant micro-batch.  The floor is this
+        # instance's knowledge, not the checkpoint (Spark never shows the
+        # reader its committed offset): after a restart the first triggers
+        # may return already-committed offsets — Spark plans no batch for
+        # those, each return still advances the floor by the cap, so the
+        # stream ramps to the checkpoint in O(committed/cap) empty triggers
+        # and is exact from the first planned batch on.
+        hi = min(cur, self._floor + self.max_versions)
+        self._floor = max(self._floor, hi)
+        return {"version": hi}
 
     # -- planning (driver) --------------------------------------------------
 
@@ -143,6 +182,7 @@ class BloomSearchStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo, hi = int(start["version"]), int(end["version"])
+        self._floor = max(self._floor, hi)  # see latestOffset
         if hi <= lo:
             return []
         prev_refs: set[str] = (
@@ -150,7 +190,7 @@ class BloomSearchStreamReader(DataSourceStreamReader):
             if lo > 0
             else set()
         )
-        paths: list[str] = []
+        per_version: list[tuple[int, list[str]]] = []
         for n in range(lo + 1, hi + 1):
             v = _vname(n)
             meta = self._meta(v)
@@ -158,12 +198,13 @@ class BloomSearchStreamReader(DataSourceStreamReader):
             if meta.get("parent_version") is None:
                 # BUILD commit: its delta = the segments it added
                 added = [r for r in refs if r not in prev_refs]
-                paths.extend(self._segment_data_paths(added))
+                per_version.append((n, self._segment_data_paths(added)))
             # maintenance commits emit nothing (rows merely reorganized)
             prev_refs = set(refs)
         k = max(1, self.blocks_per_task)
         return [
-            _ChangeChunk(rel_paths=paths[i : i + k])
+            _ChangeChunk(rel_paths=paths[i : i + k], version=n)
+            for n, paths in per_version
             for i in range(0, len(paths), k)
         ]
 
@@ -175,6 +216,7 @@ class BloomSearchStreamReader(DataSourceStreamReader):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         names = [f.name for f in self.out_schema.fields]
+        data_names = [n for n in names if n != "_commit_version"]
         arrow_schema = to_arrow_schema(self.out_schema)
         data_dir = fsx.join(self.root, "data")
         for rel in partition.rel_paths:
@@ -184,6 +226,11 @@ class BloomSearchStreamReader(DataSourceStreamReader):
                 # reindex: an old commit written under a narrower schema
                 # projects with nulls rather than KeyError
                 out = pa.Table.from_pandas(
-                    pdf.reindex(columns=names), preserve_index=False
-                ).cast(arrow_schema)
-                yield from out.to_batches()
+                    pdf.reindex(columns=data_names), preserve_index=False
+                )
+                if self.with_meta:
+                    out = out.append_column(
+                        "_commit_version",
+                        pa.array([partition.version] * len(out), pa.int64()),
+                    )
+                yield from out.cast(arrow_schema).to_batches()

@@ -182,3 +182,130 @@ def test_changefeed_refuses_presegment_versions(tmp_root):
     )
     with pytest.raises(RuntimeError, match="segmented manifest"):
         r.partitions({"version": 0}, {"version": 1})
+
+
+def test_changefeed_commit_metadata_column(spark, tmp_root, tmp_path):
+    """commit_metadata appends a _commit_version provenance column — each
+    row carries the manifest version number of the BUILD commit that added
+    it (Delta CDF's _commit_version analog)."""
+    spark.dataSource.register(BloomSearchDataSource)
+    build_index(spark, generate_df(spark, 200), tmp_root, CFG)
+    build_index(
+        spark, generate_df(spark, 90, seed=7).coalesce(1), tmp_root, CFG,
+        mode="append", source_desc="a1",
+    )
+    stream = (
+        spark.readStream.format("bloomsearch").option("root", tmp_root)
+        .option("starting_version", "earliest")
+        .option("commit_metadata", "true").load()
+    )
+    assert stream.schema["_commit_version"].dataType.simpleString() == "bigint"
+    q = (
+        stream.writeStream.format("memory").queryName("feed_meta")
+        .option("checkpointLocation", str(tmp_path / "ckpt_meta")).start()
+    )
+    try:
+        _drain(q)
+        got = spark.table("feed_meta")
+        by_v = {
+            r._commit_version: r.n
+            for r in got.groupBy("_commit_version").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+        assert by_v == {1: 200, 2: 90}
+        # the data columns are intact alongside the metadata column
+        exp = set(generate_pdf(200)["commit"]) | set(generate_pdf(90, seed=7)["commit"])
+        assert {r.commit for r in got.select("commit").collect()} == exp
+    finally:
+        q.stop()
+
+    # batch reads refuse the stream-only option loudly
+    with pytest.raises(Exception, match="readStream"):
+        (
+            spark.read.format("bloomsearch").option("root", tmp_root)
+            .option("commit_metadata", "true").load().count()
+        )
+
+
+def test_changefeed_max_versions_per_trigger(spark, tmp_root):
+    """max_versions_per_trigger bounds the backlog admitted per
+    micro-batch (maxFilesPerTrigger analog) — driven through the reader's
+    offset protocol directly: three committed builds, cap 1, three
+    successive latestOffset calls each admit exactly one version."""
+    from bloomsearch_spark.streaming.changefeed import BloomSearchStreamReader
+
+    spark.dataSource.register(BloomSearchDataSource)
+    build_index(spark, generate_df(spark, 100), tmp_root, CFG)
+    for i, seed in enumerate((3, 5)):
+        build_index(
+            spark, generate_df(spark, 40, seed=seed).coalesce(1), tmp_root,
+            CFG, mode="append", source_desc=f"a{i}",
+        )
+    schema = (
+        spark.read.format("bloomsearch").option("root", tmp_root).load().schema
+    )
+    r = BloomSearchStreamReader(
+        {"root": tmp_root, "max_versions_per_trigger": "1"}, schema
+    )
+    offs = [r.initialOffset()["version"]]
+    for _ in range(4):
+        o = r.latestOffset()["version"]
+        r.partitions({"version": offs[-1]}, {"version": o})
+        offs.append(o)
+    assert offs == [0, 1, 2, 3, 3]  # one version per trigger, then idle
+
+    # uncapped reader admits the whole backlog at once
+    r2 = BloomSearchStreamReader({"root": tmp_root}, schema)
+    assert r2.latestOffset()["version"] == 3
+
+    # rows still arrive exactly once across the capped triggers
+    counts = []
+    for lo, hi in zip(offs, offs[1:]):
+        parts = r.partitions({"version": lo}, {"version": hi})
+        counts.append(
+            sum(sum(b.num_rows for b in r.read(p)) for p in parts)
+        )
+    assert counts == [100, 40, 40, 0]
+
+
+def test_batch_changes_read(spark, tmp_root):
+    """Batch 'table changes' read: .option('changes_from', N) returns the
+    rows added by BUILD commits in (N, changes_to] — maintenance commits
+    contribute nothing; shares the stream planner so batch and stream
+    cannot disagree."""
+    spark.dataSource.register(BloomSearchDataSource)
+    build_index(spark, generate_df(spark, 200), tmp_root, CFG)          # v1
+    fold_manifest(spark, BloomIndex.load(spark, tmp_root))              # v2
+    build_index(
+        spark, generate_df(spark, 70, seed=4).coalesce(1), tmp_root,
+        CFG, mode="append", source_desc="a1",
+    )                                                                   # v3
+
+    ch = (
+        spark.read.format("bloomsearch").option("root", tmp_root)
+        .option("changes_from", "1").option("commit_metadata", "true")
+        .load()
+    )
+    rows = ch.collect()
+    assert len(rows) == 70  # fold (v2) adds nothing; v3's append only
+    assert {r._commit_version for r in rows} == {3}
+    assert {r.commit for r in rows} == set(generate_pdf(70, seed=4)["commit"])
+
+    # full history from zero = the whole table, attributed per commit
+    full = (
+        spark.read.format("bloomsearch").option("root", tmp_root)
+        .option("changes_from", "0").option("commit_metadata", "true")
+        .load()
+    )
+    by_v = {r._commit_version: r.n for r in
+            full.groupBy("_commit_version").agg(F.count("*").alias("n")).collect()}
+    assert by_v == {1: 200, 3: 70}
+
+    # bounds validation + option hygiene
+    with pytest.raises(Exception, match="committed history"):
+        (spark.read.format("bloomsearch").option("root", tmp_root)
+         .option("changes_from", "7").load().count())
+    with pytest.raises(Exception, match="changes read"):
+        (spark.read.format("bloomsearch").option("root", tmp_root)
+         .option("changes_from", "0").option("token", "x").load().count())
