@@ -309,3 +309,27 @@ def test_batch_changes_read(spark, tmp_root):
     with pytest.raises(Exception, match="changes read"):
         (spark.read.format("bloomsearch").option("root", tmp_root)
          .option("changes_from", "0").option("token", "x").load().count())
+
+
+def test_changefeed_vacuumed_version_fails_loudly(spark, tmp_root):
+    """A changefeed lagging behind vacuum_manifest must fail LOUDLY
+    naming the missing version — never a silent gap in the feed."""
+    from bloomsearch_spark import vacuum_manifest
+    from bloomsearch_spark.streaming.changefeed import BloomSearchStreamReader
+
+    spark.dataSource.register(BloomSearchDataSource)
+    build_index(spark, generate_df(spark, 120), tmp_root, CFG)
+    build_index(
+        spark, generate_df(spark, 50, seed=2).coalesce(1), tmp_root, CFG,
+        mode="append", source_desc="a1",
+    )
+    schema = (
+        spark.read.format("bloomsearch").option("root", tmp_root).load().schema
+    )
+    fold_manifest(spark, BloomIndex.load(spark, tmp_root))
+    vacuum_manifest(BloomIndex.load(spark, tmp_root), staging_ttl=0)
+
+    r = BloomSearchStreamReader({"root": tmp_root}, schema)
+    cur = r.latestOffset()["version"]
+    with pytest.raises(RuntimeError, match="vacuum"):
+        r.partitions({"version": 0}, {"version": cur})
