@@ -1119,15 +1119,26 @@ class BloomSearchDataSource(DataSource):
 
             if not _opt_bool(self.options, "commit_metadata"):
                 return st
-            from pyspark.sql.types import LongType, StructField
+            from pyspark.sql.types import (
+                LongType,
+                StructField,
+                TimestampType,
+            )
 
-            if "_commit_version" in {f.name for f in st.fields}:
+            clash = {f.name for f in st.fields} & {
+                "_commit_version", "_commit_timestamp"
+            }
+            if clash:
                 raise ValueError(
                     "commit_metadata cannot be used on an index whose source "
-                    "schema already has a '_commit_version' column"
+                    f"schema already has column(s) {sorted(clash)}"
                 )
             return StructType(
-                list(st.fields) + [StructField("_commit_version", LongType())]
+                list(st.fields)
+                + [
+                    StructField("_commit_version", LongType()),
+                    StructField("_commit_timestamp", TimestampType()),
+                ]
             )
 
         refs = meta.get("tables") or {

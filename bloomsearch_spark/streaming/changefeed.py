@@ -26,9 +26,11 @@ segments' ``data_path`` column (bounded by the BATCH, never the index);
 row bytes flow executor-side in ``read()``.
 
 Options beyond ``root``/``starting_version``/``blocks_per_task``:
-- ``commit_metadata`` ("true"): append a ``_commit_version`` bigint column
-  carrying the manifest version number that committed each row — the CDC
-  provenance column (Delta CDF's ``_commit_version`` analog).
+- ``commit_metadata`` ("true"): append ``_commit_version`` (bigint — the
+  manifest version number that committed each row) and
+  ``_commit_timestamp`` (timestamp — that version meta's ``created_at``)
+  — the CDC provenance columns (Delta CDF's ``_commit_version`` /
+  ``_commit_timestamp`` analogs).
 - ``max_versions_per_trigger`` (int): admit at most this many manifest
   versions per micro-batch (``maxFilesPerTrigger`` analog) — a feed
   catching up on a long-lived index streams its backlog in bounded
@@ -65,11 +67,14 @@ def _vname(n: int) -> str:
 @dataclass
 class _ChangeChunk(InputPartition):
     """One task's slice of a commit's new blocks (relative data dirs).
-    ``version`` is the committing manifest version number — the value of
-    the ``_commit_version`` metadata column when it is requested."""
+    ``version``/``ts_us`` are the committing manifest version number and
+    its commit time (epoch microseconds, from the version meta's
+    ``created_at``) — the values of the ``_commit_version`` /
+    ``_commit_timestamp`` metadata columns when requested."""
 
     rel_paths: list
     version: int = 0
+    ts_us: int = 0
 
 
 def _opt_bool(options: dict, key: str) -> bool:
@@ -190,7 +195,7 @@ class BloomSearchStreamReader(DataSourceStreamReader):
             if lo > 0
             else set()
         )
-        per_version: list[tuple[int, list[str]]] = []
+        per_version: list[tuple[int, int, list[str]]] = []
         for n in range(lo + 1, hi + 1):
             v = _vname(n)
             meta = self._meta(v)
@@ -198,13 +203,14 @@ class BloomSearchStreamReader(DataSourceStreamReader):
             if meta.get("parent_version") is None:
                 # BUILD commit: its delta = the segments it added
                 added = [r for r in refs if r not in prev_refs]
-                per_version.append((n, self._segment_data_paths(added)))
+                ts_us = int(float(meta.get("created_at") or 0.0) * 1e6)
+                per_version.append((n, ts_us, self._segment_data_paths(added)))
             # maintenance commits emit nothing (rows merely reorganized)
             prev_refs = set(refs)
         k = max(1, self.blocks_per_task)
         return [
-            _ChangeChunk(rel_paths=paths[i : i + k], version=n)
-            for n, paths in per_version
+            _ChangeChunk(rel_paths=paths[i : i + k], version=n, ts_us=ts)
+            for n, ts, paths in per_version
             for i in range(0, len(paths), k)
         ]
 
@@ -216,7 +222,8 @@ class BloomSearchStreamReader(DataSourceStreamReader):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         names = [f.name for f in self.out_schema.fields]
-        data_names = [n for n in names if n != "_commit_version"]
+        meta_names = ("_commit_version", "_commit_timestamp")
+        data_names = [n for n in names if n not in meta_names]
         arrow_schema = to_arrow_schema(self.out_schema)
         data_dir = fsx.join(self.root, "data")
         for rel in partition.rel_paths:
@@ -232,5 +239,13 @@ class BloomSearchStreamReader(DataSourceStreamReader):
                     out = out.append_column(
                         "_commit_version",
                         pa.array([partition.version] * len(out), pa.int64()),
+                    ).append_column(
+                        "_commit_timestamp",
+                        # epoch-us ints labelled UTC: the final cast to the
+                        # session-tz arrow type relabels the same instant
+                        pa.array(
+                            [partition.ts_us] * len(out),
+                            pa.timestamp("us", tz="UTC"),
+                        ),
                     )
                 yield from out.cast(arrow_schema).to_batches()

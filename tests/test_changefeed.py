@@ -214,6 +214,18 @@ def test_changefeed_commit_metadata_column(spark, tmp_root, tmp_path):
             ).collect()
         }
         assert by_v == {1: 200, 2: 90}
+        # _commit_timestamp carries each version meta's created_at (to us)
+        import json as _json
+        from bloomsearch_spark.sources import fs as fsx
+
+        metas = {
+            n: _json.loads(fsx.read_bytes(
+                os.path.join(tmp_root, "manifest", f"v{n:08d}", "meta.json")
+            ))["created_at"]
+            for n in (1, 2)
+        }
+        for r in got.select("_commit_version", "_commit_timestamp").distinct().collect():
+            assert abs(r._commit_timestamp.timestamp() - metas[r._commit_version]) < 1e-3
         # the data columns are intact alongside the metadata column
         exp = set(generate_pdf(200)["commit"]) | set(generate_pdf(90, seed=7)["commit"])
         assert {r.commit for r in got.select("commit").collect()} == exp
