@@ -321,7 +321,19 @@ def _java_number_str(v) -> str:
     digit) for 1e-3 <= |v| < 1e7; otherwise ``d.dddE±x`` scientific with
     a bare exponent.  ``str(v)`` on the scalar supplies the
     shortest-roundtrip digits (numpy float32 scalars stringify with
-    float32-shortest digits, matching Float.toString)."""
+    float32-shortest digits, matching Float.toString).
+
+    Digit-count caveat (measured, property-tested): JDK 19+ renders
+    shortest-round-trip digits — identical to this function.  Pre-19 JVMs
+    (legacy FloatingDecimal, JDK-4511638) occasionally emit ONE extra
+    digit (≈0.3% of uniform-random bit patterns, only values needing 17
+    significant digits; 0% of values with ≤15), and on the SUBNORMAL tail
+    (|v| < 2.3e-308) Java may choose different digits of the same double
+    (``4.9E-324`` vs shortest ``5.0E-324``).  A regex anchored on the
+    full digit string of such a value can therefore diverge from the
+    library's JVM ``cast+rlike`` — same family of documented dialect
+    caveat as Python ``re`` vs Java regex.  Property-tested against the
+    live JVM in test_java_number_str_fuzz_vs_spark."""
     import math as _math
     from decimal import Decimal
 
