@@ -73,14 +73,20 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    EqualNullSafe,
     EqualTo,
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
     In,
     InputPartition,
+    IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
+    StringContains,
+    StringEndsWith,
+    StringStartsWith,
     WriterCommitMessage,
 )
 
@@ -610,6 +616,9 @@ class BloomSearchReader(DataSourceReader):
         self._regex = self._parse_regex_options(options)
         self._pushed_prefilter: list[PrefilterExpr] = []
         self._pushed_bloom: list[BloomExpr] = []
+        # (column, pyarrow Expression) conjuncts applied to the BLOCK scan
+        # itself (picklable; the reader ships to executors)
+        self._pushed_exact: list[tuple] = []
 
     def _meta(self) -> dict:
         # cached: a version is immutable, and one load() otherwise pays
@@ -681,6 +690,9 @@ class BloomSearchReader(DataSourceReader):
             tree = self._bloom_of(f)
             if tree is not None:
                 self._pushed_bloom.append(tree)
+            ex = self._exact_expr_of(f)
+            if ex is not None:
+                self._pushed_exact.append(ex)
         return list(filters)
 
     @staticmethod
@@ -793,6 +805,127 @@ class BloomSearchReader(DataSourceReader):
             return branches[0] if len(branches) == 1 else Or(*branches)
         return None
 
+    def _exact_expr_of(self, f: "Filter"):
+        """EXACT pyarrow translation of a pushed WHERE filter, applied to
+        the block scan itself executor-side, so the Arrow→pandas→JVM
+        transfer carries ~result-sized batches instead of whole surviving
+        blocks (block pruning bounds which FILES are read; this bounds
+        which ROWS leave the python worker).  Spark re-applies every
+        filter afterwards, so keeping extra rows is always fine — but the
+        translation must NEVER drop a row Spark's predicate would keep.
+        Hence only column/value type pairs with proven identical
+        comparison semantics are translated: binary-utf8 strings, exact
+        integers, booleans, and floats with Spark's NaN-is-largest /
+        NaN-equals-NaN ordering spelled out (plain pyarrow comparison
+        says ``NaN > v`` is false while Spark says true — the is_nan
+        branches below restore Spark's answer).  Dates, timestamps,
+        decimals, nested attributes and NaN-valued range bounds stay
+        untranslated (sound superset).  Returns ``(column, Expression)``
+        or None."""
+        import pyarrow.compute as pc
+
+        from pyspark.sql.types import (
+            BooleanType,
+            ByteType,
+            DoubleType,
+            FloatType,
+            IntegerType,
+            LongType,
+            ShortType,
+            StringType,
+        )
+
+        attr = getattr(f, "attribute", None)
+        if not attr or len(attr) != 1:
+            return None
+        col = attr[0]
+        names = {fd.name for fd in self.out_schema.fields}
+        if col not in names:
+            return None
+        dt = self.out_schema[col].dataType
+        fld = pc.field(col)
+        if isinstance(f, IsNull):
+            return col, fld.is_null()
+        if isinstance(f, IsNotNull):
+            return col, fld.is_valid()
+        is_str = isinstance(dt, StringType)
+        is_bool = isinstance(dt, BooleanType)
+        is_int = isinstance(dt, (ByteType, ShortType, IntegerType, LongType))
+        is_float = isinstance(dt, (FloatType, DoubleType))
+        if not (is_str or is_bool or is_int or is_float):
+            return None
+
+        def ok_val(v) -> bool:
+            if is_str:
+                return isinstance(v, str)
+            if is_bool:
+                return isinstance(v, (bool, np.bool_))
+            if isinstance(v, (bool, np.bool_)):
+                return False  # bool is an int subclass: numeric cols reject it
+            if is_int:
+                return isinstance(v, (int, np.integer))
+            return isinstance(v, (int, float, np.integer, np.floating))
+
+        def nan_val(v) -> bool:
+            return is_float and isinstance(v, (float, np.floating)) and v != v
+
+        if isinstance(f, (StringStartsWith, StringEndsWith, StringContains)):
+            if not (is_str and isinstance(f.value, str)):
+                return None
+            fn = {
+                StringStartsWith: pc.starts_with,
+                StringEndsWith: pc.ends_with,
+                StringContains: pc.match_substring,
+            }[type(f)]
+            return col, fn(fld, pattern=f.value)
+        if isinstance(f, (EqualTo, EqualNullSafe)):
+            v = f.value
+            if v is None:
+                # col <=> NULL keeps exactly the null rows; col = NULL
+                # keeps nothing in Spark — leave the latter untranslated
+                return (col, fld.is_null()) if isinstance(f, EqualNullSafe) else None
+            if not ok_val(v):
+                return None
+            # Spark: NaN = NaN is TRUE (NaN-normalized equality)
+            return col, (pc.is_nan(fld) if nan_val(v) else fld == v)
+        if isinstance(f, In):
+            vals = [v for v in f.value if v is not None]  # NULL member never keeps a row
+            if not vals or not all(ok_val(v) for v in vals):
+                return None
+            plain = [v for v in vals if not nan_val(v)]
+            expr = fld.isin(plain) if plain else None
+            if len(plain) != len(vals):  # NaN member: Spark matches NaN rows
+                nan_e = pc.is_nan(fld)
+                expr = nan_e if expr is None else (expr | nan_e)
+            return col, expr
+        v = getattr(f, "value", None)
+        if v is None or not ok_val(v) or nan_val(v):
+            return None
+        if isinstance(f, GreaterThan):
+            e = fld > v
+        elif isinstance(f, GreaterThanOrEqual):
+            e = fld >= v
+        elif isinstance(f, LessThan):
+            return col, fld < v  # NaN rows: false on both sides
+        elif isinstance(f, LessThanOrEqual):
+            return col, fld <= v
+        else:
+            return None
+        if is_float:
+            e = e | pc.is_nan(fld)  # Spark orders NaN above everything
+        return col, e
+
+    def _exact_filter(self, colnames=None):
+        """AND of the pushed exact conjuncts, restricted (when ``colnames``
+        is given) to columns physically present — dropping a conjunct is
+        always a sound superset."""
+        expr = None
+        for col, e in self._pushed_exact:
+            if colnames is not None and col not in colnames:
+                continue
+            expr = e if expr is None else (expr & e)
+        return expr
+
     def _query(self) -> Query:
         pre = None
         if self._pushed_prefilter:
@@ -885,28 +1018,57 @@ class BloomSearchReader(DataSourceReader):
             for rel in partition.rel_paths:
                 yield from self._read_block(rel)
 
-    def _verify_batches(self, pdf: pd.DataFrame):
+    def _verify_batches(self, tbl):
         """Exact verify (option query only — pushed WHERE trees are
-        re-applied by Spark) + projection to the output schema."""
+        re-applied by Spark) + projection to the output schema.
+
+        Takes the ARROW table and filters it by a pandas-computed MASK:
+        data values never round-trip through pandas.  The old
+        ``Table.from_pandas(pdf)`` path silently corrupted every float
+        NaN to NULL (pandas uses NaN as its null sentinel), so a WHERE
+        like ``fval > 40`` — whose Catalyst re-apply Spark strengthens
+        with ``isnotnull(fval)`` — dropped exactly the NaN rows Spark's
+        NaN-is-largest ordering keeps.  Arrow-native filtering is also
+        one whole-table conversion cheaper."""
         import pyarrow as pa
 
         from ..tokenizer import get_tokenizer
 
         names = [f.name for f in self.out_schema.fields]
-        if self._bloom is not None:
-            tok = get_tokenizer(self.tokenizer_name)
-            pdf = pdf[verify_pdf(self._bloom, pdf, self.indexed_fields, tok)]
-        if self._regex is not None and len(pdf):
-            pdf = pdf[regex_verify_pdf(self._regex, pdf, self.out_schema)]
-        if len(pdf):
-            out = pa.Table.from_pandas(
-                pdf[names], preserve_index=False
-            ).cast(self._arrow_schema())
-            yield from out.to_batches()
+        if len(tbl) and (self._bloom is not None or self._regex is not None):
+            pdf = tbl.to_pandas()  # mask computation only
+            mask = np.ones(len(pdf), dtype=bool)
+            if self._bloom is not None:
+                tok = get_tokenizer(self.tokenizer_name)
+                mask &= np.asarray(
+                    verify_pdf(self._bloom, pdf, self.indexed_fields, tok),
+                    dtype=bool,
+                )
+            if self._regex is not None:
+                mask &= np.asarray(
+                    regex_verify_pdf(self._regex, pdf, self.out_schema),
+                    dtype=bool,
+                )
+            tbl = tbl.filter(pa.array(mask))
+        if len(tbl):
+            yield from tbl.select(names).cast(self._arrow_schema()).to_batches()
 
     def _read_block(self, rel: str):
-        tbl = fsx.read_parquet_dir(fsx.join(self.root, "data", rel))
-        yield from self._verify_batches(tbl.to_pandas())
+        import pyarrow as pa
+
+        d = fsx.join(self.root, "data", rel)
+        flt = self._exact_filter()
+        if flt is not None:
+            try:
+                tbl = fsx.read_parquet_dir(d, filter=flt)
+            except pa.lib.ArrowException:
+                # unexpected physical type/missing column: re-read
+                # unfiltered (superset; Spark re-applies the predicate).
+                # A CRC failure re-raises on the retry — never masked.
+                tbl = fsx.read_parquet_dir(d)
+        else:
+            tbl = fsx.read_parquet_dir(d)
+        yield from self._verify_batches(tbl)
 
     def _read_external(self, src: str, partition_ids: Sequence[str]):
         """Zero-copy external block scan: read the SOURCE file in place and
@@ -930,8 +1092,14 @@ class BloomSearchReader(DataSourceReader):
         else:
             pid = pa.array([""] * len(tbl), pa.string())
         keep = pc.is_in(pid, value_set=pa.array(sorted(set(partition_ids)), pa.string()))
-        pdf = tbl.filter(keep).to_pandas()
-        yield from self._verify_batches(pdf)
+        tbl = tbl.filter(keep)
+        flt = self._exact_filter(colnames=tbl.column_names)
+        if flt is not None:
+            try:
+                tbl = tbl.filter(flt)
+            except pa.lib.ArrowException:
+                pass  # unexpected physical type: keep the superset
+        yield from self._verify_batches(tbl)
 
     @staticmethod
     def _pads_partition_filter(expr: PrefilterExpr | None):

@@ -313,11 +313,15 @@ def write_parquet_atomic(dir_uri: str, table, filename: str, **write_kwargs) -> 
     return fs.get_file_info(final).size
 
 
-def read_parquet_dir(dir_uri: str):
+def read_parquet_dir(dir_uri: str, filter=None):
     """Concatenate every ``*.parquet`` file in a directory (skipping
     temp/hidden names) into one Arrow table.  Page CRCs are always
     verified (files without stored checksums verify vacuously): block
-    consolidation must never OR corrupt bytes into a merged block."""
+    consolidation must never OR corrupt bytes into a merged block.
+
+    ``filter``: optional pyarrow dataset Expression, pushed into the
+    parquet read (row-group statistics pruning + row filtering) — the
+    caller owns its soundness."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -332,7 +336,12 @@ def read_parquet_dir(dir_uri: str):
     )
     return pa.concat_tables(
         [
-            pq.read_table(p, filesystem=fs, page_checksum_verification=True)
+            pq.read_table(
+                p,
+                filesystem=fs,
+                page_checksum_verification=True,
+                **({} if filter is None else {"filters": filter}),
+            )
             for p in names
         ],
         promote_options="default",

@@ -702,3 +702,110 @@ def test_java_number_str_fuzz_vs_spark(spark):
         legacy_extra += 1
     # the legacy class is rare — a blowup means the renderer regressed
     assert legacy_extra <= len(vals) * 0.02, legacy_extra
+
+
+def test_exact_scan_filter_ships_result_sized_batches(spark, ds_root, docs_pdf):
+    """Pushed WHERE predicates with proven semantics are applied to the
+    block scan ITSELF (pyarrow expression), so the python-worker→JVM
+    transfer is ~result-sized: with fully-translated predicates read()
+    must yield exactly the matching rows, where the un-pushed control
+    ships every row of every surviving block."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, IsNotNull
+
+    schema = spark.read.format("bloomsearch").option("root", ds_root).load().schema
+    src = docs_pdf["source"].iloc[0]
+    exp = docs_pdf[(docs_pdf["source"] == src) & (docs_pdf["n_chars"] >= 150)]
+    filters = [
+        EqualTo(("source",), src),
+        GreaterThanOrEqual(("n_chars",), 150),
+        IsNotNull(("source",)),
+    ]
+
+    r = BloomSearchReader({"root": ds_root}, schema)
+    assert len(list(r.pushFilters(list(filters)))) == 3  # all re-applied
+    assert len(r._pushed_exact) == 3
+    rows, ids = 0, set()
+    for p in r.partitions():
+        for batch in r.read(p):
+            rows += batch.num_rows
+            ids |= set(batch.column("doc_id").to_pylist())
+    assert ids == set(exp["doc_id"])
+    assert rows == len(exp)
+
+    # control: same prune, exact-scan filter disabled -> whole blocks ship
+    r2 = BloomSearchReader({"root": ds_root}, schema)
+    list(r2.pushFilters(list(filters)))
+    r2._pushed_exact = []
+    rows2 = sum(b.num_rows for p in r2.partitions() for b in r2.read(p))
+    assert rows2 > rows
+
+    # end-to-end: Spark re-applies everything; results stay exact
+    got = {
+        r_.doc_id
+        for r_ in spark.read.format("bloomsearch").option("root", ds_root)
+        .load()
+        .filter((F.col("source") == src) & (F.col("n_chars") >= 150))
+        .collect()
+    }
+    assert got == set(exp["doc_id"])
+
+
+def test_exact_scan_filter_float_nan_semantics(spark, tmp_path):
+    """Spark orders NaN above everything and NaN = NaN is TRUE; plain
+    pyarrow comparison says neither.  The translated scan filter must
+    carry Spark's answer — every predicate below must match what Spark
+    itself computes on the same in-memory frame (no silent row loss on
+    the NaN rows)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(BloomSearchDataSource)
+    rows = [(i, float(i), f"w{i} common") for i in range(48)]
+    rows += [(100 + j, float("nan"), f"nanrow{j} common") for j in range(4)]
+    rows += [(200, None, "nullrow common")]
+    df = spark.createDataFrame(rows, "doc_id long, fval double, text string")
+    cfg = IndexConfig(
+        indexed_fields=("text",),
+        partition_expr="''",
+        minmax_fields=("doc_id",),
+        max_block_rows=16,
+        blocks_per_file=4,
+    )
+    root = str(tmp_path / "nanidx")
+    build_index(spark, df, root, cfg)
+    for pred in [
+        "fval > 40.0",
+        "fval >= 40.0",
+        "fval < 5.0",
+        "fval <= 5.0",
+        "fval = CAST('NaN' AS DOUBLE)",
+        "fval <=> CAST('NaN' AS DOUBLE)",
+        "fval IN (CAST('NaN' AS DOUBLE), 3.0)",
+        "fval IS NULL",
+        "fval IS NOT NULL",
+        "text LIKE 'nanrow%'",
+    ]:
+        bs = spark.read.format("bloomsearch").option("root", root).load()
+        got = {r.doc_id for r in bs.filter(pred).collect()}
+        exp = {r.doc_id for r in df.filter(pred).collect()}
+        assert got == exp, pred
+
+
+def test_exact_expr_translator_guards(spark, ds_root):
+    """Unproven column/value pairings must stay untranslated (None):
+    applying them could only ever drop rows Spark would keep."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In as FIn
+
+    schema = spark.read.format("bloomsearch").option("root", ds_root).load().schema
+    r = BloomSearchReader({"root": ds_root}, schema)
+    assert r._exact_expr_of(EqualTo(("n_chars",), True)) is None  # bool->int col
+    assert r._exact_expr_of(EqualTo(("text",), 5)) is None  # int->str col
+    assert r._exact_expr_of(EqualTo(("no_such",), 1)) is None  # unknown col
+    assert r._exact_expr_of(EqualTo(("lang", "x"), "de")) is None  # nested
+    assert r._exact_expr_of(EqualTo(("lang",), None)) is None  # = NULL
+    assert r._exact_expr_of(FIn(("lang",), (None,))) is None  # all-NULL IN
+    assert r._exact_expr_of(GreaterThan(("n_chars",), float("nan"))) is None
+
+    import pyarrow as pa
+
+    t = pa.table({"lang": ["de", "fr", None]})
+    col, e = r._exact_expr_of(FIn(("lang",), ("de", None)))  # NULL member drops
+    assert col == "lang" and t.filter(e)["lang"].to_pylist() == ["de"]
