@@ -63,14 +63,6 @@ def _widen_float_bounds(lo: float, hi: float) -> tuple[float, float]:
     return lo, hi
 
 
-def _index_entries_fixed(pdf: pd.DataFrame, cfg: IndexConfig) -> tuple[list, list, list]:
-    """(fields, tokens, fieldtoken keys) arrays for a fixed-schema block
-    (pandas shim over the Arrow kernel — used by the clustered build path)."""
-    cols = [c for c in cfg.indexed_fields if c in pdf.columns]
-    tbl = pa.Table.from_pandas(pdf[cols], preserve_index=False)
-    return _index_entries_arrow(tbl, cfg)
-
-
 def _index_entries_json(pdf: pd.DataFrame, cfg: IndexConfig) -> tuple[list, list, list]:
     """(fields, tokens, pairs) for a block of JSON documents (schemaless
     path; per-doc structural walk, tokenizer.go:29-83)."""
@@ -236,7 +228,7 @@ class BlockAccumulator:
 def build_block_entry_arrow(
     key: tuple, tbl: pa.Table, cfg: IndexConfig, file_sets: list | None = None
 ) -> dict:
-    """Arrow-native twin of ``build_block_entry``: one block table in, one
+    """Grouped/map build kernel: one block table in, one
     staging-row dict out (zero pandas, zero per-row Python objects on the
     fixed-schema path; the schemaless JSON path necessarily walks each
     document).
@@ -333,39 +325,6 @@ def _minmax_maps(pdf: pd.DataFrame, cfg: IndexConfig) -> tuple[dict, dict]:
                 lo, hi = _widen_float_bounds(float(s.min()), float(s.max()))
         mn_map[f], mx_map[f] = minmax_coerce(lo, hi)
     return mn_map, mx_map
-
-
-def build_block_entry(
-    key: tuple, pdf: pd.DataFrame, cfg: IndexConfig
-) -> pd.DataFrame:
-    """Grouped-map body: one (file_id, block_id, partition_id) group ->
-    one manifest row carrying block blooms + file-partial blooms."""
-    bp, fp = cfg.block_params, cfg.file_params
-
-    block_sets = [bloom.new_bitset(bp) for _ in range(3)]  # field, token, pair
-    file_sets = [bloom.new_bitset(fp) for _ in range(3)]
-
-    if cfg.json_col is not None:
-        fields, tokens, pairs = _index_entries_json(pdf, cfg)
-    else:
-        fields, tokens, pairs = _index_entries_fixed(pdf, cfg)
-
-    n_tokens = 0
-    for i, entries in enumerate((np.asarray(fields, dtype=object), tokens, pairs)):
-        n_tokens += bloom.insert_into_many(
-            [block_sets[i], file_sets[i]], entries, [bp, fp]
-        )
-
-    mn_map, mx_map = _minmax_maps(pdf, cfg)
-
-    return pd.DataFrame(
-        [
-            _entry_dict(
-                key, len(pdf), n_tokens, mn_map, mx_map, cfg,
-                block_sets, file_sets,
-            )
-        ]
-    )
 
 
 def rollup_file_entry(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:

@@ -20,7 +20,7 @@ buffer rows per partition, flush a data block when the row-group cap hits):
 When ``cfg.block_expr`` is set (user-controlled clustering, e.g. tight
 zone maps per doc_id or date buckets for TTL), the build instead
 hash/expr-assigns rows to blocks and does ONE full-data shuffle
-(groupBy(block).applyInPandas) to co-locate each block's rows.
+(groupBy(block).applyInArrow) to co-locate each block's rows.
 
 Scale notes (100 TB / 1000 executors):
 - the default path moves zero row bytes between executors: each task reads
@@ -52,7 +52,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import IndexConfig
-from ..operators.blockindex import build_block_entry, rollup_file_entry
+from ..operators.blockindex import rollup_file_entry
 from ..sources import fs as fsx
 from ..sources import manifest as mf
 from ..tokenizer import get_tokenizer, register_tokenizer
@@ -174,33 +174,49 @@ def assign_blocks(df: DataFrame, cfg: IndexConfig, build_tag: str) -> DataFrame:
 
 
 def _make_block_fn(cfg: IndexConfig, data_dir: str, arrow_schema_bytes: bytes):
-    """Grouped-map closure: index the block AND write its data file.
+    """applyInArrow grouped-map closure: index the block AND write its
+    data file.
 
     Writing inside the task mirrors the reference's flush worker
     (handleFlush, bloom_tree_engine.go:726-821): data blob + metadata row
     are produced together, and neither is visible until the manifest
     commit.  temp-file + atomic rename makes retried/speculative attempts
     harmless.  ``data_dir`` must be shared storage on a real cluster.
+
+    Arrow end to end (like the map path): the block parquet is written
+    straight from the group's Arrow table.  The former applyInPandas body
+    round-tripped values through ``Table.from_pandas``, which converts
+    every float NaN to NULL (pandas null sentinel) — silent corruption of
+    stored data on the clustered path.
     """
+    from ..operators.blockindex import build_block_entry_arrow
+
     ckw = codec_kwargs(cfg)
     # resolve the tokenizer on the DRIVER and ship the object in the
     # closure: a user-registered tokenizer exists only in the driver's
     # registry, not in fresh executor interpreters
     tok = get_tokenizer(cfg.tokenizer)
 
-    def fn(key, pdf):
+    from typing import Tuple as _Tuple
+
+    # fully-annotated signature: pyspark's applyInArrow eval-type
+    # inference RAISES (not None) on partial hints, and its fallback
+    # path hits an UnboundLocalError (pyspark 4.1 group_ops.py:936)
+    def fn(key: _Tuple[pa.Scalar, ...], tbl: pa.Table) -> pa.Table:
         register_tokenizer(tok)
-        entry = build_block_entry(key, pdf, cfg)
+        key = tuple(k.as_py() if hasattr(k, "as_py") else k for k in key)
+        entry = build_block_entry_arrow(key, tbl, cfg)
         file_id, block_id, _ = key
         rel = fsx.join(f"file_id={file_id}", f"block_id={block_id}")
         entry["data_path"] = rel
         schema = pa.ipc.read_schema(pa.BufferReader(arrow_schema_bytes))
-        body = pdf[[n for n in schema.names]]
-        tbl = pa.Table.from_pandas(body, schema=schema, preserve_index=False)
+        body = tbl.select(schema.names).cast(schema)
         entry["byte_size"] = fsx.write_parquet_atomic(
-            fsx.join(data_dir, rel), tbl, "part-0.parquet", **ckw
+            fsx.join(data_dir, rel), body, "part-0.parquet", **ckw
         )
-        return entry
+        entry["minmax_min"] = list(entry["minmax_min"].items())
+        entry["minmax_max"] = list(entry["minmax_max"].items())
+        return pa.Table.from_pylist([entry], schema=STAGING_PA_SCHEMA)
 
     return fn
 
@@ -468,7 +484,7 @@ def build_index(
         if not _stage_done(staging):
             (
                 assigned.groupBy("file_id", "block_id", "partition_id")
-                .applyInPandas(_make_block_fn(cfg, data_dir, schema_bytes), STAGING_SCHEMA)
+                .applyInArrow(_make_block_fn(cfg, data_dir, schema_bytes), STAGING_SCHEMA)
                 .write.mode("overwrite")
                 .parquet(staging)
             )

@@ -228,12 +228,20 @@ class BloomSearchStreamReader(DataSourceStreamReader):
         data_dir = fsx.join(self.root, "data")
         for rel in partition.rel_paths:
             tbl = fsx.read_parquet_dir(fsx.join(data_dir, rel))
-            pdf = tbl.to_pandas()
-            if len(pdf):
-                # reindex: an old commit written under a narrower schema
-                # projects with nulls rather than KeyError
-                out = pa.Table.from_pandas(
-                    pdf.reindex(columns=data_names), preserve_index=False
+            if len(tbl):
+                # project arrow-side — an old commit written under a
+                # narrower schema gets null columns rather than KeyError.
+                # No pandas round-trip: ``Table.from_pandas`` would
+                # corrupt every stored float NaN to NULL (pandas null
+                # sentinel), changing the rows the feed emits.
+                out = pa.Table.from_arrays(
+                    [
+                        tbl[n]
+                        if n in tbl.column_names
+                        else pa.nulls(len(tbl), arrow_schema.field(n).type)
+                        for n in data_names
+                    ],
+                    names=data_names,
                 )
                 if self.with_meta:
                     out = out.append_column(

@@ -345,3 +345,26 @@ def test_changefeed_vacuumed_version_fails_loudly(spark, tmp_root):
     cur = r.latestOffset()["version"]
     with pytest.raises(RuntimeError, match="vacuum"):
         r.partitions({"version": 0}, {"version": cur})
+
+
+def test_changefeed_preserves_float_nan(spark, tmp_path):
+    """The feed's read() projects arrow-side; the former pandas reindex
+    round-trip corrupted stored float NaN to NULL.  Exercised through the
+    batch table-changes surface, which wraps the same stream planner."""
+    spark.dataSource.register(BloomSearchDataSource)
+    root = str(tmp_path / "nanfeed")
+    rows = [(i, float(i) if i % 5 else float("nan")) for i in range(40)]
+    rows += [(100, None)]
+    df = spark.createDataFrame(rows, "doc_id long, fval double")
+    cfg = IndexConfig(indexed_fields=(), partition_expr="''",
+                      max_block_rows=16, blocks_per_file=2)
+    build_index(spark, df, root, cfg)
+    got = (
+        spark.read.format("bloomsearch").option("root", root)
+        .option("changes_from", "0").load()
+    )
+    g = sorted((r.doc_id, str(r.fval)) for r in got.collect())
+    e = sorted((r.doc_id, str(r.fval)) for r in df.collect())
+    assert g == e
+    assert sum(1 for _, v in g if v == "nan") == 8
+    assert sum(1 for _, v in g if v == "None") == 1

@@ -515,3 +515,28 @@ def test_build_with_map_column(spark, tmp_path):
     idx = build_index(spark, df, str(tmp_path / "mi"), cfg)
     got = search(spark, idx, new_query().token("tok7").build())
     assert [r.id for r in got.collect()] == ["r7"]
+
+
+def test_clustered_build_preserves_float_nan(spark, tmp_path):
+    """The clustered (block_expr) path writes block parquet straight from
+    the group's Arrow table.  Its former applyInPandas body round-tripped
+    rows through Table.from_pandas, which converts float NaN to NULL
+    (pandas null sentinel) — stored-data corruption.  NaN and NULL must
+    both survive the build+search round trip distinctly."""
+    rows = [(i, float(i) if i % 7 else float("nan"), f"w{i} common") for i in range(64)]
+    rows += [(200, None, "nullrow common")]
+    df = spark.createDataFrame(rows, "doc_id long, fval double, text string")
+    cfg = IndexConfig(
+        indexed_fields=("text",),
+        partition_expr="''",
+        minmax_fields=("doc_id",),
+        max_block_rows=16,
+        block_expr="doc_id % 4",
+    )
+    idx = build_index(spark, df, str(tmp_path / "nanidx"), cfg)
+    res = search(spark, idx, new_query().token("common").build())
+    got = sorted((r.doc_id, str(r.fval)) for r in res.collect())
+    exp = sorted((r.doc_id, str(r.fval)) for r in df.collect())
+    assert got == exp
+    assert sum(1 for _, v in got if v == "nan") == 10
+    assert sum(1 for _, v in got if v == "None") == 1
