@@ -770,6 +770,14 @@ class BloomSearchReader(DataSourceReader):
         col = attr[0]
         if col not in self.indexed_fields:
             return None
+        if isinstance(f, IsNotNull):
+            # field-PRESENCE prune (the reference's field query,
+            # query.go:640-671): the build inserts a field name into the
+            # field bloom only when the block holds a non-null value, so
+            # an all-null block is disqualifiable.  Spark strengthens
+            # almost every pushed predicate with IsNotNull, so this
+            # engages on nearly every filtered query.
+            return Field(col)
         try:
             from ..tokenizer import get_tokenizer
 
@@ -1053,20 +1061,45 @@ class BloomSearchReader(DataSourceReader):
         if len(tbl):
             yield from tbl.select(names).cast(self._arrow_schema()).to_batches()
 
+    def _scan_columns(self) -> list[str]:
+        """Columns the executor must actually READ: the output schema plus
+        the option-query verify fields (bloom / regex).  Everything else —
+        internal columns (content_sha, partition_id) always, and unselected
+        source columns under the ``columns`` option — is pruned at the
+        parquet column-chunk level and never leaves the scan."""
+        names = [f.name for f in self.out_schema.fields]
+        extra: list[str] = []
+        if self._bloom is not None:
+            jc = self._meta()["config"].get("json_col")
+            extra += [jc] if jc else [c for c in self.indexed_fields]
+        if self._regex is not None:
+
+            def walk(e):
+                if e is None:
+                    return
+                if getattr(e, "kind", None) in ("AND", "OR"):
+                    for ch in e.children:
+                        walk(ch)
+                else:
+                    extra.append(e.field)
+
+            walk(self._regex)
+        seen = set(names)
+        return names + [c for c in extra if c and not (c in seen or seen.add(c))]
+
     def _read_block(self, rel: str):
         import pyarrow as pa
 
         d = fsx.join(self.root, "data", rel)
-        flt = self._exact_filter()
-        if flt is not None:
-            try:
-                tbl = fsx.read_parquet_dir(d, filter=flt)
-            except pa.lib.ArrowException:
-                # unexpected physical type/missing column: re-read
-                # unfiltered (superset; Spark re-applies the predicate).
-                # A CRC failure re-raises on the retry — never masked.
-                tbl = fsx.read_parquet_dir(d)
-        else:
+        try:
+            tbl = fsx.read_parquet_dir(
+                d, filter=self._exact_filter(), columns=self._scan_columns()
+            )
+        except pa.lib.ArrowException:
+            # unexpected physical type / column absent from an old block:
+            # re-read unpruned (superset; Spark re-applies the predicates,
+            # verify handles missing columns).  A CRC failure re-raises on
+            # the retry — never masked.
             tbl = fsx.read_parquet_dir(d)
         yield from self._verify_batches(tbl)
 
@@ -1080,8 +1113,14 @@ class BloomSearchReader(DataSourceReader):
         from urllib.parse import unquote
 
         fs, local = fsx.resolve(unquote(src))
-        tbl = pq.read_table(local, filesystem=fs)
         pe = (self._meta()["config"].get("partition_expr") or "").strip()
+        cols = self._scan_columns()
+        if pe and pe != "''" and pe not in cols:
+            cols = cols + [pe]
+        try:
+            tbl = pq.read_table(local, filesystem=fs, columns=cols)
+        except pa.lib.ArrowException:
+            tbl = pq.read_table(local, filesystem=fs)  # superset fallback
         if pe and pe != "''":
             # derive the partition id ARROW-side (same cast family the
             # build used): a pandas round-trip would promote an int64
@@ -1256,9 +1295,12 @@ class BloomSearchDataSource(DataSource):
 
     Options: ``root`` (required), ``token`` / ``tokens`` (comma list) /
     ``field`` / ``field_token`` ("f:t") — implicit-AND existence query;
-    ``blocks_per_task``.  WHERE-clause equality/range conditions on the
-    partition source column and ``minmax_fields`` prune automatically when
-    ``spark.sql.python.filterPushdown.enabled`` is true."""
+    ``columns`` (comma list) — user-opt-in column pruning (the Python
+    DataSource API has no pruning hook; this narrows the schema AND the
+    parquet reads); ``blocks_per_task``.  WHERE-clause equality/range
+    conditions on the partition source column and ``minmax_fields`` prune
+    automatically when ``spark.sql.python.filterPushdown.enabled`` is
+    true."""
 
     @classmethod
     def name(cls) -> str:
@@ -1321,6 +1363,27 @@ class BloomSearchDataSource(DataSource):
                 ]
             )
 
+        def _user_columns(st):
+            # ``.option("columns", "a,b")``: user-opt-in COLUMN PRUNING.
+            # The Python DataSource API has no column-pruning hook (the
+            # schema is fixed before Spark's projection is known), so
+            # without this every scan ships every source column through
+            # the python worker; narrowing here reaches the parquet read
+            # (ReadSchema-style I/O pruning) and shrinks the Arrow→JVM
+            # transfer to the selected columns.
+            raw = self.options.get("columns")
+            if not raw:
+                return st
+            want = [c.strip() for c in raw.split(",") if c.strip()]
+            have = {f.name: f for f in st.fields}
+            missing = [c for c in want if c not in have]
+            if missing or not want:
+                raise ValueError(
+                    f"columns option names unknown column(s) {missing} — "
+                    f"index source columns are {sorted(have)}"
+                )
+            return StructType([have[c] for c in want])
+
         refs = meta.get("tables") or {
             t: [f"{version}/{t}.parquet"] for t in mf.TABLES
         }
@@ -1331,7 +1394,7 @@ class BloomSearchDataSource(DataSource):
             full = StructType.fromJson(json.loads(sj))
             keep = meta.get("source_columns") or [f.name for f in full.fields]
             return _with_meta_cols(
-                StructType([f for f in full.fields if f.name in keep])
+                _user_columns(StructType([f for f in full.fields if f.name in keep]))
             )
         # pre-r04 manifest: one block's parquet schema gives the stored
         # dtypes; project to the meta's source_columns (order preserved).
@@ -1359,7 +1422,7 @@ class BloomSearchDataSource(DataSource):
         full = from_arrow_schema(dset.schema)
         keep = meta.get("source_columns") or [f.name for f in full.fields]
         return _with_meta_cols(
-            StructType([f for f in full.fields if f.name in keep])
+            _user_columns(StructType([f for f in full.fields if f.name in keep]))
         )
 
     def reader(self, schema) -> "DataSourceReader":

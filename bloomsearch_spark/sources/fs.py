@@ -313,7 +313,7 @@ def write_parquet_atomic(dir_uri: str, table, filename: str, **write_kwargs) -> 
     return fs.get_file_info(final).size
 
 
-def read_parquet_dir(dir_uri: str, filter=None):
+def read_parquet_dir(dir_uri: str, filter=None, columns=None):
     """Concatenate every ``*.parquet`` file in a directory (skipping
     temp/hidden names) into one Arrow table.  Page CRCs are always
     verified (files without stored checksums verify vacuously): block
@@ -321,7 +321,9 @@ def read_parquet_dir(dir_uri: str, filter=None):
 
     ``filter``: optional pyarrow dataset Expression, pushed into the
     parquet read (row-group statistics pruning + row filtering) — the
-    caller owns its soundness."""
+    caller owns its soundness.  ``columns``: optional projection pushed
+    into the read (column-chunk I/O pruning); filter columns need not be
+    in it."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -334,13 +336,15 @@ def read_parquet_dir(dir_uri: str, filter=None):
         and i.base_name.endswith(".parquet")
         and not i.base_name.startswith(".")
     )
+    kw = {}
+    if filter is not None:
+        kw["filters"] = filter
+    if columns is not None:
+        kw["columns"] = list(columns)
     return pa.concat_tables(
         [
             pq.read_table(
-                p,
-                filesystem=fs,
-                page_checksum_verification=True,
-                **({} if filter is None else {"filters": filter}),
+                p, filesystem=fs, page_checksum_verification=True, **kw
             )
             for p in names
         ],

@@ -87,6 +87,13 @@ def stringify_series(s: pd.Series) -> pd.Series:
     Integers/bools/integral floats render without decoration so numeric
     columns tokenize identically to the reference's JSON round-trip
     (``30.0`` -> ``"30"``, ``True`` -> ``"true"``).
+
+    Float NaN deliberately tokenizes as ABSENT (like null), on both the
+    build and verify sides consistently: JSON cannot represent NaN, so
+    the reference's document model has no behavior to match, and pandas
+    (this function's input) cannot distinguish NaN from null anyway.
+    Stored VALUES still round-trip NaN exactly (the arrow-native build
+    and read paths) — only token indexing treats it as missing.
     """
     if pd.api.types.is_bool_dtype(s):
         return s.map({True: "true", False: "false"}).fillna("")

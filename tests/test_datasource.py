@@ -809,3 +809,68 @@ def test_exact_expr_translator_guards(spark, ds_root):
     t = pa.table({"lang": ["de", "fr", None]})
     col, e = r._exact_expr_of(FIn(("lang",), ("de", None)))  # NULL member drops
     assert col == "lang" and t.filter(e)["lang"].to_pylist() == ["de"]
+
+
+def test_isnotnull_field_presence_prune(spark, tmp_path):
+    """WHERE col IS NOT NULL on an indexed field prunes blocks whose col
+    is entirely null (the build inserts a field name into the field bloom
+    only when a non-null value exists).  Prune-only sound: any row passing
+    IS NOT NULL lives in a block that carries the field."""
+    from pyspark.sql.datasource import IsNotNull
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(BloomSearchDataSource)
+    # partition A: tag always set; partition B: tag entirely null
+    rows = [(i, "a", f"tag{i}", f"w{i} common") for i in range(40)]
+    rows += [(100 + i, "b", None, f"x{i} common") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, part string, tag string, text string")
+    cfg = IndexConfig(
+        indexed_fields=("tag", "text"),
+        partition_expr="part",
+        max_block_rows=16,
+        blocks_per_file=2,
+    )
+    root = str(tmp_path / "fpidx")
+    build_index(spark, df, root, cfg)
+
+    r_all = BloomSearchReader({"root": root}, df.schema)
+    n_all = len(r_all.partitions())
+    r_nn = BloomSearchReader({"root": root}, df.schema)
+    list(r_nn.pushFilters([IsNotNull(("tag",))]))
+    n_nn = len(r_nn.partitions())
+    assert 0 < n_nn < n_all  # the all-null partition's blocks pruned
+
+    got = {
+        r.doc_id
+        for r in spark.read.format("bloomsearch").option("root", root)
+        .load().filter("tag IS NOT NULL").collect()
+    }
+    assert got == set(range(40))
+    # and IS NULL stays unpruned + exact (no bloom can characterize null)
+    got_null = {
+        r.doc_id
+        for r in spark.read.format("bloomsearch").option("root", root)
+        .load().filter("tag IS NULL").collect()
+    }
+    assert got_null == {100 + i for i in range(40)}
+
+
+def test_columns_option_prunes_and_stays_exact(spark, ds_root, docs_pdf):
+    """``.option("columns", ...)``: the schema narrows to the requested
+    columns (in the requested order), the token verify still runs on the
+    UNSELECTED indexed field, and results stay exact."""
+    df = (
+        spark.read.format("bloomsearch").option("root", ds_root)
+        .option("columns", "n_chars,doc_id").option("token", "stream").load()
+    )
+    assert [f.name for f in df.schema.fields] == ["n_chars", "doc_id"]
+    exp = docs_pdf[_tok_mask(docs_pdf, "stream")]
+    assert {r.doc_id for r in df.collect()} == set(exp["doc_id"])
+    # WHERE pushdown composes with the narrowed schema
+    got = {r.doc_id for r in df.filter("n_chars >= 150").collect()}
+    assert got == set(exp[exp["n_chars"] >= 150]["doc_id"])
+
+    with pytest.raises(Exception, match="unknown column"):
+        spark.read.format("bloomsearch").option("root", ds_root).option(
+            "columns", "doc_id,nope"
+        ).load().schema
