@@ -73,6 +73,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualNullSafe,
     EqualTo,
     Filter,
@@ -1469,6 +1470,18 @@ class BloomSearchDataSource(DataSource):
 
         return BloomSearchStreamReader(dict(self.options), schema)
 
+    def streamWriter(self, schema, overwrite: bool):
+        """``df.writeStream.format("bloomsearch")`` — the index as a native
+        Structured Streaming SINK: each micro-batch commits one delta
+        manifest segment, exactly once (replayed batches are no-ops via the
+        ``last_stream_batch`` watermark — the same guard as
+        ``streaming.ingest.stream_build``, which remains the richer surface:
+        arbitrary partition_expr, auto-fold cadence).  ``outputMode
+        ("append")`` appends; complete/truncate modes overwrite per batch.
+        One streaming sink per index root — the watermark is per-root, and
+        batch ids from different checkpoints are incomparable."""
+        return BloomSearchStreamWriter(dict(self.options), schema, overwrite)
+
 
 # ---------------------------------------------------------------------------
 # the write path: df.write.format("bloomsearch")
@@ -1646,6 +1659,14 @@ class BloomSearchArrowWriter(DataSourceArrowWriter):
         self.build_id = f"{version_guess}-w{_uuid.uuid4().hex[:8]}"
         self.source_columns = names
 
+    def _task_tag(self) -> str:
+        """File-id prefix for this task's flush kernel.  One batch write
+        job = one tag (the job nonce); the STREAM subclass must override —
+        its pickled writer instance is reused by every micro-batch, and a
+        shared tag would make batch N's task files overwrite batch N-1's
+        committed ones."""
+        return self.build_id
+
     # -- executor side ------------------------------------------------------
 
     def _prepare(self, batch):
@@ -1686,7 +1707,7 @@ class BloomSearchArrowWriter(DataSourceArrowWriter):
 
             tid = _uuid.uuid4().int % (1 << 31)
         fn = _make_map_build_fn(
-            self.cfg, fsx.join(self.root, "data"), self.build_id, task_id=tid
+            self.cfg, fsx.join(self.root, "data"), self._task_tag(), task_id=tid
         )
         out = list(fn(self._prepare(b) for b in iterator))
         tbl = (
@@ -1702,6 +1723,21 @@ class BloomSearchArrowWriter(DataSourceArrowWriter):
     # -- driver side --------------------------------------------------------
 
     def commit(self, messages) -> None:
+        self._publish(
+            messages,
+            seg_name=f"{self.build_id}-dswrite",
+            mode="overwrite" if self.overwrite else "append",
+            source_desc="datasource-write",
+            meta_extra={"source_schema": self.schema.json()},
+        )
+
+    def _publish(
+        self, messages, seg_name: str, mode: str, source_desc: str,
+        meta_extra: dict, skip_if_empty: bool = False,
+    ) -> None:
+        """Assemble the tasks' staging rows into ONE delta manifest segment
+        and publish it — shared by the batch commit and (with a per-batch
+        segment name + replay watermark) the streaming commit."""
         import time
 
         import pyarrow as pa
@@ -1716,6 +1752,8 @@ class BloomSearchArrowWriter(DataSourceArrowWriter):
         st = (
             pa.concat_tables(tables) if tables else STAGING_PA_SCHEMA.empty_table()
         )
+        if skip_if_empty and len(st) == 0:
+            return
         is_block = pa.compute.is_valid(st.column("block_id"))
         blocks = st.filter(is_block).select(
             [
@@ -1751,29 +1789,100 @@ class BloomSearchArrowWriter(DataSourceArrowWriter):
                 "file_id": blocks.column("file_id"),
                 "block_id": blocks.column("block_id"),
                 "partition_id": blocks.column("partition_id"),
-                "source_desc": pa.array(["datasource-write"] * nb, pa.string()),
+                "source_desc": pa.array([source_desc] * nb, pa.string()),
                 "rows_indexed": blocks.column("row_count"),
                 "tokens_inserted": blocks.column("token_count"),
                 "op": pa.array(["build"] * nb, pa.string()),
                 "committed_at": pa.array([now] * nb, pa.float64()),
             }
         )
-        seg_name = f"{self.build_id}-dswrite"
         seg_dir = mf.segment_dir(self.root, seg_name)
         for name, tbl in (("blocks", blocks), ("files", files), ("lineage", lineage)):
             fsx.write_parquet_atomic(
                 fsx.join(seg_dir, f"{name}.parquet"), tbl, "part-0.parquet"
             )
-        mode = "overwrite" if self.overwrite else "append"
         mf.publish_commit(
             self.root,
             mf.build_commit_finalize(
-                self.root, self.cfg, mode, seg_name, "datasource-write",
-                self.source_columns, self.build_id,
-                {"source_schema": self.schema.json()},
+                self.root, self.cfg, mode, seg_name, source_desc,
+                self.source_columns, self.build_id, meta_extra,
             ),
         )
 
     def abort(self, messages) -> None:
         """Nothing to undo: no manifest was published, so every file the
         tasks wrote is unreachable; ``vacuum()`` reclaims the orphans."""
+
+
+class BloomSearchStreamWriter(BloomSearchArrowWriter, DataSourceStreamArrowWriter):
+    """``df.writeStream.format("bloomsearch")`` — the streaming half of the
+    DSv2 write protocol, sharing the batch writer's flush kernel and
+    ``_publish`` commit verbatim.  What streaming changes:
+
+    - **Per-batch file tags.**  The write-side writer instance is pickled
+      ONCE at query start and reused by every micro-batch's tasks, so the
+      job nonce alone would make batch N's task files overwrite batch
+      N-1's committed ones.  ``_task_tag`` appends the micro-batch id
+      (the ``streaming.sql.batchId`` task-local property Spark sets for
+      every streaming batch — also what FileStreamSink keys on), keeping
+      names deterministic across task RETRIES within a batch; if the
+      property is ever absent, a per-task nonce keeps names unique
+      (orphaned retry files are unreachable; ``vacuum()`` reclaims them).
+    - **Exactly-once commits.**  Spark re-runs ``commit(messages,
+      batchId)`` for an unacknowledged batch after recovery, and the
+      commit runner builds a FRESH writer each time (instance state
+      cannot carry the watermark) — so the guard is durable: every commit
+      stamps ``last_stream_batch`` into meta.json *within the same
+      atomic publish* (exactly :func:`streaming.ingest.append_batch`'s
+      protocol, and the same meta key — the two sinks share one
+      watermark), and a replayed ``batchId <= watermark`` returns without
+      publishing.
+    - **Empty batches commit nothing** (no version churn; the watermark
+      not advancing is safe — replaying an empty batch re-skips).
+
+    Reference analog: the ingest actor's flush→MetaStore.Update cycle
+    (bloom_tree_engine.go:348-414, meta_store.go:21); each micro-batch is
+    one flush.  ``outputMode("append")`` appends; complete/truncate
+    overwrite per batch (the index then tracks the latest result set)."""
+
+    def _task_tag(self) -> str:
+        bid = None
+        try:
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            if ctx is not None:
+                bid = ctx.getLocalProperty("streaming.sql.batchId")
+        except Exception:
+            bid = None
+        if bid is not None:
+            return f"{self.build_id}-b{bid}"
+        import uuid as _uuid
+
+        return f"{self.build_id}-n{_uuid.uuid4().hex[:8]}"
+
+    def commit(self, messages, batchId: int) -> None:
+        import json as _json
+
+        cur = mf.current_version(self.root)
+        if cur is not None:
+            meta = _json.loads(
+                fsx.read_bytes(fsx.join(self.root, "manifest", cur, "meta.json"))
+            )
+            if meta.get("last_stream_batch", -1) >= batchId:
+                return  # replayed batch: its rows are already committed
+        self._publish(
+            messages,
+            seg_name=f"{self.build_id}-b{batchId}-dswrite",
+            mode="overwrite" if self.overwrite else "append",
+            source_desc="datasource-stream",
+            meta_extra={
+                "source_schema": self.schema.json(),
+                "last_stream_batch": batchId,
+            },
+            skip_if_empty=True,
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        """Nothing to undo — same as the batch abort: no manifest was
+        published for this batch, its task files are unreachable."""

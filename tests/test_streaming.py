@@ -283,3 +283,137 @@ def test_stream_sink_caches_segment_count(spark, tmp_root, tmp_path, monkeypatch
     idx = BloomIndex.load(spark, tmp_root)
     assert idx.blocks().agg(F.sum("row_count")).collect()[0][0] == 1_000
     assert idx.meta()["last_stream_batch"] == 4
+
+
+# ---------------------------------------------------------------------------
+# the native DSv2 streaming SINK: df.writeStream.format("bloomsearch")
+# ---------------------------------------------------------------------------
+
+
+def test_ds_stream_sink_end_to_end(spark, tmp_root, tmp_path):
+    """writeStream.format("bloomsearch"): each micro-batch commits one
+    BUILD version; all rows land exactly once across two separate drains
+    (restart reuses the checkpoint's batch numbering); per-batch file tags
+    keep task file names collision-free across batches."""
+    from bloomsearch_spark.sources.datasource import BloomSearchDataSource
+
+    spark.dataSource.register(BloomSearchDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    pdf = generate_pdf(900)
+    for i in range(3):  # 3 files -> 3 micro-batches
+        spark.createDataFrame(
+            pdf.iloc[i * 300 : (i + 1) * 300], schema=SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, f"f{i}"))
+
+    def drain():
+        stream = spark.readStream.schema(SCHEMA).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src + "/*")
+        q = (
+            stream.writeStream.format("bloomsearch")
+            .option("root", tmp_root)
+            .option("indexed_fields", "repo,path,lang,content")
+            .option("partition_col", "lang")
+            .option("sha_col", "content")
+            .option("max_block_rows", "200")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination(180)
+        assert q.exception() is None
+
+    drain()
+    idx = BloomIndex.load(spark, tmp_root)
+    assert idx.blocks().agg(F.sum("row_count")).collect()[0][0] == 900
+    assert idx.meta()["last_stream_batch"] == 2
+    # one committed BUILD version per micro-batch, linear history
+    assert int(idx.version[1:]) == 3
+    # per-batch tags: no two batches share a block data path (collision =
+    # silent row loss via overwritten block parquet)
+    paths = [r.data_path for r in idx.blocks().select("data_path").collect()]
+    assert len(set(paths)) == len(paths)
+    fids = [r.file_id for r in idx.blocks().select("file_id").collect()]
+    descs = {r.source_desc for r in idx.lineage().select("source_desc").distinct().collect()}
+    assert "datasource-stream" in descs
+    # the batchId task-local property reached the executors: tags carry -bN-
+    assert any("-b0-" in f for f in fids) and any("-b2-" in f for f in fids)
+
+    # exact content: every streamed row searchable, exactly once
+    assert search(spark, idx, new_query().build()).count() == 900
+    got = {
+        r.path
+        for r in spark.read.format("bloomsearch").option("root", tmp_root)
+        .load().select("path").collect()
+    }
+    assert got == set(pdf["path"])
+
+    # second drain: only the new file lands (checkpoint continues batch ids)
+    spark.createDataFrame(
+        generate_pdf(150, seed=99), schema=SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f3"))
+    drain()
+    idx2 = BloomIndex.load(spark, tmp_root)
+    assert idx2.blocks().agg(F.sum("row_count")).collect()[0][0] == 1050
+    assert idx2.meta()["last_stream_batch"] == 3
+    assert verify_integrity(spark, idx2) == 0
+    # and the DS sink's commits flow out of the changefeed/changes read
+    n_changes = (
+        spark.read.format("bloomsearch").option("root", tmp_root)
+        .option("changes_from", 0).load().count()
+    )
+    assert n_changes == 1050
+
+
+def test_ds_stream_sink_replay_and_empty_batches(spark, tmp_root, tmp_path):
+    """A replayed commit (fresh writer instance, same batchId — exactly
+    what the commit runner does after recovery) is a no-op; an empty
+    batch publishes no version."""
+    from pyspark.sql.types import StructType
+
+    from bloomsearch_spark.sources import manifest as mf2
+    from bloomsearch_spark.sources.datasource import (
+        BloomSearchDataSource,
+        BloomSearchStreamWriter,
+    )
+
+    spark.dataSource.register(BloomSearchDataSource)
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    spark.createDataFrame(generate_pdf(200), schema=SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(src, "f0"))
+    stream = spark.readStream.schema(SCHEMA).parquet(src + "/*")
+    q = (
+        stream.writeStream.format("bloomsearch")
+        .option("root", tmp_root)
+        .option("indexed_fields", "repo,lang,content")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    before = mf2.current_version(tmp_root)
+    schema = spark.createDataFrame(generate_pdf(1), schema=SCHEMA).schema
+    assert isinstance(schema, StructType)
+
+    # replayed batch 0 through a FRESH writer: watermark stops it before
+    # any message is even parsed
+    w = BloomSearchStreamWriter(
+        {"root": tmp_root, "indexed_fields": "repo,lang,content"}, schema, False
+    )
+    w.commit([], batchId=0)
+    assert mf2.current_version(tmp_root) == before
+
+    # a NEW batch with zero staged rows: skip_if_empty, no version churn
+    w2 = BloomSearchStreamWriter(
+        {"root": tmp_root, "indexed_fields": "repo,lang,content"}, schema, False
+    )
+    w2.commit([], batchId=1)
+    assert mf2.current_version(tmp_root) == before
