@@ -559,6 +559,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r05: batch "table changes" read over the same feed root
         #     (Delta table_changes analog; shares the stream planner) ---
         "bs_changes_batch": _bs_changes_batch,
+        # --- r05: native DSv2 streaming SINK — writeStream straight into
+        #     the index, one exactly-once delta commit per micro-batch ---
+        "strm_ds_sink": _strm_ds_sink,
     }
 
 
@@ -681,6 +684,57 @@ def _bs_changes_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("changes_from", "2").option("commit_metadata", "true")
         .load()
         .select(*cols, "_commit_version")
+    )
+
+
+_DS_SINK_CACHE: dict[str, str] = {}
+
+
+def _strm_ds_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r05: the native DSv2 streaming SINK (sources/datasource.
+    BloomSearchStreamWriter): replay the documents table as a REAL
+    micro-batched file stream through ``df.writeStream.format
+    ("bloomsearch")`` — each micro-batch commits ONE delta manifest
+    segment, exactly once (per-batch file tags + the commit-coupled
+    ``last_stream_batch`` watermark) — then read the whole index back
+    through the transparent-read DataSource.  Oracle = the raw table:
+    a replayed batch (duplicate rows), a lost batch (missing rows), or
+    a file-tag collision (batch N overwriting batch N-1's block
+    parquet) each break the hash.  Reference analog: the ingest actor's
+    flush→MetaStore.Update cycle (bloom_tree_engine.go:348-414)."""
+    from bloomsearch_spark.sources.datasource import BloomSearchDataSource
+
+    key = os.path.abspath(sf_dir)
+    if key not in _DS_SINK_CACHE:
+        spark.dataSource.register(BloomSearchDataSource)
+        docs = _docs(spark, sf_dir)
+        work = tempfile.mkdtemp(prefix="bs-dssink-")
+        src = os.path.join(work, "src")
+        docs.repartition(4).write.mode("overwrite").parquet(src)
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+            .writeStream.format("bloomsearch")
+            .option("root", os.path.join(work, "idx"))
+            .option("indexed_fields", "text,lang,source")
+            .option("partition_col", "lang")
+            .option("minmax_fields", "n_chars,doc_id")
+            .option("sha_col", "text")
+            .option("max_block_rows", "64")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination(600)
+        if q.exception() is not None:
+            raise q.exception()
+        _DS_SINK_CACHE[key] = os.path.join(work, "idx")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    return (
+        spark.read.format("bloomsearch")
+        .option("root", _DS_SINK_CACHE[key]).load()
+        .select(*[c.strip() for c in DOC_COLS.split(",")])
     )
 
 
@@ -1027,6 +1081,9 @@ def oracle_sql() -> dict[str, str]:
         # changefeed: 3 build commits + 1 fold over the whole table ->
         # the feed must hold the table exactly once
         "strm_changefeed": f"SELECT {DOC_COLS} FROM documents",
+        # DSv2 streaming sink: every micro-batch committed exactly once ->
+        # the index holds the streamed table exactly once
+        "strm_ds_sink": f"SELECT {DOC_COLS} FROM documents",
         # batch changes read: (v2, CURRENT] over the same feed root = the
         # final append's slice only (the fold emits nothing), stamped
         # with its committing version

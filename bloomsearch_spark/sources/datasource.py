@@ -557,9 +557,11 @@ class _ManifestSlice(InputPartition):
 
 class BloomSearchReader(DataSourceReader):
     def __init__(self, options: dict, schema) -> None:
-        self.root = options.get("root")
+        self.root = mf.root_option(options)
         if not self.root:
-            raise ValueError("bloomsearch datasource requires .option('root', ...)")
+            raise ValueError(
+                "bloomsearch datasource requires .option('root', ...) or load(path)"
+            )
         self.out_schema = schema
         self.blocks_per_task = int(options.get("blocks_per_task", "4"))
         # the DataSource pins the version it inferred the schema from
@@ -1273,7 +1275,7 @@ class BloomSearchChangesReader(DataSourceReader):
             return _vnum(s) if s.startswith("v") else int(s)
 
         self._sr = BloomSearchStreamReader(dict(options), schema)
-        cur = _vnum(mf.current_version(options["root"]))
+        cur = _vnum(mf.current_version(mf.root_option(options)))
         self.lo = _bound(options.get("changes_from"), 0)
         self.hi = _bound(options.get("changes_to"), cur)
         if not 0 <= self.lo <= self.hi <= cur:
@@ -1294,14 +1296,24 @@ class BloomSearchChangesReader(DataSourceReader):
 class BloomSearchDataSource(DataSource):
     """``spark.read.format("bloomsearch")`` over a committed index root.
 
-    Options: ``root`` (required), ``token`` / ``tokens`` (comma list) /
+    Options: ``root`` (or the positional ``load(path)`` / ``save(path)``
+    argument — Spark delivers it as the ``path`` option; explicit ``root``
+    wins), ``token`` / ``tokens`` (comma list) /
     ``field`` / ``field_token`` ("f:t") — implicit-AND existence query;
     ``columns`` (comma list) — user-opt-in column pruning (the Python
     DataSource API has no pruning hook; this narrows the schema AND the
     parquet reads); ``blocks_per_task``.  WHERE-clause equality/range
     conditions on the partition source column and ``minmax_fields`` prune
     automatically when ``spark.sql.python.filterPushdown.enabled`` is
-    true."""
+    true.
+
+    SQL surface: register a TEMP VIEW over ``load()``
+    (``load(root).createOrReplaceTempView("t")``).  ``CREATE TABLE ...
+    USING bloomsearch`` is NOT supported — Spark 4.1 instantiates Python
+    DataSources with EMPTY options when a catalog table is SELECTed (the
+    stored OPTIONS/LOCATION never reach ``reader()``), and direct-path
+    ``SELECT * FROM bloomsearch.`/root``` is rejected by Spark for
+    Python sources."""
 
     @classmethod
     def name(cls) -> str:
@@ -1322,9 +1334,11 @@ class BloomSearchDataSource(DataSource):
         return v
 
     def schema(self):
-        root = self.options.get("root")
+        root = mf.root_option(self.options)
         if not root:
-            raise ValueError("bloomsearch datasource requires .option('root', ...)")
+            raise ValueError(
+                "bloomsearch datasource requires .option('root', ...) or load(path)"
+            )
         import json
 
         from pyspark.sql.pandas.types import from_arrow_schema
@@ -1449,7 +1463,7 @@ class BloomSearchDataSource(DataSource):
                     "read) option — snapshot batch reads see one pinned "
                     "version, not commits"
                 )
-        root = opts.get("root")
+        root = mf.root_option(opts)
         if root:
             opts["version"] = self._pinned_version(root)
         return BloomSearchReader(opts, schema)
@@ -1609,9 +1623,11 @@ class BloomSearchArrowWriter(DataSourceArrowWriter):
     def __init__(self, options: dict, schema, overwrite: bool) -> None:
         import uuid as _uuid
 
-        self.root = options.get("root")
+        self.root = mf.root_option(options)
         if not self.root:
-            raise ValueError("bloomsearch writer requires .option('root', ...)")
+            raise ValueError(
+                "bloomsearch writer requires .option('root', ...) or save(path)"
+            )
         self.overwrite = overwrite
         self.cfg = _cfg_from_options(options, self.root, overwrite)
         self.schema = schema

@@ -130,6 +130,15 @@ def staging_root(root: str, tag: str) -> str:
     return fsx.join(_manifest_dir(root), "staging", tag)
 
 
+def root_option(options: dict) -> str | None:
+    """The index root from DataSource options: ``.option("root", ...)``
+    or the positional ``load("/path")`` / ``save("/path")`` /
+    ``.start("/path")`` argument, which Spark delivers as the ``path``
+    option — so the idiomatic spellings all work.  ``root`` wins when
+    both are given (explicit over positional)."""
+    return options.get("root") or options.get("path")
+
+
 def current_version(root: str) -> str | None:
     """Resolve the committed manifest version, or None if never committed.
 

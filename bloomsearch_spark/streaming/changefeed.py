@@ -83,9 +83,11 @@ def _opt_bool(options: dict, key: str) -> bool:
 
 class BloomSearchStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict, schema) -> None:
-        self.root = options.get("root")
+        self.root = mf.root_option(options)
         if not self.root:
-            raise ValueError("bloomsearch stream requires .option('root', ...)")
+            raise ValueError(
+                "bloomsearch stream requires .option('root', ...) or load(path)"
+            )
         self.out_schema = schema
         self.blocks_per_task = int(options.get("blocks_per_task", "16"))
         self.with_meta = _opt_bool(options, "commit_metadata")

@@ -368,3 +368,54 @@ def test_changefeed_preserves_float_nan(spark, tmp_path):
     assert g == e
     assert sum(1 for _, v in g if v == "nan") == 8
     assert sum(1 for _, v in g if v == "None") == 1
+
+
+def test_changefeed_to_sink_replication(spark, tmp_root, tmp_path):
+    """The two streaming surfaces COMPOSE into index-to-index replication
+    with no code in between: ``readStream`` over index A's changefeed
+    piped straight into ``writeStream.format("bloomsearch")`` on index B.
+    Each source commit becomes one replica commit; maintenance on A
+    (fold) replicates nothing; a later append flows through the running
+    query; the replica is a fully queryable index with identical search
+    results."""
+    from bloomsearch_spark import new_query, search
+
+    spark.dataSource.register(BloomSearchDataSource)
+    replica = str(tmp_path / "replica")
+    build_index(spark, generate_df(spark, 300), tmp_root, CFG)
+    build_index(
+        spark, generate_df(spark, 100, seed=5).coalesce(1), tmp_root, CFG,
+        mode="append", source_desc="a1",
+    )
+    q = (
+        spark.readStream.format("bloomsearch")
+        .option("root", tmp_root).option("starting_version", "earliest").load()
+        .writeStream.format("bloomsearch")
+        .option("indexed_fields", "repo,path,lang,content")
+        .option("partition_col", "lang")
+        .option("max_block_rows", "100")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start(replica)  # positional path = root
+    )
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None
+        ra = BloomIndex.load(spark, replica)
+        assert ra.blocks().agg(F.sum("row_count")).collect()[0][0] == 400
+
+        # maintenance on A replicates NOTHING; a fresh append flows through
+        fold_manifest(spark, BloomIndex.load(spark, tmp_root))
+        build_index(
+            spark, generate_df(spark, 80, seed=11).coalesce(1), tmp_root, CFG,
+            mode="append", source_desc="a2",
+        )
+        q.processAllAvailable()
+        assert q.exception() is None
+    finally:
+        q.stop()
+    rb = BloomIndex.load(spark, replica)
+    assert rb.blocks().agg(F.sum("row_count")).collect()[0][0] == 480
+    qy = new_query().token("needle_alpha").build()
+    src_idx = BloomIndex.load(spark, tmp_root)
+    exp = {r.commit for r in search(spark, src_idx, qy).collect()}
+    assert {r.commit for r in search(spark, rb, qy).collect()} == exp

@@ -486,6 +486,43 @@ def test_writer_option_validation(spark, tmp_path):
         )
 
 
+def test_positional_path_is_root(spark, tmp_path):
+    """``save(path)`` / ``load(path)`` / ``readStream...load(path)``: the
+    positional path argument (delivered by Spark as the ``path`` option)
+    is accepted as the index root on every surface, with an explicit
+    ``.option("root")`` winning over it.  SQL catalog tables
+    (``CREATE TABLE ... USING bloomsearch``) are NOT a route: Spark 4.1
+    instantiates Python DataSources with EMPTY options at SELECT time —
+    the SQL surface is a temp view over ``load()``."""
+    from bloomsearch_spark.sources.synthetic import generate_df
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(BloomSearchDataSource)
+    root = str(tmp_path / "pos")
+    (
+        generate_df(spark, 400).write.format("bloomsearch")
+        .option("indexed_fields", "repo,lang,content")
+        .option("partition_col", "lang")
+        .option("max_block_rows", "100")
+        .mode("overwrite").save(root)  # positional save
+    )
+    lib = search(
+        spark, BloomIndex.load(spark, root), new_query().token("needle_alpha").build()
+    ).count()
+    ds = spark.read.format("bloomsearch").option("token", "needle_alpha").load(root)
+    assert ds.count() == lib
+    # explicit root wins over a bogus positional path
+    ds2 = (
+        spark.read.format("bloomsearch").option("root", root)
+        .option("token", "needle_alpha").load(str(tmp_path / "nonexistent"))
+    )
+    assert ds2.count() == lib
+    # the changefeed resolves the positional path too (schema inference
+    # is enough to prove root resolution — no need to run the stream)
+    st = spark.readStream.format("bloomsearch").load(root)
+    assert "content" in [f.name for f in st.schema.fields]
+
+
 def test_pushdown_typed_partition_and_empty_string(spark, tmp_path):
     """r04 review regressions: (a) a typed (int) WHERE value on the
     partition source column must prune with Spark's cast-to-string
