@@ -1261,9 +1261,13 @@ class BloomSearchChangesReader(DataSourceReader):
 
     Version bounds accept ints or ``vNNNNNNNN`` names; ``changes_from``
     is EXCLUSIVE (offset semantics: "everything after what I've seen"),
-    ``changes_to`` inclusive.  Planner cost is O(versions x commit batch)
-    driver-side — meta.json + added-segment ``data_path`` columns only;
-    row bytes flow on executors."""
+    ``changes_to`` inclusive.  Timestamp bounds (Delta ``table_changes``
+    analogs, epoch seconds or ISO-8601): ``changes_from_timestamp`` —
+    commits at-or-after it are INCLUDED (resolved to the preceding
+    version number, honoring the exclusive-from convention);
+    ``changes_to_timestamp`` — last commit at-or-before it.  Planner cost
+    is O(versions x commit batch) driver-side — meta.json + added-segment
+    ``data_path`` columns only; row bytes flow on executors."""
 
     def __init__(self, options: dict, schema) -> None:
         from ..streaming.changefeed import BloomSearchStreamReader, _vnum
@@ -1274,10 +1278,36 @@ class BloomSearchChangesReader(DataSourceReader):
             s = str(raw).strip()
             return _vnum(s) if s.startswith("v") else int(s)
 
+        root = mf.root_option(options)
+        for vkey, tkey in (
+            ("changes_from", "changes_from_timestamp"),
+            ("changes_to", "changes_to_timestamp"),
+        ):
+            if options.get(vkey) is not None and options.get(tkey) is not None:
+                raise ValueError(
+                    f"pass {vkey} OR {tkey}, not both — they both set the "
+                    "same range bound"
+                )
         self._sr = BloomSearchStreamReader(dict(options), schema)
-        cur = _vnum(mf.current_version(mf.root_option(options)))
-        self.lo = _bound(options.get("changes_from"), 0)
-        self.hi = _bound(options.get("changes_to"), cur)
+        cur = _vnum(mf.current_version(root))
+        from_ts = options.get("changes_from_timestamp")
+        if from_ts is not None:
+            first = mf.first_version_at_or_after(root, from_ts)
+            if first is None:
+                raise ValueError(
+                    f"changes_from_timestamp {from_ts!r} is after the "
+                    "latest commit — no changes at-or-after it exist (yet); "
+                    "use the changefeed (readStream) to tail future commits"
+                )
+            self.lo = _vnum(first) - 1  # exclusive-from: include `first`
+        else:
+            self.lo = _bound(options.get("changes_from"), 0)
+        to_ts = options.get("changes_to_timestamp")
+        self.hi = (
+            _vnum(mf.version_as_of(root, to_ts))  # raises if ts < earliest
+            if to_ts is not None
+            else _bound(options.get("changes_to"), cur)
+        )
         if not 0 <= self.lo <= self.hi <= cur:
             raise ValueError(
                 f"changes range ({self.lo}, {self.hi}] is not within the "
@@ -1302,10 +1332,14 @@ class BloomSearchDataSource(DataSource):
     ``field`` / ``field_token`` ("f:t") — implicit-AND existence query;
     ``columns`` (comma list) — user-opt-in column pruning (the Python
     DataSource API has no pruning hook; this narrows the schema AND the
-    parquet reads); ``blocks_per_task``.  WHERE-clause equality/range
-    conditions on the partition source column and ``minmax_fields`` prune
-    automatically when ``spark.sql.python.filterPushdown.enabled`` is
-    true.
+    parquet reads); ``blocks_per_task``; ``version`` /
+    ``timestamp_as_of`` — time travel to a retained manifest version, by
+    name or by commit instant (epoch seconds or ISO-8601, naive = UTC);
+    ``changes_from(_timestamp)`` / ``changes_to(_timestamp)`` — batch
+    table-changes read (commit deltas, not a snapshot).  WHERE-clause
+    equality/range conditions on the partition source column and
+    ``minmax_fields`` prune automatically when
+    ``spark.sql.python.filterPushdown.enabled`` is true.
 
     SQL surface: register a TEMP VIEW over ``load()``
     (``load(root).createOrReplaceTempView("t")``).  ``CREATE TABLE ...
@@ -1324,10 +1358,25 @@ class BloomSearchDataSource(DataSource):
         inference and the reader must see the SAME manifest version, or a
         commit landing between the two makes the reader scan newer data
         under an older schema (ADVICE r04).  A user-passed
-        ``.option("version", "vNNNNNNNN")`` pins explicitly (time travel)."""
-        v = self.options.get("version") or getattr(self, "_resolved_version", None)
+        ``.option("version", "vNNNNNNNN")`` pins explicitly, and
+        ``.option("timestamp_as_of", <epoch seconds | ISO-8601>)`` pins
+        the latest version committed at-or-before that instant (time
+        travel — versions are immutable, so a pinned read is exactly the
+        snapshot that was CURRENT then)."""
+        explicit = self.options.get("version")
+        as_of = self.options.get("timestamp_as_of")
+        if explicit and as_of:
+            raise ValueError(
+                "pass version OR timestamp_as_of, not both — they both "
+                "pin the manifest version to read"
+            )
+        v = explicit or getattr(self, "_resolved_version", None)
         if v is None:
-            v = mf.current_version(root)
+            v = (
+                mf.version_as_of(root, as_of)
+                if as_of
+                else mf.current_version(root)
+            )
             if v is None:
                 raise FileNotFoundError(f"no committed manifest under {root}")
             self._resolved_version = v
@@ -1442,26 +1491,35 @@ class BloomSearchDataSource(DataSource):
 
     def reader(self, schema) -> "DataSourceReader":
         opts = dict(self.options)
-        if opts.get("changes_from") is not None or opts.get("changes_to") is not None:
+        changes_keys = (
+            "changes_from", "changes_to",
+            "changes_from_timestamp", "changes_to_timestamp",
+        )
+        if any(opts.get(k) is not None for k in changes_keys):
             # batch "table changes" read — commit deltas, not a snapshot
             bad = [
                 k for k in ("token", "tokens", "field", "field_token",
-                            "field_regex", "max_versions_per_trigger")
+                            "field_regex", "max_versions_per_trigger",
+                            "version", "timestamp_as_of")
                 if opts.get(k)
             ]
             if bad:
                 raise ValueError(
                     f"options {bad} do not apply to a changes read — it "
                     "returns commit deltas verbatim; query a snapshot "
-                    "load() (optionally .option('version', ...)) instead"
+                    "load() (pinned via version / timestamp_as_of) for "
+                    "point-in-time rows, or bound the change range with "
+                    "changes_from/_to(_timestamp)"
                 )
             return BloomSearchChangesReader(opts, schema)
-        for stream_only in ("commit_metadata", "max_versions_per_trigger"):
+        for stream_only in ("commit_metadata", "max_versions_per_trigger",
+                            "starting_version", "starting_timestamp"):
             if opts.get(stream_only):
                 raise ValueError(
                     f"{stream_only!r} is a changefeed (readStream / changes "
                     "read) option — snapshot batch reads see one pinned "
-                    "version, not commits"
+                    "version, not commits (pin with version / "
+                    "timestamp_as_of)"
                 )
         root = mf.root_option(opts)
         if root:
@@ -1476,6 +1534,7 @@ class BloomSearchDataSource(DataSource):
         CHANGEFEED: each committed BUILD version's added rows become one
         micro-batch; maintenance commits emit nothing.  Options:
         ``starting_version`` ("earliest" default | "latest" | vN | int),
+        ``starting_timestamp`` (first commit at-or-after the instant),
         ``blocks_per_task``, ``commit_metadata`` (append a
         ``_commit_version`` provenance column), ``max_versions_per_trigger``
         (bound the backlog admitted per micro-batch).  See

@@ -211,6 +211,124 @@ def version_after(prev: str | None) -> str:
     return f"v{n:08d}"
 
 
+def parse_ts(raw) -> float:
+    """Epoch-seconds float from a timestamp option value: a number
+    (epoch seconds, what ``meta['created_at']`` stores), or an ISO-8601
+    datetime string.  A naive ISO string is taken as UTC — commit times
+    are stamped with ``time.time()``, an epoch clock, so interpreting
+    naive input in some host-local zone would silently shift the
+    resolved version by the zone offset."""
+    if isinstance(raw, (int, float)):
+        return float(raw)
+    s = str(raw).strip()
+    try:
+        return float(s)
+    except ValueError:
+        pass
+    from datetime import datetime, timezone
+
+    try:
+        dt = datetime.fromisoformat(s)
+    except ValueError:
+        raise ValueError(
+            f"cannot parse timestamp {raw!r}: pass epoch seconds or an "
+            "ISO-8601 datetime (naive = UTC)"
+        ) from None
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.timestamp()
+
+
+def commit_time(root: str, version: str) -> float:
+    """Commit wall time of a retained version — its meta's ``created_at``,
+    stamped by :func:`write_meta` inside the commit lock, before the
+    CURRENT swap, so it is monotonic per root (publish_commit serializes
+    commits; the only caveat is a host clock step, same as Delta/Iceberg
+    timestamp resolution)."""
+    meta = json.loads(
+        fsx.read_bytes(fsx.join(root, "manifest", version, "meta.json"))
+    )
+    return float(meta.get("created_at") or 0.0)
+
+
+def retained_versions(root: str) -> list[str]:
+    """Committed version names still on disk, ascending — the time-travel
+    window.  Excludes names past CURRENT (publish_commit's finalize writes
+    the version dir *before* the CURRENT swap, so a racing commit's dir
+    can exist uncommitted) and the non-version manifest dirs
+    (``segments/``, ``staging/``).  One directory listing, no meta reads."""
+    cur = current_version(root)
+    if cur is None:
+        raise FileNotFoundError(f"no committed manifest under {root}")
+    cur_n = int(cur[1:])
+    return [
+        n
+        for n in fsx.list_subdirs(_manifest_dir(root))
+        if len(n) == 9
+        and n[0] == "v"
+        and n[1:].isdigit()
+        and int(n[1:]) <= cur_n
+    ]  # list_subdirs sorts; zero-padded names sort numerically
+
+
+def _bisect_commit_times(
+    root: str, versions: list[str], ts: float, strict: bool
+) -> int:
+    """Partition point of ``versions`` (ascending, retained) by commit
+    time: the first index whose commit time is ``> ts`` (strict=False) or
+    ``>= ts`` (strict=True).  An explicit predicate, NOT an epsilon shift
+    — at epoch magnitude (~1.7e9) a double's ULP is ~2.4e-7 s, so
+    ``ts - 1e-9`` rounds back to ``ts`` and silently flips <= into <.
+    O(log n) meta.json reads, memoized."""
+    times: dict[int, float] = {}
+
+    def t(i: int) -> float:
+        if i not in times:
+            times[i] = commit_time(root, versions[i])
+        return times[i]
+
+    lo, hi = 0, len(versions)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        left_of_point = t(mid) < ts if strict else t(mid) <= ts
+        if left_of_point:
+            lo = mid + 1
+        else:
+            hi = mid
+    return lo
+
+
+def version_as_of(root: str, ts) -> str:
+    """Snapshot time travel: the latest retained version committed
+    at-or-before ``ts`` (epoch seconds or ISO-8601 string — see
+    :func:`parse_ts`).  Raises if ``ts`` predates the earliest retained
+    commit (earlier versions were vacuumed or never existed) — a silent
+    clamp-to-earliest would hand back rows that did not exist at ``ts``."""
+    ts = parse_ts(ts)
+    vs = retained_versions(root)
+    i = _bisect_commit_times(root, vs, ts, strict=False)
+    if i == 0:
+        t0 = commit_time(root, vs[0])
+        raise ValueError(
+            f"timestamp {ts} predates the earliest retained version "
+            f"{vs[0]} (committed at {t0}); older versions were vacuumed "
+            "or never existed"
+        )
+    return vs[i - 1]
+
+
+def first_version_at_or_after(root: str, ts) -> str | None:
+    """Earliest retained version committed at-or-after ``ts`` (changefeed
+    ``starting_timestamp`` / ``changes_from_timestamp`` resolution), or
+    ``None`` when ``ts`` is after the latest commit."""
+    ts = parse_ts(ts)
+    vs = retained_versions(root)
+    i = _bisect_commit_times(root, vs, ts, strict=True)
+    if i >= len(vs):
+        return None
+    return vs[i]
+
+
 def build_commit_finalize(
     root: str,
     cfg,
@@ -346,11 +464,35 @@ class BloomIndex:
     version: str
 
     @classmethod
-    def load(cls, spark: SparkSession, root: str) -> "BloomIndex":
-        v = current_version(root)
-        if v is None:
-            raise FileNotFoundError(f"no committed manifest under {root}")
-        return cls(spark, root, v)
+    def load(
+        cls,
+        spark: SparkSession,
+        root: str,
+        version: str | None = None,
+        timestamp=None,
+    ) -> "BloomIndex":
+        """Resolve a handle at CURRENT, or time-travel to a pinned
+        ``version`` ("vNNNNNNNN") / a ``timestamp`` (epoch seconds or
+        ISO-8601 — latest version committed at-or-before it).  Versions
+        are immutable; any retained one reads exactly as it did when it
+        was CURRENT."""
+        if version is not None and timestamp is not None:
+            raise ValueError(
+                "pass version OR timestamp, not both — they both pin the "
+                "manifest version to read"
+            )
+        if timestamp is not None:
+            version = version_as_of(root, timestamp)
+        if version is None:
+            version = current_version(root)
+            if version is None:
+                raise FileNotFoundError(f"no committed manifest under {root}")
+        elif not fsx.exists(fsx.join(root, "manifest", version, "meta.json")):
+            raise FileNotFoundError(
+                f"manifest version {version} of {root} does not exist "
+                "(never committed, or vacuumed)"
+            )
+        return cls(spark, root, version)
 
     @property
     def data_dir(self) -> str:

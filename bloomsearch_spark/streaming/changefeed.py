@@ -26,6 +26,11 @@ segments' ``data_path`` column (bounded by the BATCH, never the index);
 row bytes flow executor-side in ``read()``.
 
 Options beyond ``root``/``starting_version``/``blocks_per_task``:
+- ``starting_timestamp`` (epoch seconds or ISO-8601, naive = UTC): start
+  from the first commit at-or-after this instant (Delta
+  ``startingTimestamp`` analog; mutually exclusive with
+  ``starting_version``) — resolved against retained version metas'
+  ``created_at`` in O(log n_versions) meta reads.
 - ``commit_metadata`` ("true"): append ``_commit_version`` (bigint — the
   manifest version number that committed each row) and
   ``_commit_timestamp`` (timestamp — that version meta's ``created_at``)
@@ -95,7 +100,20 @@ class BloomSearchStreamReader(DataSourceStreamReader):
         self.max_versions = int(mvpt) if mvpt is not None else None
         if self.max_versions is not None and self.max_versions < 1:
             raise ValueError("max_versions_per_trigger must be >= 1")
-        start = options.get("starting_version", "earliest")
+        for snap_only in ("version", "timestamp_as_of"):
+            if options.get(snap_only):
+                raise ValueError(
+                    f"{snap_only!r} pins a snapshot batch read — the "
+                    "changefeed's start is set with starting_version / "
+                    "starting_timestamp"
+                )
+        start = options.get("starting_version")
+        start_ts = options.get("starting_timestamp")
+        if start is not None and start_ts is not None:
+            raise ValueError(
+                "pass starting_version OR starting_timestamp, not both — "
+                "they both set the stream's initial offset"
+            )
         cur = mf.current_version(self.root)
         if cur is not None:
             meta = self._meta(cur)
@@ -105,7 +123,37 @@ class BloomSearchStreamReader(DataSourceStreamReader):
                     "rows live in caller-owned source files; use "
                     "bloomsearch_spark.search()"
                 )
-        if start == "earliest":
+        if start_ts is not None:
+            # Delta startingTimestamp semantics: commits at-or-after the
+            # instant are included.  Offsets are exclusive-from, so the
+            # initial offset is the PRECEDING version number — whose meta
+            # partitions() needs for delta computation; refuse upfront if
+            # it was vacuumed rather than fail on the first trigger.
+            if cur is None:
+                raise ValueError(
+                    f"no committed manifest under {self.root} — cannot "
+                    "resolve starting_timestamp"
+                )
+            first = mf.first_version_at_or_after(self.root, start_ts)
+            if first is None:
+                raise ValueError(
+                    f"starting_timestamp {start_ts!r} is after the latest "
+                    f"commit ({cur}) — nothing committed at-or-after it; "
+                    "use .option('starting_version', 'latest') to tail "
+                    "only future commits"
+                )
+            n = _vnum(first)
+            if n > 1 and not fsx.exists(
+                fsx.join(self.root, "manifest", _vname(n - 1), "meta.json")
+            ):
+                raise ValueError(
+                    f"starting_timestamp resolves to {first}, but its "
+                    f"predecessor {_vname(n - 1)} was vacuumed — the feed "
+                    "cannot compute the first delta; start from a later "
+                    "timestamp or a retained starting_version"
+                )
+            self._initial = n - 1
+        elif start is None or start == "earliest":
             self._initial = 0
         elif start == "latest":
             self._initial = _vnum(cur)

@@ -1,0 +1,221 @@
+"""Timestamp-based time travel (r05): pin snapshot reads, start the
+changefeed, and bound batch table-changes reads by COMMIT INSTANT.
+
+Version metas stamp ``created_at`` inside the commit lock, so commit
+times are monotonic per root; resolution is an O(log n_versions) bisect
+over retained metas (Delta/Iceberg ``TIMESTAMP AS OF`` analog).
+Semantics under test:
+- ``version_as_of``: latest version committed at-or-before ts; refuses a
+  ts older than the earliest retained commit (silent clamp would hand
+  back rows that did not exist then).
+- ``first_version_at_or_after``: changefeed/changes-from resolution;
+  None past the latest commit.
+- ISO-8601 and epoch-seconds inputs are equivalent; naive ISO = UTC.
+"""
+
+import shutil
+import tempfile
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from bloomsearch_spark import IndexConfig, build_index
+from bloomsearch_spark.sources import manifest as mf
+from bloomsearch_spark.sources.datasource import BloomSearchDataSource
+from bloomsearch_spark.sources.manifest import BloomIndex
+from bloomsearch_spark.sources.synthetic import generate_df, generate_pdf
+
+CFG = IndexConfig(
+    indexed_fields=("repo", "path", "lang", "content"),
+    partition_expr="lang",
+    max_block_rows=100,
+    blocks_per_file=4,
+)
+
+V1_ROWS, V2_ROWS, V3_ROWS = 200, 70, 50
+
+
+@pytest.fixture(scope="module")
+def history(spark):
+    """A 3-commit index + each version's commit instant."""
+    root = tempfile.mkdtemp(prefix="bs-tt-")
+    spark.dataSource.register(BloomSearchDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    build_index(spark, generate_df(spark, V1_ROWS), root, CFG)
+    build_index(
+        spark, generate_df(spark, V2_ROWS, seed=4).coalesce(1), root, CFG,
+        mode="append", source_desc="a1",
+    )
+    build_index(
+        spark, generate_df(spark, V3_ROWS, seed=9).coalesce(1), root, CFG,
+        mode="append", source_desc="a2",
+    )
+    t = {n: mf.commit_time(root, f"v{n:08d}") for n in (1, 2, 3)}
+    assert t[1] < t[2] < t[3]  # stamped inside the commit lock
+    yield root, t
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_version_as_of_resolution(history):
+    root, t = history
+    assert mf.retained_versions(root) == ["v00000001", "v00000002", "v00000003"]
+    # exactly at a commit instant = that commit (at-or-before is inclusive)
+    assert mf.version_as_of(root, t[2]) == "v00000002"
+    # between commits = the earlier one
+    assert mf.version_as_of(root, (t[2] + t[3]) / 2) == "v00000002"
+    # past the latest = the latest
+    assert mf.version_as_of(root, t[3] + 3600) == "v00000003"
+    # before the earliest retained commit: refuse, never clamp
+    with pytest.raises(ValueError, match="predates the earliest"):
+        mf.version_as_of(root, t[1] - 10)
+
+    # first_version_at_or_after is the changefeed-side dual
+    assert mf.first_version_at_or_after(root, t[1] - 10) == "v00000001"
+    assert mf.first_version_at_or_after(root, t[2]) == "v00000002"
+    assert mf.first_version_at_or_after(root, (t[2] + t[3]) / 2) == "v00000003"
+    assert mf.first_version_at_or_after(root, t[3] + 3600) is None
+
+
+def test_version_as_of_iso_input(history):
+    root, t = history
+    # aware ISO string == the epoch instant it denotes
+    iso = datetime.fromtimestamp(t[2], tz=timezone.utc).isoformat()
+    assert mf.version_as_of(root, iso) == "v00000002"
+    # naive ISO is interpreted as UTC (commit clocks are epoch clocks)
+    naive = datetime.fromtimestamp(t[2], tz=timezone.utc).replace(
+        tzinfo=None
+    ).isoformat()
+    assert mf.version_as_of(root, naive) == "v00000002"
+
+
+def test_bloomindex_load_time_travel(spark, history):
+    root, t = history
+
+    def total_rows(idx):
+        return idx.blocks().agg(F.sum("row_count")).collect()[0][0]
+
+    pinned = BloomIndex.load(spark, root, timestamp=t[2])
+    assert pinned.version == "v00000002"
+    assert total_rows(pinned) == V1_ROWS + V2_ROWS
+    assert total_rows(BloomIndex.load(spark, root)) == V1_ROWS + V2_ROWS + V3_ROWS
+    assert BloomIndex.load(spark, root, version="v00000001").version == "v00000001"
+
+    with pytest.raises(ValueError, match="not both"):
+        BloomIndex.load(spark, root, version="v00000001", timestamp=t[2])
+    with pytest.raises(FileNotFoundError, match="v00000099"):
+        BloomIndex.load(spark, root, version="v00000099")
+
+
+def test_datasource_timestamp_as_of(spark, history):
+    """.option('timestamp_as_of', ts) pins the DataSource snapshot —
+    versions are immutable, so the read is exactly the table as it was
+    CURRENT at that instant.  One load() per query shape (plan-cache
+    sharp edge), so each assertion gets a fresh load."""
+    root, t = history
+
+    def count_at(**opts):
+        r = spark.read.format("bloomsearch").option("root", root)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load().count()
+
+    assert count_at(timestamp_as_of=str(t[2])) == V1_ROWS + V2_ROWS
+    assert count_at(timestamp_as_of=str(t[3] + 3600)) == V1_ROWS + V2_ROWS + V3_ROWS
+    # ISO-8601 input resolves identically
+    iso = datetime.fromtimestamp(t[1], tz=timezone.utc).isoformat()
+    assert count_at(timestamp_as_of=iso) == V1_ROWS
+    # version rows are the exact v1+v2 commits, not just the right count
+    got = (
+        spark.read.format("bloomsearch").option("root", root)
+        .option("timestamp_as_of", str(t[2])).load()
+        .select("commit").collect()
+    )
+    exp = set(generate_pdf(V1_ROWS)["commit"]) | set(
+        generate_pdf(V2_ROWS, seed=4)["commit"]
+    )
+    assert {r.commit for r in got} == exp
+
+    with pytest.raises(Exception, match="predates the earliest"):
+        count_at(timestamp_as_of=str(t[1] - 10))
+    with pytest.raises(Exception, match="not both"):
+        count_at(version="v00000001", timestamp_as_of=str(t[2]))
+
+
+def test_batch_changes_timestamp_bounds(spark, history):
+    root, t = history
+
+    def changes(**opts):
+        r = spark.read.format("bloomsearch").option("root", root)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    # from a commit instant: that commit and everything after (Delta
+    # startingTimestamp convention), despite exclusive-from offsets
+    assert changes(changes_from_timestamp=str(t[2])).count() == V2_ROWS + V3_ROWS
+    # to-bound: last commit at-or-before the instant
+    assert changes(changes_to_timestamp=str(t[2])).count() == V1_ROWS + V2_ROWS
+    mid = str((t[2] + t[3]) / 2)
+    assert changes(
+        changes_from_timestamp=str(t[2]), changes_to_timestamp=mid
+    ).count() == V2_ROWS
+
+    with pytest.raises(Exception, match="after the latest"):
+        changes(changes_from_timestamp=str(t[3] + 3600)).count()
+    with pytest.raises(Exception, match="not both"):
+        changes(changes_from="1", changes_from_timestamp=str(t[2])).count()
+    with pytest.raises(Exception, match="do not apply to a changes read"):
+        changes(changes_from="0", timestamp_as_of=str(t[2])).count()
+
+
+def test_changefeed_starting_timestamp(spark, history, tmp_path):
+    """starting_timestamp on the streaming source: the feed begins at the
+    first commit at-or-after the instant."""
+    root, t = history
+    stream = (
+        spark.readStream.format("bloomsearch").option("root", root)
+        .option("starting_timestamp", str(t[2])).load()
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("tt_feed")
+        .option("checkpointLocation", str(tmp_path / "ckpt")).start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.table("tt_feed")
+        assert got.count() == V2_ROWS + V3_ROWS
+        exp = set(generate_pdf(V2_ROWS, seed=4)["commit"]) | set(
+            generate_pdf(V3_ROWS, seed=9)["commit"]
+        )
+        assert {r.commit for r in got.select("commit").collect()} == exp
+    finally:
+        q.stop()
+
+
+def test_changefeed_starting_timestamp_errors(spark, history):
+    from bloomsearch_spark.streaming.changefeed import BloomSearchStreamReader
+
+    root, t = history
+    schema = (
+        spark.read.format("bloomsearch").option("root", root).load().schema
+    )
+    with pytest.raises(ValueError, match="after the latest"):
+        BloomSearchStreamReader(
+            {"root": root, "starting_timestamp": str(t[3] + 3600)}, schema
+        )
+    with pytest.raises(ValueError, match="not both"):
+        BloomSearchStreamReader(
+            {"root": root, "starting_version": "earliest",
+             "starting_timestamp": str(t[2])}, schema
+        )
+    with pytest.raises(ValueError, match="snapshot batch read"):
+        BloomSearchStreamReader(
+            {"root": root, "timestamp_as_of": str(t[2])}, schema
+        )
+    # snapshot batch reads refuse the stream-only option loudly
+    with pytest.raises(Exception, match="changefeed"):
+        (
+            spark.read.format("bloomsearch").option("root", root)
+            .option("starting_timestamp", str(t[2])).load().count()
+        )
