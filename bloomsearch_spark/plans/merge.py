@@ -574,10 +574,20 @@ def _commit(
     return out, stats
 
 
-def vacuum(index: BloomIndex) -> int:
+def vacuum(
+    index: BloomIndex, retain_versions: int = 0, retain_time: float = 0.0
+) -> int:
     """Delete block data dirs not referenced by the CURRENT manifest
     (TombstoneFile analog, data_store.go:19-21).  Safe only once no reader
-    resolves an older manifest version.  Returns dirs removed.
+    resolves a version outside the retained window.  Returns dirs removed.
+
+    ``retain_versions`` / ``retain_time`` additionally keep every block
+    dir referenced by the newest K superseded versions and/or versions
+    committed within the last S seconds (Delta ``VACUUM ... RETAIN``
+    analog) — the DATA half of the time-travel window; pair with the
+    same knobs on :func:`vacuum_manifest` so the version metadata
+    survives too.  Cost: the anti-join's right side unions each retained
+    version's manifest-sized block list (distributed, never collected).
 
     DISTRIBUTED end to end (bounded driver memory at ANY file/block
     count): even the top-level ``file_id=`` listing runs in a task
@@ -613,9 +623,14 @@ def vacuum(index: BloomIndex) -> int:
             yield pd.DataFrame({"data_path": rows})
 
     listed = fd_df.mapInPandas(list_blocks, "data_path string")
-    dead = listed.join(
-        index.blocks().select("data_path"), "data_path", "left_anti"
-    )
+    live_blocks = index.blocks().select("data_path")
+    for v in mf.travel_retained(index.root, retain_versions, retain_time):
+        live_blocks = live_blocks.unionByName(
+            mf.BloomIndex(spark, index.root, v)
+            .blocks(cache=False)
+            .select("data_path")
+        )
+    dead = listed.join(live_blocks.distinct(), "data_path", "left_anti")
 
     def delete(pdfs):
         n = 0
@@ -709,10 +724,24 @@ def fold_manifest(
     return mf.BloomIndex(spark, root, version)
 
 
-def vacuum_manifest(index: BloomIndex, staging_ttl: float = 24 * 3600.0) -> int:
+def vacuum_manifest(
+    index: BloomIndex,
+    staging_ttl: float = 24 * 3600.0,
+    retain_versions: int = 0,
+    retain_time: float = 0.0,
+) -> int:
     """Delete manifest metadata unreachable from CURRENT: superseded
     version dirs, segment dirs no version references (failed or folded-away
     commits), and STALE build staging scratch.  Returns dirs removed.
+
+    ``retain_versions`` / ``retain_time`` keep a TIME-TRAVEL window
+    (Delta ``logRetentionDuration`` analog): the newest K superseded
+    versions and/or every version committed within the last S seconds
+    stay readable — their version dirs AND every segment they reference
+    survive.  Pair with the same knobs on :func:`vacuum`, which guards
+    the underlying block DATA; a version whose metadata survives but
+    whose data was vacuumed reads as missing files, same failure mode as
+    Delta time travel past VACUUM retention.
 
     Staging scratch is special: a build is exposed for its whole
     multi-minute (at scale multi-hour) staging window, not just the brief
@@ -731,15 +760,23 @@ def vacuum_manifest(index: BloomIndex, staging_ttl: float = 24 * 3600.0) -> int:
     cur = mf.current_version(root)
     if cur is None:
         return 0
-    live = mf.BloomIndex(index.spark, root, cur)
-    all_refs = [rel for refs in live.table_refs().values() for rel in refs]
+    live_handles = [mf.BloomIndex(index.spark, root, cur)] + [
+        mf.BloomIndex(index.spark, root, v)
+        for v in mf.travel_retained(root, retain_versions, retain_time)
+    ]
+    all_refs = [
+        rel
+        for h in live_handles
+        for refs in h.table_refs().values()
+        for rel in refs
+    ]
     referenced = {
         rel.split("/", 2)[1] for rel in all_refs if rel.startswith("segments/")
     }
     # a post-upgrade append can still reference a PRE-segment version dir's
     # tables (back-compat refs like "v00000001/blocks.parquet") — those
     # version dirs stay live even though CURRENT moved past them
-    live_vdirs = {cur} | {
+    live_vdirs = {h.version for h in live_handles} | {
         rel.split("/", 1)[0] for rel in all_refs if not rel.startswith("segments/")
     }
     mdir = fsx.join(root, "manifest")

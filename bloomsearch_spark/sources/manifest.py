@@ -55,6 +55,7 @@ import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..config import IndexConfig
 from . import fs as fsx
@@ -327,6 +328,37 @@ def first_version_at_or_after(root: str, ts) -> str | None:
     if i >= len(vs):
         return None
     return vs[i]
+
+
+def travel_retained(
+    root: str, retain_versions: int = 0, retain_time: float = 0.0
+) -> list[str]:
+    """SUPERSEDED versions a vacuum must keep so time travel
+    (``timestamp_as_of`` / ``version=`` / the changefeed's
+    ``starting_timestamp``) keeps a guaranteed window — the Delta
+    ``logRetentionDuration`` analog.  CURRENT is never in the result
+    (vacuums always keep it).
+
+    - ``retain_versions=K``: the newest K versions below CURRENT — no
+      meta reads, one listing.
+    - ``retain_time=S``: every version committed within the last S
+      seconds — O(log n_versions) meta reads (commit-time bisect).
+    The two compose as a union.  Time travel PAST the retained window
+    refuses loudly (``version_as_of`` pre-earliest error / missing
+    version dir), exactly like Delta reads past its retention."""
+    if retain_versions <= 0 and retain_time <= 0:
+        return []
+    vs = retained_versions(root)[:-1]  # superseded only
+    keep: set[str] = set()
+    if retain_versions > 0:
+        keep.update(vs[-retain_versions:])
+    if retain_time > 0:
+        first = first_version_at_or_after(root, time.time() - retain_time)
+        # first is None (nothing that recent) or CURRENT (no superseded
+        # version is that young) → the window adds nothing
+        if first is not None and first in vs:
+            keep.update(vs[vs.index(first):])
+    return sorted(keep)
 
 
 def build_commit_finalize(
@@ -661,6 +693,62 @@ class BloomIndex:
     @property
     def config(self) -> IndexConfig:
         return IndexConfig.from_dict(self.meta()["config"])
+
+    def history(self, limit: int | None = None) -> DataFrame:
+        """Commit history of the RETAINED versions, newest-first — the
+        ``DESCRIBE HISTORY`` analog.  Columns: ``version`` (number),
+        ``name`` (vNNNNNNNN), ``timestamp`` (commit instant — valid
+        ``timestamp_as_of`` input), ``operation`` ("build" for
+        append/overwrite commits, else the maintenance op: merge /
+        compact / expire / fold), ``source_desc``, ``parent_version``
+        (maintenance commits only), ``is_maintenance``,
+        ``streaming_batch`` (the exactly-once replay watermark, if the
+        streaming sink has written), ``n_segments`` (manifest breadth —
+        watch it to schedule ``fold_manifest``).
+
+        Driver cost: one meta.json per retained version, newest-first,
+        bounded by ``limit`` BEFORE any read — pass it on long-retention
+        roots (the changefeed planner has the same O(versions) shape)."""
+        names = retained_versions(self.root)[::-1]
+        if limit is not None:
+            names = names[: max(limit, 0)]
+        rows = []
+        for name in names:
+            m = json.loads(
+                fsx.read_bytes(
+                    fsx.join(_manifest_dir(self.root), name, "meta.json")
+                )
+            )
+            parent = m.get("parent_version")
+            desc = m.get("source_desc") or ""
+            sb = m.get("last_stream_batch")
+            refs = m.get("tables") or {}
+            # bump past Spark's microsecond timestamp truncation: a
+            # truncated instant would be BEFORE the true commit time, so
+            # feeding it back into timestamp_as_of would resolve one
+            # version earlier.  +2µs survives double rounding at epoch
+            # magnitude (ULP ≈ 0.24µs) and stays far under any real
+            # inter-commit gap (commits serialize through the lock).
+            created = float(m.get("created_at") or 0.0)
+            rows.append(
+                (
+                    int(name[1:]),
+                    name,
+                    created + 2e-6,
+                    desc.split(" of ")[0] if parent else "build",
+                    desc,
+                    int(parent[1:]) if parent else None,
+                    parent is not None,
+                    int(sb) if sb is not None else None,
+                    len(refs.get("blocks", ())),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version long, name string, timestamp double, operation string, "
+            "source_desc string, parent_version long, is_maintenance boolean, "
+            "streaming_batch long, n_segments long",
+        ).withColumn("timestamp", F.timestamp_seconds(F.col("timestamp")))
 
     def block_paths(self, data_paths: list[str]) -> list[str]:
         """Absolute data directories for manifest ``data_path`` values — the

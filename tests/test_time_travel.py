@@ -79,11 +79,14 @@ def test_version_as_of_resolution(history):
 
 def test_version_as_of_iso_input(history):
     root, t = history
+    # a mid-gap instant (datetime truncates to microseconds, so an
+    # exactly-at-commit ISO string could round below the commit time)
+    mid = (t[2] + t[3]) / 2
     # aware ISO string == the epoch instant it denotes
-    iso = datetime.fromtimestamp(t[2], tz=timezone.utc).isoformat()
+    iso = datetime.fromtimestamp(mid, tz=timezone.utc).isoformat()
     assert mf.version_as_of(root, iso) == "v00000002"
     # naive ISO is interpreted as UTC (commit clocks are epoch clocks)
-    naive = datetime.fromtimestamp(t[2], tz=timezone.utc).replace(
+    naive = datetime.fromtimestamp(mid, tz=timezone.utc).replace(
         tzinfo=None
     ).isoformat()
     assert mf.version_as_of(root, naive) == "v00000002"
@@ -122,8 +125,11 @@ def test_datasource_timestamp_as_of(spark, history):
 
     assert count_at(timestamp_as_of=str(t[2])) == V1_ROWS + V2_ROWS
     assert count_at(timestamp_as_of=str(t[3] + 3600)) == V1_ROWS + V2_ROWS + V3_ROWS
-    # ISO-8601 input resolves identically
-    iso = datetime.fromtimestamp(t[1], tz=timezone.utc).isoformat()
+    # ISO-8601 input resolves identically (mid-gap: isoformat truncates
+    # to microseconds, so exactly-at-commit could round below it)
+    iso = datetime.fromtimestamp(
+        (t[1] + t[2]) / 2, tz=timezone.utc
+    ).isoformat()
     assert count_at(timestamp_as_of=iso) == V1_ROWS
     # version rows are the exact v1+v2 commits, not just the right count
     got = (
@@ -191,6 +197,114 @@ def test_changefeed_starting_timestamp(spark, history, tmp_path):
         assert {r.commit for r in got.select("commit").collect()} == exp
     finally:
         q.stop()
+
+
+def test_vacuum_manifest_retention_window(spark, tmp_root):
+    """retain_versions on vacuum_manifest keeps a readable time-travel
+    window: retained superseded versions' dirs AND the segments only they
+    reference (folded away from CURRENT) survive; older versions are
+    reclaimed and travel to them refuses."""
+    from bloomsearch_spark import fold_manifest, new_query, search, vacuum_manifest
+
+    build_index(spark, generate_df(spark, 200), tmp_root, CFG)           # v1
+    build_index(
+        spark, generate_df(spark, 70, seed=4).coalesce(1), tmp_root, CFG,
+        mode="append", source_desc="a1",
+    )                                                                    # v2
+    fold_manifest(spark, BloomIndex.load(spark, tmp_root))               # v3
+    t1 = mf.commit_time(tmp_root, "v00000001")
+
+    removed = vacuum_manifest(
+        BloomIndex.load(spark, tmp_root), staging_ttl=0, retain_versions=1
+    )
+    assert removed >= 1  # v1's dir went; v2 + its pre-fold segments stay
+    assert mf.retained_versions(tmp_root) == ["v00000002", "v00000003"]
+
+    # the retained superseded version still reads EXACTLY (its segments
+    # were folded away from CURRENT, so only retention kept them)
+    pinned = BloomIndex.load(spark, tmp_root, version="v00000002")
+    assert pinned.blocks(cache=False).agg(
+        F.sum("row_count")
+    ).collect()[0][0] == 270
+    qy = new_query().token("needle_alpha").build()
+    cur_hits = {r.commit for r in
+                search(spark, BloomIndex.load(spark, tmp_root), qy).collect()}
+    assert {r.commit for r in search(spark, pinned, qy).collect()} == cur_hits
+
+    # past the window: loud refusal, not a clamp
+    with pytest.raises(FileNotFoundError):
+        BloomIndex.load(spark, tmp_root, version="v00000001")
+    with pytest.raises(ValueError, match="predates the earliest"):
+        mf.version_as_of(tmp_root, t1)
+
+    # retain_time keeps everything committed within the window
+    before = set(mf.retained_versions(tmp_root))
+    vacuum_manifest(
+        BloomIndex.load(spark, tmp_root), staging_ttl=0, retain_time=3600
+    )
+    assert set(mf.retained_versions(tmp_root)) == before
+
+
+def test_vacuum_data_retention_window(spark, tmp_root):
+    """retain_versions on the DATA vacuum keeps block dirs only superseded
+    versions reference (e.g. pre-merge small files), so a pinned read
+    within the window returns exact rows; without retention they are
+    reclaimed."""
+    from bloomsearch_spark import compact_blocks, merge_files, new_query, search, vacuum
+
+    build_index(spark, generate_df(spark, 400), tmp_root, CFG)
+    merge_files(spark, BloomIndex.load(spark, tmp_root),
+                max_blocks_per_file=1000, max_files_per_merge=1000)      # v2
+    idx1 = BloomIndex.load(spark, tmp_root)  # pre-compaction snapshot (v2)
+    _, stats = compact_blocks(spark, idx1, max_block_rows=500)           # v3
+    assert stats.blocks_rewritten > 0
+    qy = new_query().token("needle_alpha").build()
+    exp = {r.commit for r in search(spark, idx1, qy).collect()}
+    assert exp  # the probe token actually hits
+
+    # retention keeps the pre-compaction block dirs (still referenced by
+    # the retained version): nothing dead, pinned search still exact
+    assert vacuum(BloomIndex.load(spark, tmp_root), retain_versions=1) == 0
+    pinned = BloomIndex.load(spark, tmp_root, version="v00000002")
+    assert {r.commit for r in search(spark, pinned, qy).collect()} == exp
+
+    # without retention the superseded data goes; CURRENT is unaffected
+    removed = vacuum(BloomIndex.load(spark, tmp_root))
+    assert removed == stats.blocks_rewritten
+    cur = BloomIndex.load(spark, tmp_root)
+    assert {r.commit for r in search(spark, cur, qy).collect()} == exp
+
+
+def test_history_describe(spark, history):
+    """BloomIndex.history(): DESCRIBE HISTORY analog, newest-first, with
+    operation attribution and commit instants that round-trip into
+    timestamp_as_of."""
+    root, t = history
+    h = BloomIndex.load(spark, root).history()
+    rows = h.collect()
+    assert [r.version for r in rows] == [3, 2, 1]
+    assert [r.operation for r in rows] == ["build"] * 3
+    assert all(not r.is_maintenance and r.parent_version is None for r in rows)
+    assert [r.n_segments for r in rows] == [3, 2, 1]
+    for r in rows:
+        assert abs(r.timestamp.timestamp() - t[r.version]) < 1e-3
+        # a history timestamp is valid timestamp_as_of input
+        assert mf.version_as_of(root, r.timestamp.timestamp()) == r.name
+    assert BloomIndex.load(spark, root).history(limit=2).count() == 2
+
+
+def test_history_maintenance_attribution(spark, tmp_root):
+    from bloomsearch_spark import fold_manifest, merge_files
+
+    build_index(spark, generate_df(spark, 150), tmp_root, CFG)           # v1
+    merge_files(spark, BloomIndex.load(spark, tmp_root),
+                max_blocks_per_file=1000, max_files_per_merge=1000)      # v2
+    fold_manifest(spark, BloomIndex.load(spark, tmp_root))               # v3
+    rows = BloomIndex.load(spark, tmp_root).history().collect()
+    assert [(r.version, r.operation, r.is_maintenance, r.parent_version)
+            for r in rows] == [
+        (3, "fold", True, 2), (2, "merge", True, 1), (1, "build", False, None),
+    ]
 
 
 def test_changefeed_starting_timestamp_errors(spark, history):
