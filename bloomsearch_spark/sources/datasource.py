@@ -1151,7 +1151,20 @@ class BloomSearchReader(DataSourceReader):
         pushdown the Spark path gets from Catalyst, PLANS.md §1).  Only a
         superset is ever returned (unpushable nodes -> None/dropped);
         ``eval_prefilter_pdf`` still runs on every batch, so this is
-        purely an I/O saver."""
+        purely an I/O saver.
+
+        All 10 condition ops translate: ``partition_id`` is a string
+        column on both sides, and pyarrow's binary UTF-8 ordering equals
+        Python's code-point ordering (UTF-8 is order-preserving), so
+        range ops compare identically to ``_cond_exact``.  Negative ops
+        (NE / NOT_IN / NOT_BETWEEN) evaluate to null on null partition
+        ids and the dataset filter DROPS nulls — sound, because every
+        partition condition already fails blocks without a partition id
+        (the strict ``has`` mask).  MINMAX stays batch-side: the zone
+        maps are map<string,long> columns, which have no parquet
+        row-group statistics and no dataset-filter subscript — a pushed
+        filter would be re-evaluated post-read, i.e. exactly what
+        ``eval_prefilter_pdf`` already does."""
         import pyarrow.compute as pc
 
         def walk(e: PrefilterExpr | None):
@@ -1159,10 +1172,28 @@ class BloomSearchReader(DataSourceReader):
                 return None
             if e.kind == "PARTITION":
                 c = e.condition
-                if c.op == "EQ":
-                    return pc.field("partition_id") == c.value
-                if c.op == "IN" and c.values:
-                    return pc.field("partition_id").isin(list(c.values))
+                f = pc.field("partition_id")
+                if c.op in ("EQ", "NE", "GT", "GTE", "LT", "LTE"):
+                    if not isinstance(c.value, str):
+                        return None
+                    return {
+                        "EQ": f == c.value, "NE": f != c.value,
+                        "GT": f > c.value, "GTE": f >= c.value,
+                        "LT": f < c.value, "LTE": f <= c.value,
+                    }[c.op]
+                if c.op in ("IN", "NOT_IN"):
+                    if not c.values or not all(
+                        isinstance(v, str) for v in c.values
+                    ):
+                        return None  # empty IN = match-nothing batch-side
+                    member = f.isin(list(c.values))
+                    return member if c.op == "IN" else ~member
+                if c.op in ("BETWEEN", "NOT_BETWEEN"):
+                    if not (isinstance(c.lo, str) and isinstance(c.hi, str)):
+                        return None
+                    if c.op == "BETWEEN":
+                        return (f >= c.lo) & (f <= c.hi)
+                    return (f < c.lo) | (f > c.hi)
                 return None
             if e.kind == "AND":
                 out = None

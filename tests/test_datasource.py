@@ -911,3 +911,62 @@ def test_columns_option_prunes_and_stays_exact(spark, ds_root, docs_pdf):
         spark.read.format("bloomsearch").option("root", ds_root).option(
             "columns", "doc_id,nope"
         ).load().schema
+
+
+def test_pads_partition_filter_all_ops_equivalence():
+    """The manifest-slice fallback's pyarrow dataset filter must keep a
+    SUPERSET of what eval_prefilter_pdf keeps — and on rows with a real
+    partition id, exactly the same set, for all 10 condition ops and
+    AND/OR compositions (unicode + lexicographic edge values included:
+    pyarrow's UTF-8 binary ordering must equal Python's code-point
+    ordering)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    from bloomsearch_spark.query import (
+        Between, Eq, Gt, Gte, In, Lt, Lte, MinMax, Ne, NotBetween, NotIn,
+        Partition, PrefilterAnd, PrefilterOr,
+    )
+    from bloomsearch_spark.sources.datasource import (
+        BloomSearchReader, eval_prefilter_pdf,
+    )
+
+    pids = [None, "", "9", "10", "apple", "z", "éclair", "Zebra", "a b"]
+    tbl = pa.table({
+        "partition_id": pa.array(pids, pa.string()),
+        "rowno": pa.array(range(len(pids)), pa.int64()),
+    })
+    pdf = tbl.to_pandas()
+    # zone-map columns for the MinMax children (batch-side-only pieces)
+    pdf["minmax_min"] = [{"x": i} for i in range(len(pids))]
+    pdf["minmax_max"] = [{"x": i + 3} for i in range(len(pids))]
+    real = pdf["partition_id"].notna() & (pdf["partition_id"] != "")
+
+    exprs = [
+        Partition(Eq("10")), Partition(Ne("10")),
+        Partition(Gt("9")), Partition(Gte("Zebra")),
+        Partition(Lt("apple")), Partition(Lte("z")),
+        Partition(In("9", "éclair")), Partition(NotIn("10", "a b")),
+        Partition(Between("a", "b")), Partition(NotBetween("A", "a")),
+        PrefilterAnd(Partition(Gt("1")), Partition(Lt("z"))),
+        PrefilterOr(Partition(Eq("9")), Partition(Between("x", "zz"))),
+        # unpushable pieces: minmax child (AND keeps the conjunct subset,
+        # OR poisons to None = scan everything)
+        PrefilterAnd(Partition(Eq("10")), MinMax("x", Gt(5))),
+        PrefilterOr(Partition(Eq("10")), MinMax("x", Gt(5))),
+        Partition(In()),  # empty IN: match-nothing stays batch-side
+    ]
+    for e in exprs:
+        want = eval_prefilter_pdf(e, pdf)
+        flt = BloomSearchReader._pads_partition_filter(e)
+        if flt is None:
+            continue  # unpushed = full superset, trivially sound
+        got_rows = set(
+            pads.dataset(tbl).to_table(filter=flt)["rowno"].to_pylist()
+        )
+        want_rows = set(np.asarray(pdf["rowno"])[want])
+        assert want_rows <= got_rows, e  # sound: never drops a match
+        # exact on real-partition rows (the has-mask is the only slack)
+        real_rows = set(np.asarray(pdf["rowno"])[real.to_numpy()])
+        assert got_rows & real_rows == want_rows, e
