@@ -559,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r05: batch "table changes" read over the same feed root
         #     (Delta table_changes analog; shares the stream planner) ---
         "bs_changes_batch": _bs_changes_batch,
+        "bs_time_travel": _bs_time_travel,
         # --- r05: native DSv2 streaming SINK — writeStream straight into
         #     the index, one exactly-once delta commit per micro-batch ---
         "strm_ds_sink": _strm_ds_sink,
@@ -663,6 +664,30 @@ def _strm_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates or maintenance re-emission breaks the hash)."""
     name, _root = _feed_root(spark, sf_dir)
     return spark.table(name).select(*[c.strip() for c in DOC_COLS.split(",")])
+
+
+def _bs_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r05: timestamp TIME TRAVEL (sources/manifest.version_as_of +
+    the DataSource ``timestamp_as_of`` option): over the same 4-version
+    feed root (v1 build ⅓, v2 append ⅓, v3 fold, v4 append ⅓), pin the
+    snapshot read at v2's COMMIT INSTANT — the read must see exactly the
+    first two commits' rows (doc_id % 3 ≠ 2): a clamp-to-CURRENT, an
+    off-by-one bisect, or version/timestamp disagreement all break the
+    hash.  The instant is resolved against the version meta's
+    commit-lock-stamped ``created_at`` (Delta TIMESTAMP AS OF analog)."""
+    from bloomsearch_spark.sources import manifest as mf
+    from bloomsearch_spark.sources.datasource import BloomSearchDataSource
+
+    _name, root = _feed_root(spark, sf_dir)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(BloomSearchDataSource)
+    ts = mf.commit_time(root, "v00000002")
+    assert mf.version_as_of(root, ts) == "v00000002"
+    return (
+        spark.read.format("bloomsearch").option("root", root)
+        .option("timestamp_as_of", repr(ts)).load()
+        .select(*[c.strip() for c in DOC_COLS.split(",")])
+    )
 
 
 def _bs_changes_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1090,6 +1115,11 @@ def oracle_sql() -> dict[str, str]:
         "bs_changes_batch": (
             f"SELECT {DOC_COLS}, CAST(4 AS BIGINT) AS _commit_version "
             "FROM documents WHERE doc_id % 3 = 2"
+        ),
+        # time travel: snapshot pinned at v2's commit instant = the first
+        # two commits' thirds only (the later append invisible)
+        "bs_time_travel": (
+            f"SELECT {DOC_COLS} FROM documents WHERE doc_id % 3 <> 2"
         ),
         "dd_jaccard": _JACCARD_ORACLE,
         # deterministic LSH with these (seeds, bands) has recall 1 on the
