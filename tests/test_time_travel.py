@@ -333,3 +333,61 @@ def test_changefeed_starting_timestamp_errors(spark, history):
             spark.read.format("bloomsearch").option("root", root)
             .option("starting_timestamp", str(t[2])).load().count()
         )
+
+
+def test_bisect_commit_times_property(monkeypatch):
+    """version_as_of / first_version_at_or_after ≡ a naive linear scan,
+    for arbitrary monotone commit-time sequences and probe instants —
+    including probes EXACTLY at commit times (the predicate is explicit
+    <=/< rather than an epsilon shift: at epoch magnitude a double ULP
+    is ~0.24 µs, so `ts - 1e-9` would round back onto ts and silently
+    flip at-or-before into strictly-before)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    base = 1.7e9
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        gaps=st.lists(
+            st.floats(min_value=1e-6, max_value=3600, allow_nan=False),
+            min_size=1, max_size=12,
+        ),
+        probe=st.one_of(
+            st.floats(min_value=-7200, max_value=7200, allow_nan=False),
+            st.sampled_from([0.0]),  # exactly-at-commit probes below
+        ),
+        exact_idx=st.integers(min_value=-1, max_value=11),
+    )
+    def check(gaps, probe, exact_idx):
+        times = []
+        t = base
+        for g in gaps:
+            t += g
+            times.append(t)
+        names = [f"v{i + 1:08d}" for i in range(len(times))]
+        by_name = dict(zip(names, times))
+        monkeypatch.setattr(mf, "retained_versions", lambda root: list(names))
+        monkeypatch.setattr(
+            mf, "commit_time", lambda root, v: by_name[v]
+        )
+        # probe at an offset — or EXACTLY at a commit instant
+        ts = (
+            times[exact_idx % len(times)]
+            if 0 <= exact_idx < len(times)
+            else times[0] + probe
+        )
+
+        at_or_before = [n for n, tt in zip(names, times) if tt <= ts]
+        at_or_after = [n for n, tt in zip(names, times) if tt >= ts]
+
+        if at_or_before:
+            assert mf.version_as_of("x", ts) == at_or_before[-1]
+        else:
+            with pytest.raises(ValueError, match="predates"):
+                mf.version_as_of("x", ts)
+        assert mf.first_version_at_or_after("x", ts) == (
+            at_or_after[0] if at_or_after else None
+        )
+
+    check()
