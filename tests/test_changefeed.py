@@ -419,3 +419,62 @@ def test_changefeed_to_sink_replication(spark, tmp_root, tmp_path):
     src_idx = BloomIndex.load(spark, tmp_root)
     exp = {r.commit for r in search(spark, src_idx, qy).collect()}
     assert {r.commit for r in search(spark, rb, qy).collect()} == exp
+
+
+def test_changefeed_exactly_once_under_racing_appends(spark, tmp_root, tmp_path):
+    """Exactly-once with commits LANDING WHILE THE QUERY RUNS: two
+    appender threads race 3 commits each (plus a mid-race fold) against a
+    live changefeed.  publish_commit totally orders the versions, so the
+    drained feed must hold every appended row exactly once — per-commit
+    multiplicity checked, not just the total."""
+    import threading
+    from collections import Counter
+
+    from bloomsearch_spark import fold_manifest
+    from bloomsearch_spark.sources.manifest import CommitConflict
+
+    spark.dataSource.register(BloomSearchDataSource)
+    build_index(spark, generate_df(spark, 100), tmp_root, CFG)
+    q = (
+        spark.readStream.format("bloomsearch").option("root", tmp_root)
+        .option("starting_version", "earliest").load()
+        .writeStream.format("memory").queryName("race_feed")
+        .option("checkpointLocation", str(tmp_path / "ckpt")).start()
+    )
+    errors: list[Exception] = []
+
+    def appender(tid: int) -> None:
+        try:
+            for j in range(3):
+                build_index(
+                    spark,
+                    generate_df(spark, 30, seed=100 * tid + j).coalesce(1),
+                    tmp_root, CFG, mode="append",
+                    source_desc=f"racer-{tid}-{j}",
+                )
+        except Exception as e:  # surfaced below — a swallowed thread
+            errors.append(e)    # failure would pass the final count
+    try:
+        threads = [
+            threading.Thread(target=appender, args=(t,)) for t in (1, 2)
+        ]
+        for t in threads:
+            t.start()
+        try:  # maintenance racing the appenders: allowed to lose the CAS
+            fold_manifest(spark, BloomIndex.load(spark, tmp_root))
+        except CommitConflict:
+            pass
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        q.processAllAvailable()
+        got = Counter(
+            r.commit for r in spark.table("race_feed").select("commit").collect()
+        )
+        exp = Counter(generate_pdf(100)["commit"])
+        for t in (1, 2):
+            for j in range(3):
+                exp.update(generate_pdf(30, seed=100 * t + j)["commit"])
+        assert got == exp  # every commit's rows exactly once
+    finally:
+        q.stop()
