@@ -478,3 +478,40 @@ def test_changefeed_exactly_once_under_racing_appends(spark, tmp_root, tmp_path)
         assert got == exp  # every commit's rows exactly once
     finally:
         q.stop()
+
+
+def test_changefeed_lagging_within_retention_survives_vacuum(spark, tmp_root):
+    """r05: vacuum retention is what makes a LAGGING changefeed safe —
+    with retain_versions covering the feed's lag, the superseded version
+    metas it still needs survive vacuum_manifest and the feed drains the
+    missed commits exactly; past the window it fails loudly (never a
+    silent gap)."""
+    from bloomsearch_spark import vacuum_manifest
+    from bloomsearch_spark.streaming.changefeed import BloomSearchStreamReader
+
+    spark.dataSource.register(BloomSearchDataSource)
+    build_index(spark, generate_df(spark, 100), tmp_root, CFG)           # v1
+    for i, seed in enumerate((3, 5)):
+        build_index(
+            spark, generate_df(spark, 40, seed=seed).coalesce(1), tmp_root,
+            CFG, mode="append", source_desc=f"a{i}",
+        )                                                                # v2 v3
+    schema = (
+        spark.read.format("bloomsearch").option("root", tmp_root).load().schema
+    )
+    fold_manifest(spark, BloomIndex.load(spark, tmp_root))               # v4
+    # retention covers a feed lagging at offset 1 (needs v1..v3 metas)
+    vacuum_manifest(
+        BloomIndex.load(spark, tmp_root), staging_ttl=0, retain_versions=3
+    )
+    r = BloomSearchStreamReader({"root": tmp_root}, schema)
+    cur = r.latestOffset()["version"]
+    parts = r.partitions({"version": 1}, {"version": cur})
+    rows = sum(sum(b.num_rows for b in r.read(p)) for p in parts)
+    assert rows == 80  # v2+v3 appends exactly; the fold emits nothing
+
+    # drop retention: the lagging offset's versions go, loud refusal
+    vacuum_manifest(BloomIndex.load(spark, tmp_root), staging_ttl=0)
+    r2 = BloomSearchStreamReader({"root": tmp_root}, schema)
+    with pytest.raises(RuntimeError, match="vacuum"):
+        r2.partitions({"version": 1}, {"version": cur})
