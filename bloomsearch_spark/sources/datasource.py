@@ -1344,6 +1344,24 @@ class BloomSearchChangesReader(DataSourceReader):
                 f"changes range ({self.lo}, {self.hi}] is not within the "
                 f"committed history (CURRENT is version {cur})"
             )
+        # refuse a vacuumed lower bound UPFRONT at planning, with batch
+        # vocabulary — otherwise partitions() fails later inside the
+        # wrapped stream planner with a restart-the-stream message that
+        # makes no sense for a batch read (mirrors the changefeed's
+        # starting_timestamp predecessor check)
+        if self.lo >= 1:
+            from ..streaming.changefeed import _vname
+
+            if not fsx.exists(
+                fsx.join(root, "manifest", _vname(self.lo), "meta.json")
+            ):
+                raise ValueError(
+                    f"the changes range starts at version {self.lo}, whose "
+                    "manifest was vacuumed — the deltas from there cannot "
+                    "be computed; pass a retained changes_from / a later "
+                    "changes_from_timestamp (vacuum_manifest's "
+                    "retain_versions/retain_time widens the window)"
+                )
 
     def partitions(self):
         return self._sr.partitions(
@@ -1531,7 +1549,8 @@ class BloomSearchDataSource(DataSource):
             bad = [
                 k for k in ("token", "tokens", "field", "field_token",
                             "field_regex", "max_versions_per_trigger",
-                            "version", "timestamp_as_of")
+                            "version", "timestamp_as_of",
+                            "starting_version", "starting_timestamp")
                 if opts.get(k)
             ]
             if bad:
@@ -1539,8 +1558,9 @@ class BloomSearchDataSource(DataSource):
                     f"options {bad} do not apply to a changes read — it "
                     "returns commit deltas verbatim; query a snapshot "
                     "load() (pinned via version / timestamp_as_of) for "
-                    "point-in-time rows, or bound the change range with "
-                    "changes_from/_to(_timestamp)"
+                    "point-in-time rows, and bound the change range with "
+                    "changes_from/_to(_timestamp) (starting_* options are "
+                    "the readStream spelling of the same lower bound)"
                 )
             return BloomSearchChangesReader(opts, schema)
         for stream_only in ("commit_metadata", "max_versions_per_trigger",

@@ -315,6 +315,25 @@ def version_as_of(root: str, ts) -> str:
             f"{vs[0]} (committed at {t0}); older versions were vacuumed "
             "or never existed"
         )
+    # HOLE check: the retained set can be non-contiguous (e.g. a legacy
+    # back-compat version ref keeps v1 live while v2..v5 were vacuumed).
+    # If ts lands strictly inside a gap, any of the VACUUMED versions may
+    # have been CURRENT at that instant — their commit times are gone, so
+    # resolving to the retained lower bound would silently hand back a
+    # staler snapshot than the instant had.  Refuse, like pre-earliest.
+    if (
+        i < len(vs)
+        and int(vs[i][1:]) != int(vs[i - 1][1:]) + 1
+        and ts > commit_time(root, vs[i - 1])
+    ):
+        raise ValueError(
+            f"timestamp {ts} falls between retained versions {vs[i - 1]} "
+            f"and {vs[i]}, which are not consecutive — the versions "
+            "between them were vacuumed and any of them may have been "
+            "CURRENT at that instant; cannot resolve the snapshot "
+            "faithfully (retain a wider window via vacuum_manifest's "
+            "retain_versions/retain_time)"
+        )
     return vs[i - 1]
 
 
@@ -697,8 +716,13 @@ class BloomIndex:
     def history(self, limit: int | None = None) -> DataFrame:
         """Commit history of the RETAINED versions, newest-first — the
         ``DESCRIBE HISTORY`` analog.  Columns: ``version`` (number),
-        ``name`` (vNNNNNNNN), ``timestamp`` (commit instant — valid
-        ``timestamp_as_of`` input), ``operation`` ("build" for
+        ``name`` (vNNNNNNNN), ``timestamp`` (commit instant, rendered in
+        the SESSION time zone — human display), ``timestamp_epoch``
+        (the same instant as epoch seconds — the unambiguous
+        ``timestamp_as_of`` input: a collected non-UTC-session timestamp
+        stringifies as naive LOCAL wall time, which ``parse_ts`` would
+        pin as UTC and shift by the zone offset), ``operation`` ("build"
+        for
         append/overwrite commits, else the maintenance op: merge /
         compact / expire / fold), ``source_desc``, ``parent_version``
         (maintenance commits only), ``is_maintenance``,
@@ -735,6 +759,7 @@ class BloomIndex:
                     int(name[1:]),
                     name,
                     created + 2e-6,
+                    created + 2e-6,
                     desc.split(" of ")[0] if parent else "build",
                     desc,
                     int(parent[1:]) if parent else None,
@@ -745,7 +770,8 @@ class BloomIndex:
             )
         return self.spark.createDataFrame(
             rows,
-            "version long, name string, timestamp double, operation string, "
+            "version long, name string, timestamp double, "
+            "timestamp_epoch double, operation string, "
             "source_desc string, parent_version long, is_maintenance boolean, "
             "streaming_batch long, n_segments long",
         ).withColumn("timestamp", F.timestamp_seconds(F.col("timestamp")))

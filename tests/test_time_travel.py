@@ -288,8 +288,10 @@ def test_history_describe(spark, history):
     assert [r.n_segments for r in rows] == [3, 2, 1]
     for r in rows:
         assert abs(r.timestamp.timestamp() - t[r.version]) < 1e-3
-        # a history timestamp is valid timestamp_as_of input
-        assert mf.version_as_of(root, r.timestamp.timestamp()) == r.name
+        # timestamp_epoch is the UNAMBIGUOUS timestamp_as_of input (the
+        # timestamp column renders in session-local time; collected naive
+        # datetimes would shift by the zone offset in non-UTC sessions)
+        assert mf.version_as_of(root, r.timestamp_epoch) == r.name
     assert BloomIndex.load(spark, root).history(limit=2).count() == 2
 
 
@@ -391,3 +393,68 @@ def test_bisect_commit_times_property(monkeypatch):
         )
 
     check()
+
+
+def test_version_as_of_refuses_retained_holes(spark, tmp_root):
+    """A NON-CONTIGUOUS retained set (e.g. a legacy back-compat ref keeps
+    v1 while v2 was vacuumed): an instant strictly inside the gap must
+    refuse — any vacuumed version may have been CURRENT then, so
+    resolving to the retained lower bound would silently serve a staler
+    snapshot.  Exactly-at-the-lower-bound still resolves."""
+    from bloomsearch_spark.sources import fs as fsx
+
+    build_index(spark, generate_df(spark, 120), tmp_root, CFG)
+    for i, seed in enumerate((4, 9)):
+        build_index(
+            spark, generate_df(spark, 40, seed=seed).coalesce(1), tmp_root,
+            CFG, mode="append", source_desc=f"a{i}",
+        )
+    t1 = mf.commit_time(tmp_root, "v00000001")
+    t3 = mf.commit_time(tmp_root, "v00000003")
+    # punch the hole: v2's dir goes, v1 and v3 stay
+    fsx.delete_dir(fsx.join(tmp_root, "manifest", "v00000002"))
+    assert mf.retained_versions(tmp_root) == ["v00000001", "v00000003"]
+
+    with pytest.raises(ValueError, match="not consecutive"):
+        mf.version_as_of(tmp_root, (t1 + t3) / 2)
+    # exactly at the retained lower bound: no vacuumed version can have
+    # committed at-or-before it (commit times are strictly monotonic)
+    assert mf.version_as_of(tmp_root, t1) == "v00000001"
+    # outside the gap both directions still resolve
+    assert mf.version_as_of(tmp_root, t3 + 3600) == "v00000003"
+
+
+def test_changes_read_rejects_starting_options(spark, history):
+    """starting_version / starting_timestamp are the readStream spelling
+    of a lower bound — a batch changes read must reject them loudly, not
+    silently return the full history from v0."""
+    root, t = history
+    for k, v in (
+        ("starting_timestamp", str(t[2])),
+        ("starting_version", "2"),
+    ):
+        with pytest.raises(Exception, match="do not apply to a changes read"):
+            (
+                spark.read.format("bloomsearch").option("root", root)
+                .option(k, v).option("changes_to", "3").load().count()
+            )
+
+
+def test_changes_read_vacuumed_lower_bound_refuses_upfront(spark, tmp_root):
+    """A changes_from pointing at a vacuumed version must refuse AT
+    PLANNING with batch vocabulary — not fail later inside the wrapped
+    stream planner with a restart-the-stream message."""
+    from bloomsearch_spark import fold_manifest, vacuum_manifest
+
+    build_index(spark, generate_df(spark, 100), tmp_root, CFG)          # v1
+    build_index(
+        spark, generate_df(spark, 40, seed=4).coalesce(1), tmp_root, CFG,
+        mode="append", source_desc="a1",
+    )                                                                   # v2
+    fold_manifest(spark, BloomIndex.load(spark, tmp_root))              # v3
+    vacuum_manifest(BloomIndex.load(spark, tmp_root), staging_ttl=0)
+    with pytest.raises(Exception, match="vacuumed"):
+        (
+            spark.read.format("bloomsearch").option("root", tmp_root)
+            .option("changes_from", "2").load().count()
+        )
