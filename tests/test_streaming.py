@@ -417,3 +417,59 @@ def test_ds_stream_sink_replay_and_empty_batches(spark, tmp_root, tmp_path):
     )
     w2.commit([], batchId=1)
     assert mf2.current_version(tmp_root) == before
+
+
+def test_ds_stream_sink_complete_mode_overwrites_per_batch(spark, tmp_root, tmp_path):
+    """outputMode("complete") through the DSv2 sink: each micro-batch
+    commits an OVERWRITE, so the index tracks the LATEST aggregate
+    snapshot — never an accumulation of past batches' totals."""
+    from bloomsearch_spark.sources.datasource import BloomSearchDataSource
+
+    spark.dataSource.register(BloomSearchDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    pdf = generate_pdf(500)
+    spark.createDataFrame(pdf.iloc[:200], schema=SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(src, "f0"))
+
+    agg = (
+        spark.readStream.schema(SCHEMA).parquet(src + "/*")
+        .groupBy("lang").agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.format("bloomsearch").outputMode("complete")
+        .option("indexed_fields", "lang").option("partition_col", "lang")
+        .option("checkpointLocation", ckpt)
+        .start(tmp_root)
+    )
+
+    def snapshot():
+        return {
+            (r.lang, r.n)
+            for r in spark.read.format("bloomsearch").option("root", tmp_root)
+            .load().collect()
+        }
+
+    def expect(upto):
+        return set(
+            pdf.iloc[:upto].groupby("lang").size().items()
+        )
+
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None
+        assert snapshot() == expect(200)
+
+        spark.createDataFrame(
+            pdf.iloc[200:], schema=SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f1"))
+        q.processAllAvailable()
+        assert q.exception() is None
+    finally:
+        q.stop()
+    # the refreshed snapshot REPLACES the old one: totals over all 500
+    # rows, not old+new concatenated
+    assert snapshot() == expect(500)
