@@ -458,3 +458,27 @@ def test_changes_read_vacuumed_lower_bound_refuses_upfront(spark, tmp_root):
             spark.read.format("bloomsearch").option("root", tmp_root)
             .option("changes_from", "2").load().count()
         )
+
+
+def test_version_as_of_log_meta_reads(monkeypatch):
+    """Scale honesty: resolving an instant over 1024 retained versions
+    costs O(log n) meta reads (~10), never a linear sweep — the knob that
+    keeps timestamp_as_of viable on long-retention object-store roots
+    where each meta read is a GET."""
+    n = 1024
+    names = [f"v{i + 1:08d}" for i in range(n)]
+    times = {v: 1.7e9 + 10.0 * i for i, v in enumerate(names)}
+    reads = {"n": 0}
+
+    def counting(root, v):
+        reads["n"] += 1
+        return times[v]
+
+    monkeypatch.setattr(mf, "retained_versions", lambda root: list(names))
+    monkeypatch.setattr(mf, "commit_time", counting)
+
+    assert mf.version_as_of("x", 1.7e9 + 10.0 * 700 + 5) == names[700]
+    assert reads["n"] <= 12  # ceil(log2(1024)) + memoized endpoints
+    reads["n"] = 0
+    assert mf.first_version_at_or_after("x", 1.7e9 + 10.0 * 700 + 5) == names[701]
+    assert reads["n"] <= 12
