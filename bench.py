@@ -26,6 +26,7 @@ the per-round loop.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import shutil
@@ -390,9 +391,19 @@ def main() -> None:
             ref = spark.read.parquet(ref_path)
             ref_root = tempfile.mkdtemp(prefix="bench-ref-")
             roots.append(ref_root)
+            # the engine's DEFAULT zero-shuffle path: at this shape (64
+            # input partitions x 125k rows, a handful of langs) per-task
+            # buffers fill 10k-row blocks naturally — measured 960 blocks
+            # / 80% full vs the salted repartition's 1148 / 34% full, at
+            # 2-6x the throughput and none of the 8 GB shuffle's
+            # bandwidth-window variance (adjacent clustered runs swung
+            # 23 -> 51 s).  cluster_input stays on for build_code, whose
+            # small-sf shape (~3k rows per task-partition) genuinely
+            # needs consolidation to reach full blocks.
+            ref_cfg = dataclasses.replace(code_cfg, cluster_input=False)
             ref_idx = timed(
                 "build_ref_scale",
-                lambda: build_index(spark, ref, ref_root, code_cfg),
+                lambda: build_index(spark, ref, ref_root, ref_cfg),
             )
             extras["ref_rows"] = ref_rows
             extras["ref_blocks"] = ref_idx.blocks().count()
