@@ -44,6 +44,7 @@ from .plans.merge import (
     compact_blocks,
     expire_blocks,
     fold_manifest,
+    maintain,
     merge_files,
     vacuum,
     vacuum_manifest,
@@ -68,6 +69,6 @@ __all__ = [
     "get_tokenizer", "merge_files", "new_query", "register_tokenizer",
     "search", "sizing", "vacuum", "verify_integrity",
     "enable_read_checksum_verification",
-    "CommitConflict", "fold_manifest", "vacuum_manifest",
+    "CommitConflict", "fold_manifest", "maintain", "vacuum_manifest",
     "BloomSearchDataSource",
 ]

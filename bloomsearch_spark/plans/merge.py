@@ -801,3 +801,71 @@ def vacuum_manifest(
             fsx.delete_dir(mf.segment_dir(root, s))
             removed += 1
     return removed
+
+
+def maintain(
+    spark: SparkSession,
+    root: str,
+    *,
+    max_blocks_per_file: int = 64,
+    max_files_per_merge: int = 10,
+    compact_rows: int | None = None,
+    fold_threshold: int = 8,
+    run_vacuum: bool = False,
+    retain_versions: int = 0,
+    retain_time: float = 0.0,
+    staging_ttl: float = 24 * 3600.0,
+    conflict_retries: int = 3,
+) -> dict:
+    """One-call housekeeping — the ``OPTIMIZE`` analog: merge small
+    files, optionally compact undersized blocks (``compact_rows``), fold
+    the manifest once its segment list exceeds ``fold_threshold``, and
+    (opt-in) vacuum metadata + data honoring the time-travel retention
+    window.  Each step re-resolves CURRENT and retries on
+    :class:`CommitConflict` up to ``conflict_retries`` times — racing
+    appends are allowed to win; callers no longer hand-roll the re-plan
+    loop the commit protocol requires.
+
+    ``run_vacuum`` defaults to False because vacuum's safety contract is
+    the caller's to assert: no commit in flight and no reader (or
+    lagging changefeed) resolving versions outside the retained window —
+    size ``retain_versions``/``retain_time`` to cover reader/feed lag
+    before enabling it in a schedule.
+
+    Returns a stats dict: ``files_merged``, ``blocks_rewritten``,
+    ``folded``, ``meta_dirs_removed``, ``data_dirs_removed``."""
+    out = {
+        "files_merged": 0,
+        "blocks_rewritten": 0,
+        "folded": False,
+        "meta_dirs_removed": 0,
+        "data_dirs_removed": 0,
+    }
+    idx = BloomIndex.load(spark, root)
+    idx, stats = merge_files(
+        spark, idx, max_blocks_per_file, max_files_per_merge,
+        conflict_retries=conflict_retries,
+    )
+    out["files_merged"] = stats.files_before - stats.files_after
+    if compact_rows is not None:
+        idx, cstats = compact_blocks(
+            spark, idx, compact_rows, conflict_retries=conflict_retries
+        )
+        out["blocks_rewritten"] = cstats.blocks_rewritten
+    idx = BloomIndex.load(spark, root)  # racing commits may have landed
+    if len(idx.table_refs()["blocks"]) > fold_threshold:
+        fold_manifest(spark, idx, conflict_retries=conflict_retries)
+        out["folded"] = True
+    if run_vacuum:
+        out["meta_dirs_removed"] = vacuum_manifest(
+            BloomIndex.load(spark, root),
+            staging_ttl=staging_ttl,
+            retain_versions=retain_versions,
+            retain_time=retain_time,
+        )
+        out["data_dirs_removed"] = vacuum(
+            BloomIndex.load(spark, root),
+            retain_versions=retain_versions,
+            retain_time=retain_time,
+        )
+    return out

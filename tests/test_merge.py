@@ -278,3 +278,63 @@ def test_distributed_planner_matches_local_1m(spark):
     ).toPandas()
     assert len(local) > 100_000  # the synthetic shape actually merges
     assert dict(zip(dist["block_id"], dist["merged"])) == local
+
+
+def test_maintain_one_call_housekeeping(spark, tmp_root):
+    """maintain(): merge + compact + fold + retention-aware vacuum in one
+    call, query results identical before and after, stats dict honest."""
+    from bloomsearch_spark import BloomIndex, maintain
+
+    df = generate_df(spark, N_ROWS)
+    build_index(spark, df, tmp_root, CFG)
+    for i, seed in enumerate((3, 5)):  # accumulate segments to fold
+        build_index(
+            spark, generate_df(spark, 300, seed=seed).coalesce(1), tmp_root,
+            CFG, mode="append", source_desc=f"a{i}",
+        )
+    before = [_results(spark, BloomIndex.load(spark, tmp_root), qf)
+              for qf in QUERIES]
+    files_before = BloomIndex.load(spark, tmp_root).files().count()
+
+    out = maintain(
+        spark, tmp_root,
+        max_blocks_per_file=1000, max_files_per_merge=1000,
+        compact_rows=500, fold_threshold=2,
+        run_vacuum=True, retain_versions=1, staging_ttl=0,
+    )
+    assert out["files_merged"] > 0
+    assert out["blocks_rewritten"] > 0
+    # compaction's commit IS a folded-output segment — no fold needed
+    assert out["folded"] is False
+    assert len(BloomIndex.load(spark, tmp_root).table_refs()["blocks"]) == 1
+    assert out["meta_dirs_removed"] > 0
+    assert out["data_dirs_removed"] == 0  # retention keeps the rewrites
+    idx = BloomIndex.load(spark, tmp_root)
+    assert idx.files().count() < files_before
+    after = [_results(spark, idx, qf) for qf in QUERIES]
+    assert before == after
+    assert verify_integrity(spark, idx) == 0
+
+    # fresh appends re-fragment the segment list; a second maintain folds
+    # it and (no retention now) reclaims the superseded data dirs
+    for i, seed in enumerate((7, 11)):
+        build_index(
+            spark, generate_df(spark, 200, seed=seed).coalesce(1), tmp_root,
+            CFG, mode="append", source_desc=f"b{i}",
+        )
+    exp_now = [_results(spark, BloomIndex.load(spark, tmp_root), qf)
+               for qf in QUERIES]
+    # max_files_per_merge=1 keeps the merge a no-op: the fold branch is
+    # what must consolidate the segment list (a merge commit would have
+    # folded it as a side effect)
+    out2 = maintain(
+        spark, tmp_root, max_files_per_merge=1, fold_threshold=2,
+        run_vacuum=True, staging_ttl=0,
+    )
+    assert out2["files_merged"] == 0
+    assert out2["folded"] is True
+    assert out2["data_dirs_removed"] > 0  # pass-1 rewrites now unretained
+    idx2 = BloomIndex.load(spark, tmp_root)
+    assert len(idx2.table_refs()["blocks"]) == 1
+    assert [_results(spark, idx2, qf) for qf in QUERIES] == exp_now
+    assert verify_integrity(spark, idx2) == 0
