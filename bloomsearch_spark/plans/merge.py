@@ -575,7 +575,10 @@ def _commit(
 
 
 def vacuum(
-    index: BloomIndex, retain_versions: int = 0, retain_time: float = 0.0
+    index: BloomIndex,
+    retain_versions: int = 0,
+    retain_time: float = 0.0,
+    retain_names: list[str] | None = None,
 ) -> int:
     """Delete block data dirs not referenced by the CURRENT manifest
     (TombstoneFile analog, data_store.go:19-21).  Safe only once no reader
@@ -624,7 +627,11 @@ def vacuum(
 
     listed = fd_df.mapInPandas(list_blocks, "data_path string")
     live_blocks = index.blocks().select("data_path")
-    for v in mf.travel_retained(index.root, retain_versions, retain_time):
+    if retain_names is None:
+        retain_names = mf.travel_retained(
+            index.root, retain_versions, retain_time
+        )
+    for v in retain_names:
         live_blocks = live_blocks.unionByName(
             mf.BloomIndex(spark, index.root, v)
             .blocks(cache=False)
@@ -729,6 +736,7 @@ def vacuum_manifest(
     staging_ttl: float = 24 * 3600.0,
     retain_versions: int = 0,
     retain_time: float = 0.0,
+    retain_names: list[str] | None = None,
 ) -> int:
     """Delete manifest metadata unreachable from CURRENT: superseded
     version dirs, segment dirs no version references (failed or folded-away
@@ -741,7 +749,13 @@ def vacuum_manifest(
     survive.  Pair with the same knobs on :func:`vacuum`, which guards
     the underlying block DATA; a version whose metadata survives but
     whose data was vacuumed reads as missing files, same failure mode as
-    Delta time travel past VACUUM retention.
+    Delta time travel past VACUUM retention.  When running BOTH vacuums,
+    resolve the window ONCE (``mf.travel_retained``) and pass the same
+    list via ``retain_names`` — evaluating a ``retain_time`` window at
+    two instants (or ``retain_versions`` across a racing commit) can
+    retain a version's metadata while deleting its data
+    (:func:`maintain` does this, and runs the data vacuum FIRST so any
+    skew leaves harmless orphan data, never a broken snapshot).
 
     Staging scratch is special: a build is exposed for its whole
     multi-minute (at scale multi-hour) staging window, not just the brief
@@ -760,9 +774,10 @@ def vacuum_manifest(
     cur = mf.current_version(root)
     if cur is None:
         return 0
+    if retain_names is None:
+        retain_names = mf.travel_retained(root, retain_versions, retain_time)
     live_handles = [mf.BloomIndex(index.spark, root, cur)] + [
-        mf.BloomIndex(index.spark, root, v)
-        for v in mf.travel_retained(root, retain_versions, retain_time)
+        mf.BloomIndex(index.spark, root, v) for v in retain_names
     ]
     all_refs = [
         rel
@@ -833,10 +848,13 @@ def maintain(
     before enabling it in a schedule.
 
     Returns a stats dict: ``files_merged``, ``blocks_rewritten``,
+    ``compact_skipped`` (True when ``compact_rows`` was requested on a
+    zero-copy external index — nothing engine-owned to rewrite),
     ``folded``, ``meta_dirs_removed``, ``data_dirs_removed``."""
     out = {
         "files_merged": 0,
         "blocks_rewritten": 0,
+        "compact_skipped": False,
         "folded": False,
         "meta_dirs_removed": 0,
         "data_dirs_removed": 0,
@@ -848,24 +866,34 @@ def maintain(
     )
     out["files_merged"] = stats.files_before - stats.files_after
     if compact_rows is not None:
-        idx, cstats = compact_blocks(
-            spark, idx, compact_rows, conflict_retries=conflict_retries
-        )
-        out["blocks_rewritten"] = cstats.blocks_rewritten
+        if idx.meta().get("external"):
+            # zero-copy external index: there are no engine-owned block
+            # files to rewrite — skip rather than abort the remaining
+            # housekeeping steps mid-sequence
+            out["compact_skipped"] = True
+        else:
+            idx, cstats = compact_blocks(
+                spark, idx, compact_rows, conflict_retries=conflict_retries
+            )
+            out["blocks_rewritten"] = cstats.blocks_rewritten
     idx = BloomIndex.load(spark, root)  # racing commits may have landed
     if len(idx.table_refs()["blocks"]) > fold_threshold:
         fold_manifest(spark, idx, conflict_retries=conflict_retries)
         out["folded"] = True
     if run_vacuum:
+        # ONE retained-window resolution shared by both vacuums: a
+        # retain_time window evaluated at two instants (or retain_versions
+        # across a racing commit) could retain a version's metadata while
+        # deleting its data.  Data vacuum runs FIRST so any remaining skew
+        # (CURRENT advancing between the calls) leaves orphan data for the
+        # next pass, never a retained snapshot with missing files.
+        retained = mf.travel_retained(root, retain_versions, retain_time)
+        out["data_dirs_removed"] = vacuum(
+            BloomIndex.load(spark, root), retain_names=retained
+        )
         out["meta_dirs_removed"] = vacuum_manifest(
             BloomIndex.load(spark, root),
             staging_ttl=staging_ttl,
-            retain_versions=retain_versions,
-            retain_time=retain_time,
-        )
-        out["data_dirs_removed"] = vacuum(
-            BloomIndex.load(spark, root),
-            retain_versions=retain_versions,
-            retain_time=retain_time,
+            retain_names=retained,
         )
     return out

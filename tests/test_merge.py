@@ -338,3 +338,25 @@ def test_maintain_one_call_housekeeping(spark, tmp_root):
     assert len(idx2.table_refs()["blocks"]) == 1
     assert [_results(spark, idx2, qf) for qf in QUERIES] == exp_now
     assert verify_integrity(spark, idx2) == 0
+
+
+def test_maintain_skips_compaction_on_external_index(spark, tmp_path):
+    """compact_rows on a zero-copy external index must SKIP (recorded in
+    the stats) rather than abort the remaining housekeeping steps after
+    merge may already have committed."""
+    from bloomsearch_spark import BloomIndex, build_external_index, maintain
+
+    src = str(tmp_path / "src.parquet")
+    generate_df(spark, 400).coalesce(1).write.mode("overwrite").parquet(src)
+    root = str(tmp_path / "xroot")
+    build_external_index(
+        spark, src, root, IndexConfig(indexed_fields=("content",))
+    )
+    out = maintain(
+        spark, root, compact_rows=500, run_vacuum=True, staging_ttl=0
+    )
+    assert out["compact_skipped"] is True
+    assert out["blocks_rewritten"] == 0
+    # the steps after the skip still ran (vacuum returned a count)
+    assert out["data_dirs_removed"] == 0  # external data is caller-owned
+    assert BloomIndex.load(spark, root).meta().get("external")
