@@ -447,6 +447,23 @@ def build_commit_finalize(
         if mode == "append" and prev_version is not None:
             prev = BloomIndex(None, root, prev_version)
             prev_meta = prev.meta()
+            prev_cols = prev_meta.get("source_columns")
+            if prev_cols is not None and set(prev_cols) != set(source_columns):
+                # schema evolution is REFUSED, not silently mangled: the
+                # block scan over mixed-schema parquet takes one footer's
+                # schema, so an appended-only column becomes unreadable
+                # through search() (measured: rows land, values
+                # unreachable — silent data loss on read).  Delta refuses
+                # the same way without mergeSchema.
+                missing = sorted(set(prev_cols) - set(source_columns))
+                extra = sorted(set(source_columns) - set(prev_cols))
+                raise ValueError(
+                    "append schema does not match the index's columns "
+                    f"(missing: {missing}, new: {extra}) — schema "
+                    "evolution is not supported: align the DataFrame's "
+                    "columns with the existing index, or rebuild with "
+                    "mode='overwrite'"
+                )
             tables = {t: prev.table_refs()[t] + seg_tables[t] for t in TABLES}
             prev_up = prev_meta.get("uniform_params") or {}
             up = {

@@ -501,3 +501,45 @@ def test_cas_commit_lock_adapter():
     finally:
         fsx.unregister_commit_lock("casmock")
         fsx.unregister_scheme("casmock")
+
+
+def test_append_refuses_schema_drift(spark, tmp_root):
+    """An append whose column set differs from the index's is REFUSED at
+    commit (Delta-without-mergeSchema behavior): the block scan over
+    mixed-schema parquet takes one footer's schema, so an appended-only
+    column's values would land on disk but be unreadable through
+    search() — silent data loss on read.  Same-set different-ORDER
+    appends stay allowed (parquet resolves by name)."""
+    from bloomsearch_spark import new_query, search
+
+    cfg = IndexConfig(indexed_fields=("content",), partition_expr="''",
+                      max_block_rows=50)
+    df1 = spark.createDataFrame(
+        [(i, f"alpha tok{i}") for i in range(100)],
+        "doc_id long, content string",
+    )
+    build_index(spark, df1, tmp_root, cfg)
+
+    extra = spark.createDataFrame(
+        [(200, "beta", "x")], "doc_id long, content string, extra string"
+    )
+    with pytest.raises(ValueError, match="schema evolution"):
+        build_index(spark, extra, tmp_root, cfg, mode="append",
+                    source_desc="drift-extra")
+    narrower = spark.createDataFrame([("gamma",)], "content string")
+    with pytest.raises(ValueError, match="schema evolution"):
+        build_index(spark, narrower, tmp_root, cfg, mode="append",
+                    source_desc="drift-missing")
+
+    # the refusals committed nothing
+    assert mf.current_version(tmp_root) == "v00000001"
+
+    # same columns, different order: fine, and rows are fully readable
+    reordered = spark.createDataFrame(
+        [("delta tok7", 300)], "content string, doc_id long"
+    )
+    build_index(spark, reordered, tmp_root, cfg, mode="append",
+                source_desc="reorder")
+    out = search(spark, BloomIndex.load(spark, tmp_root),
+                 new_query().token("delta").build()).collect()
+    assert [(r.doc_id, r.content) for r in out] == [(300, "delta tok7")]
