@@ -231,6 +231,22 @@ def test_vacuum_manifest_retention_window(spark, tmp_root):
                 search(spark, BloomIndex.load(spark, tmp_root), qy).collect()}
     assert {r.commit for r in search(spark, pinned, qy).collect()} == cur_hits
 
+    # the DataSource's pinned read shares the window: exact rows at the
+    # retained version, loud refusal past it
+    spark.dataSource.register(BloomSearchDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    t2 = mf.commit_time(tmp_root, "v00000002")
+    got = (
+        spark.read.format("bloomsearch").option("root", tmp_root)
+        .option("timestamp_as_of", str(t2)).load().count()
+    )
+    assert got == 270
+    with pytest.raises(Exception, match="predates the earliest"):
+        (
+            spark.read.format("bloomsearch").option("root", tmp_root)
+            .option("timestamp_as_of", str(t1)).load().count()
+        )
+
     # past the window: loud refusal, not a clamp
     with pytest.raises(FileNotFoundError):
         BloomIndex.load(spark, tmp_root, version="v00000001")
