@@ -970,3 +970,68 @@ def test_pads_partition_filter_all_ops_equivalence():
         # exact on real-partition rows (the has-mask is the only slack)
         real_rows = set(np.asarray(pdf["rowno"])[real.to_numpy()])
         assert got_rows & real_rows == want_rows, e
+
+
+def test_pads_partition_filter_hypothesis_fuzz():
+    """Property fuzz of the fallback's pyarrow filter translation vs
+    eval_prefilter_pdf: for random unicode partition-id pools and random
+    conditions of every op, the pushed filter keeps a superset of the
+    batch-side eval, and exactly its rows among real (non-null, non-"")
+    partition ids — i.e. pyarrow's binary UTF-8 ordering never diverges
+    from Python's code-point comparisons."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bloomsearch_spark.query import (
+        Between, Eq, Gt, Gte, In, Lt, Lte, Ne, NotBetween, NotIn, Partition,
+    )
+    from bloomsearch_spark.sources.datasource import (
+        BloomSearchReader, eval_prefilter_pdf,
+    )
+
+    text = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=6
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        pool=st.lists(st.one_of(st.none(), text), min_size=1, max_size=12),
+        a=text, b=text,
+        vals=st.lists(text, max_size=3),
+        op=st.sampled_from(
+            ["EQ", "NE", "GT", "GTE", "LT", "LTE", "IN", "NOT_IN",
+             "BETWEEN", "NOT_BETWEEN"]
+        ),
+    )
+    def check(pool, a, b, vals, op):
+        cond = {
+            "EQ": lambda: Eq(a), "NE": lambda: Ne(a),
+            "GT": lambda: Gt(a), "GTE": lambda: Gte(a),
+            "LT": lambda: Lt(a), "LTE": lambda: Lte(a),
+            "IN": lambda: In(*vals), "NOT_IN": lambda: NotIn(*vals),
+            "BETWEEN": lambda: Between(min(a, b), max(a, b)),
+            "NOT_BETWEEN": lambda: NotBetween(min(a, b), max(a, b)),
+        }[op]()
+        e = Partition(cond)
+        tbl = pa.table({
+            "partition_id": pa.array(pool, pa.string()),
+            "rowno": pa.array(range(len(pool)), pa.int64()),
+        })
+        pdf = tbl.to_pandas()
+        want = set(np.asarray(pdf["rowno"])[eval_prefilter_pdf(e, pdf)])
+        flt = BloomSearchReader._pads_partition_filter(e)
+        if flt is None:
+            return  # unpushed (e.g. empty IN) = trivially sound
+        got = set(
+            pads.dataset(tbl).to_table(filter=flt)["rowno"].to_pylist()
+        )
+        assert want <= got, (op, pool, a, b, vals)
+        real = pdf["partition_id"].notna() & (pdf["partition_id"] != "")
+        assert got & set(np.asarray(pdf["rowno"])[real.to_numpy()]) == want, (
+            op, pool, a, b, vals,
+        )
+
+    check()
