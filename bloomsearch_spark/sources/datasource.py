@@ -1369,6 +1369,12 @@ class BloomSearchChangesReader(DataSourceReader):
         )
 
     def read(self, partition):
+        if partition is None:
+            # an EMPTY change range (changes_from == CURRENT, or only
+            # maintenance commits in range) plans zero partitions — Spark
+            # still schedules one task and hands read() None; that is 0
+            # rows, not a crash
+            return iter(())
         return self._sr.read(partition)
 
 

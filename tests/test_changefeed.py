@@ -515,3 +515,23 @@ def test_changefeed_lagging_within_retention_survives_vacuum(spark, tmp_root):
     r2 = BloomSearchStreamReader({"root": tmp_root}, schema)
     with pytest.raises(RuntimeError, match="vacuum"):
         r2.partitions({"version": 1}, {"version": cur})
+
+
+def test_batch_changes_empty_range_yields_zero_rows(spark, tmp_root):
+    """changes_from == CURRENT ("everything I've seen") and
+    maintenance-only ranges plan ZERO partitions — Spark still schedules
+    one task with a None partition; that must be 0 rows, not a worker
+    AttributeError (found by probing, r05)."""
+    spark.dataSource.register(BloomSearchDataSource)
+    build_index(spark, generate_df(spark, 120), tmp_root, CFG)           # v1
+
+    def changes_from(n):
+        return (
+            spark.read.format("bloomsearch").option("root", tmp_root)
+            .option("changes_from", str(n)).load().count()
+        )
+
+    assert changes_from(1) == 0  # caught up: empty range
+    fold_manifest(spark, BloomIndex.load(spark, tmp_root))               # v2
+    assert changes_from(1) == 0  # maintenance-only range
+    assert changes_from(0) == 120  # sanity: the build commit still flows
