@@ -1349,6 +1349,11 @@ class BloomSearchChangesReader(DataSourceReader):
         # wrapped stream planner with a restart-the-stream message that
         # makes no sense for a batch read (mirrors the changefeed's
         # starting_timestamp predecessor check)
+        # the wrapped stream reader's initial offset gates the overwrite
+        # full-refresh opt-in (an overwrite is allowed only as the FIRST
+        # emitted version); a batch changes read "starts" at its lower
+        # bound
+        self._sr._initial = self.lo
         if self.lo >= 1:
             from ..streaming.changefeed import _vname
 

@@ -253,6 +253,30 @@ class BloomSearchStreamReader(DataSourceStreamReader):
             if meta.get("parent_version") is None:
                 # BUILD commit: its delta = the segments it added
                 added = [r for r in refs if r not in prev_refs]
+                if prev_refs - set(refs) and n - 1 != self._initial:
+                    # an OVERWRITE replaced the table: the feed carries
+                    # ADD rows only (no delete/truncate events), so
+                    # emitting the new table as a delta would silently
+                    # leave a downstream replica with old + new rows
+                    # (Delta CDF refuses non-append changes the same
+                    # way).  Refuse loudly — UNLESS the consumer started
+                    # exactly at the overwrite (initial offset n-1),
+                    # which is the explicit full-refresh opt-in: its
+                    # first batch IS the rewritten table.
+                    raise RuntimeError(
+                        f"manifest version v{n:08d} is an OVERWRITE "
+                        "(it drops its predecessor's segments) — the "
+                        "changefeed is append-only and has no "
+                        "delete/truncate events, so replaying it as a "
+                        "delta would corrupt any downstream replica.  "
+                        "Treat the overwrite as a full refresh: reset "
+                        "the downstream state, then restart the feed "
+                        f"with .option('starting_version', {n - 1}) "
+                        "and a FRESH checkpoint (batch reads: "
+                        f".option('changes_from', {n - 1})) — starting "
+                        "exactly there emits the rewritten table as "
+                        "the first batch"
+                    )
                 ts_us = int(float(meta.get("created_at") or 0.0) * 1e6)
                 per_version.append((n, ts_us, self._segment_data_paths(added)))
             # maintenance commits emit nothing (rows merely reorganized)

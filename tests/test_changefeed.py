@@ -535,3 +535,61 @@ def test_batch_changes_empty_range_yields_zero_rows(spark, tmp_root):
     fold_manifest(spark, BloomIndex.load(spark, tmp_root))               # v2
     assert changes_from(1) == 0  # maintenance-only range
     assert changes_from(0) == 120  # sanity: the build commit still flows
+
+
+def test_changefeed_overwrite_refuses_as_delta_allows_as_refresh(
+    spark, tmp_root, tmp_path
+):
+    """An OVERWRITE commit replayed as a delta would silently leave a
+    replica with old + new rows (the feed has no delete/truncate
+    events): a feed spanning it must refuse loudly (Delta CDF refuses
+    non-append changes the same way).  Starting EXACTLY at the overwrite
+    is the full-refresh opt-in — the rewritten table arrives as the
+    first batch, for streams and batch changes reads alike."""
+    spark.dataSource.register(BloomSearchDataSource)
+    build_index(spark, generate_df(spark, 100), tmp_root, CFG)            # v1
+    build_index(spark, generate_df(spark, 40, seed=7), tmp_root, CFG)     # v2 OVERWRITE
+
+    def changes(from_v):
+        return (
+            spark.read.format("bloomsearch").option("root", tmp_root)
+            .option("changes_from", str(from_v)).load()
+        )
+
+    with pytest.raises(Exception, match="OVERWRITE"):
+        changes(0).count()
+    # batch opt-in: start at the overwrite = the rewritten table
+    rows = changes(1).collect()
+    assert {r.commit for r in rows} == set(generate_pdf(40, seed=7)["commit"])
+
+    # stream spanning the overwrite: the refusal surfaces on the query
+    q = (
+        spark.readStream.format("bloomsearch").option("root", tmp_root)
+        .option("starting_version", "earliest").load()
+        .writeStream.format("memory").queryName("ow_feed")
+        .option("checkpointLocation", str(tmp_path / "c1")).start()
+    )
+    with pytest.raises(Exception, match="OVERWRITE"):
+        try:
+            q.processAllAvailable()
+            if q.exception() is not None:
+                raise q.exception()
+        finally:
+            q.stop()
+
+    # stream opt-in: fresh checkpoint starting exactly at the overwrite
+    q2 = (
+        spark.readStream.format("bloomsearch").option("root", tmp_root)
+        .option("starting_version", "1").load()
+        .writeStream.format("memory").queryName("ow_feed2")
+        .option("checkpointLocation", str(tmp_path / "c2")).start()
+    )
+    try:
+        q2.processAllAvailable()
+        assert q2.exception() is None
+        got = spark.table("ow_feed2")
+        assert {r.commit for r in got.collect()} == set(
+            generate_pdf(40, seed=7)["commit"]
+        )
+    finally:
+        q2.stop()
