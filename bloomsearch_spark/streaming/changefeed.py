@@ -279,7 +279,26 @@ class BloomSearchStreamReader(DataSourceStreamReader):
                     )
                 ts_us = int(float(meta.get("created_at") or 0.0) * 1e6)
                 per_version.append((n, ts_us, self._segment_data_paths(added)))
-            # maintenance commits emit nothing (rows merely reorganized)
+            elif str(meta.get("source_desc") or "").startswith("expire"):
+                # expire is the ONE maintenance op that DELETES rows —
+                # skipping it silently (like merge/compact/fold, which
+                # merely reorganize) would leave a replica holding the
+                # expired rows forever.  Conservative refusal even when
+                # the expiry matched nothing (the meta doesn't record
+                # row deltas); re-seed downstream from a snapshot and
+                # tail from here.
+                raise RuntimeError(
+                    f"manifest version v{n:08d} is an EXPIRE commit — it "
+                    "deletes rows, and the changefeed has no delete "
+                    "events to carry that; a replica fed past it would "
+                    "silently keep the expired rows.  Re-seed the "
+                    "downstream state from a snapshot read (optionally "
+                    f".option('version', 'v{n:08d}')), then restart the "
+                    f"feed with .option('starting_version', {n}) and a "
+                    "fresh checkpoint"
+                )
+            # other maintenance commits emit nothing (rows merely
+            # reorganized: merge / compact / fold)
             prev_refs = set(refs)
         k = max(1, self.blocks_per_task)
         return [

@@ -593,3 +593,43 @@ def test_changefeed_overwrite_refuses_as_delta_allows_as_refresh(
         )
     finally:
         q2.stop()
+
+
+def test_changefeed_expire_refuses_silent_row_loss(spark, tmp_root):
+    """expire_blocks DELETES rows but commits as maintenance — a feed
+    skipping it silently would leave a replica keeping the expired rows
+    forever (measured: feed 200 rows vs snapshot 50).  The feed must
+    refuse at the expire version; tailing from AFTER it (post-re-seed)
+    works."""
+    from bloomsearch_spark import expire_blocks
+
+    spark.dataSource.register(BloomSearchDataSource)
+    cfg = IndexConfig(
+        indexed_fields=("content",), partition_expr="''",
+        minmax_fields=("doc_id",), block_expr="doc_id", max_block_rows=20,
+    )
+    df = generate_df(spark, 200).withColumn(
+        "doc_id", F.monotonically_increasing_id()
+    )
+    build_index(spark, df, tmp_root, cfg)                              # v1
+    idx = BloomIndex.load(spark, tmp_root)
+    _, stats = expire_blocks(
+        spark, idx, F.col("minmax_min").getItem("doc_id") >= 100
+    )                                                                  # v2
+    assert stats.blocks_after < stats.blocks_before
+
+    def changes(from_v):
+        return (
+            spark.read.format("bloomsearch").option("root", tmp_root)
+            .option("changes_from", str(from_v)).load()
+        )
+
+    with pytest.raises(Exception, match="EXPIRE"):
+        changes(0).count()
+    # post-re-seed tail: the expire version is outside the range
+    post = generate_df(spark, 30, seed=3).coalesce(1).withColumn(
+        "doc_id", F.monotonically_increasing_id() + 1000
+    )
+    build_index(spark, post, tmp_root, cfg, mode="append",
+                source_desc="post")                                    # v3
+    assert changes(2).count() == 30
