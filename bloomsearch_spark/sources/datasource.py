@@ -1459,33 +1459,35 @@ class BloomSearchDataSource(DataSource):
         )
 
         def _with_meta_cols(st):
-            # changefeed option: provenance column appended LAST (read()
-            # appends it last too — cast() needs identical field order)
+            # changefeed options: CDC columns appended LAST, in the same
+            # order read() appends them — cast() needs identical fields
             from ..streaming.changefeed import _opt_bool
 
-            if not _opt_bool(self.options, "commit_metadata"):
-                return st
+            extra = []
             from pyspark.sql.types import (
                 LongType,
+                StringType,
                 StructField,
                 TimestampType,
             )
 
-            clash = {f.name for f in st.fields} & {
-                "_commit_version", "_commit_timestamp"
-            }
-            if clash:
-                raise ValueError(
-                    "commit_metadata cannot be used on an index whose source "
-                    f"schema already has column(s) {sorted(clash)}"
-                )
-            return StructType(
-                list(st.fields)
-                + [
+            if _opt_bool(self.options, "commit_metadata"):
+                extra += [
                     StructField("_commit_version", LongType()),
                     StructField("_commit_timestamp", TimestampType()),
                 ]
-            )
+            if _opt_bool(self.options, "change_events"):
+                extra.append(StructField("_change_type", StringType()))
+            if not extra:
+                return st
+            clash = {f.name for f in st.fields} & {f.name for f in extra}
+            if clash:
+                raise ValueError(
+                    "commit_metadata/change_events cannot be used on an "
+                    "index whose source schema already has column(s) "
+                    f"{sorted(clash)}"
+                )
+            return StructType(list(st.fields) + extra)
 
         def _user_columns(st):
             # ``.option("columns", "a,b")``: user-opt-in COLUMN PRUNING.
@@ -1574,7 +1576,8 @@ class BloomSearchDataSource(DataSource):
                     "the readStream spelling of the same lower bound)"
                 )
             return BloomSearchChangesReader(opts, schema)
-        for stream_only in ("commit_metadata", "max_versions_per_trigger",
+        for stream_only in ("commit_metadata", "change_events",
+                            "max_versions_per_trigger",
                             "starting_version", "starting_timestamp"):
             if opts.get(stream_only):
                 raise ValueError(

@@ -31,6 +31,17 @@ Options beyond ``root``/``starting_version``/``blocks_per_task``:
   ``startingTimestamp`` analog; mutually exclusive with
   ``starting_version``) — resolved against retained version metas'
   ``created_at`` in O(log n_versions) meta reads.
+- ``change_events`` ("true"): full CDC mode — append a ``_change_type``
+  string column ("insert" | "delete") and emit row-DELETING commits as
+  events instead of refusing: an OVERWRITE becomes delete-the-old-table
+  + insert-the-new, an EXPIRE becomes deletes of the expired blocks'
+  rows (Delta CDF's change-row analog).  Delete rows are read from the
+  REMOVED block dirs, which survive until vacuum — size the vacuums'
+  ``retain_versions``/``retain_time`` to cover consumer lag, exactly as
+  for time travel; a vacuumed delete source fails loudly at read.  The
+  block-granular diff at a deleting commit costs O(both versions'
+  manifests) driver-side — paid only at those rare versions, never on
+  the append fast path.
 - ``commit_metadata`` ("true"): append ``_commit_version`` (bigint — the
   manifest version number that committed each row) and
   ``_commit_timestamp`` (timestamp — that version meta's ``created_at``)
@@ -75,11 +86,15 @@ class _ChangeChunk(InputPartition):
     ``version``/``ts_us`` are the committing manifest version number and
     its commit time (epoch microseconds, from the version meta's
     ``created_at``) — the values of the ``_commit_version`` /
-    ``_commit_timestamp`` metadata columns when requested."""
+    ``_commit_timestamp`` metadata columns when requested.  ``kind`` is
+    the CDC event type ("insert" | "delete") — delete chunks point at
+    the blocks a row-deleting commit REMOVED (still on disk until
+    vacuum) and only arise with ``change_events``."""
 
     rel_paths: list
     version: int = 0
     ts_us: int = 0
+    kind: str = "insert"
 
 
 def _opt_bool(options: dict, key: str) -> bool:
@@ -96,6 +111,7 @@ class BloomSearchStreamReader(DataSourceStreamReader):
         self.out_schema = schema
         self.blocks_per_task = int(options.get("blocks_per_task", "16"))
         self.with_meta = _opt_bool(options, "commit_metadata")
+        self.with_events = _opt_bool(options, "change_events")
         mvpt = options.get("max_versions_per_trigger")
         self.max_versions = int(mvpt) if mvpt is not None else None
         if self.max_versions is not None and self.max_versions < 1:
@@ -245,65 +261,90 @@ class BloomSearchStreamReader(DataSourceStreamReader):
             if lo > 0
             else set()
         )
-        per_version: list[tuple[int, int, list[str]]] = []
+        per_version: list[tuple[int, int, list[str], str]] = []
+
+        def removed_paths(refs: list[str]) -> list[str]:
+            # block-granular diff for a row-DELETING commit: the prior
+            # version's data dirs no longer referenced.  O(both versions'
+            # manifests) driver-side — paid only at the rare
+            # overwrite/expire versions, never on the append fast path.
+            prev_all = set(self._segment_data_paths(sorted(prev_refs)))
+            return sorted(prev_all - set(self._segment_data_paths(refs)))
+
         for n in range(lo + 1, hi + 1):
             v = _vname(n)
             meta = self._meta(v)
             refs = self._blocks_refs(meta, v)
+            ts_us = int(float(meta.get("created_at") or 0.0) * 1e6)
             if meta.get("parent_version") is None:
                 # BUILD commit: its delta = the segments it added
                 added = [r for r in refs if r not in prev_refs]
                 if prev_refs - set(refs) and n - 1 != self._initial:
-                    # an OVERWRITE replaced the table: the feed carries
-                    # ADD rows only (no delete/truncate events), so
-                    # emitting the new table as a delta would silently
-                    # leave a downstream replica with old + new rows
-                    # (Delta CDF refuses non-append changes the same
-                    # way).  Refuse loudly — UNLESS the consumer started
+                    # an OVERWRITE replaced the table.  With
+                    # change_events on, emit it as Delta-CDF-style
+                    # delete-the-old + insert-the-new rows; without,
+                    # replaying it as a plain delta would silently leave
+                    # a downstream replica with old + new rows, so
+                    # refuse loudly — UNLESS the consumer started
                     # exactly at the overwrite (initial offset n-1),
-                    # which is the explicit full-refresh opt-in: its
-                    # first batch IS the rewritten table.
-                    raise RuntimeError(
-                        f"manifest version v{n:08d} is an OVERWRITE "
-                        "(it drops its predecessor's segments) — the "
-                        "changefeed is append-only and has no "
-                        "delete/truncate events, so replaying it as a "
-                        "delta would corrupt any downstream replica.  "
-                        "Treat the overwrite as a full refresh: reset "
-                        "the downstream state, then restart the feed "
-                        f"with .option('starting_version', {n - 1}) "
-                        "and a FRESH checkpoint (batch reads: "
-                        f".option('changes_from', {n - 1})) — starting "
-                        "exactly there emits the rewritten table as "
-                        "the first batch"
-                    )
-                ts_us = int(float(meta.get("created_at") or 0.0) * 1e6)
-                per_version.append((n, ts_us, self._segment_data_paths(added)))
+                    # the explicit full-refresh opt-in: its first batch
+                    # IS the rewritten table.
+                    if not self.with_events:
+                        raise RuntimeError(
+                            f"manifest version v{n:08d} is an OVERWRITE "
+                            "(it drops its predecessor's segments) — the "
+                            "changefeed is append-only and has no "
+                            "delete/truncate events, so replaying it as a "
+                            "delta would corrupt any downstream replica.  "
+                            "Either read CDC events "
+                            "(.option('change_events', 'true') adds a "
+                            "_change_type column and emits the dropped "
+                            "rows as deletes), or treat the overwrite as "
+                            "a full refresh: reset the downstream state, "
+                            "then restart the feed with "
+                            f".option('starting_version', {n - 1}) and a "
+                            "FRESH checkpoint (batch reads: "
+                            f".option('changes_from', {n - 1})) — "
+                            "starting exactly there emits the rewritten "
+                            "table as the first batch"
+                        )
+                    per_version.append((n, ts_us, removed_paths(refs), "delete"))
+                per_version.append(
+                    (n, ts_us, self._segment_data_paths(added), "insert")
+                )
             elif str(meta.get("source_desc") or "").startswith("expire"):
                 # expire is the ONE maintenance op that DELETES rows —
                 # skipping it silently (like merge/compact/fold, which
                 # merely reorganize) would leave a replica holding the
-                # expired rows forever.  Conservative refusal even when
-                # the expiry matched nothing (the meta doesn't record
-                # row deltas); re-seed downstream from a snapshot and
-                # tail from here.
-                raise RuntimeError(
-                    f"manifest version v{n:08d} is an EXPIRE commit — it "
-                    "deletes rows, and the changefeed has no delete "
-                    "events to carry that; a replica fed past it would "
-                    "silently keep the expired rows.  Re-seed the "
-                    "downstream state from a snapshot read (optionally "
-                    f".option('version', 'v{n:08d}')), then restart the "
-                    f"feed with .option('starting_version', {n}) and a "
-                    "fresh checkpoint"
-                )
+                # expired rows forever.  With change_events on, emit the
+                # dropped blocks as delete rows; without, refuse
+                # (conservatively even when the expiry matched nothing —
+                # the meta doesn't record row deltas).
+                if not self.with_events:
+                    raise RuntimeError(
+                        f"manifest version v{n:08d} is an EXPIRE commit — "
+                        "it deletes rows, and the plain changefeed has no "
+                        "delete events to carry that; a replica fed past "
+                        "it would silently keep the expired rows.  Either "
+                        "read CDC events (.option('change_events', "
+                        "'true') adds a _change_type column and emits the "
+                        "expired rows as deletes), or re-seed the "
+                        "downstream state from a snapshot read "
+                        f"(optionally .option('version', 'v{n:08d}')) and "
+                        "restart the feed with "
+                        f".option('starting_version', {n}) and a fresh "
+                        "checkpoint"
+                    )
+                per_version.append((n, ts_us, removed_paths(refs), "delete"))
             # other maintenance commits emit nothing (rows merely
             # reorganized: merge / compact / fold)
             prev_refs = set(refs)
         k = max(1, self.blocks_per_task)
         return [
-            _ChangeChunk(rel_paths=paths[i : i + k], version=n, ts_us=ts)
-            for n, ts, paths in per_version
+            _ChangeChunk(
+                rel_paths=paths[i : i + k], version=n, ts_us=ts, kind=kind
+            )
+            for n, ts, paths, kind in per_version
             for i in range(0, len(paths), k)
         ]
 
@@ -315,7 +356,7 @@ class BloomSearchStreamReader(DataSourceStreamReader):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         names = [f.name for f in self.out_schema.fields]
-        meta_names = ("_commit_version", "_commit_timestamp")
+        meta_names = ("_commit_version", "_commit_timestamp", "_change_type")
         data_names = [n for n in names if n not in meta_names]
         arrow_schema = to_arrow_schema(self.out_schema)
         data_dir = fsx.join(self.root, "data")
@@ -348,5 +389,10 @@ class BloomSearchStreamReader(DataSourceStreamReader):
                             [partition.ts_us] * len(out),
                             pa.timestamp("us", tz="UTC"),
                         ),
+                    )
+                if self.with_events:
+                    out = out.append_column(
+                        "_change_type",
+                        pa.array([partition.kind] * len(out), pa.string()),
                     )
                 yield from out.cast(arrow_schema).to_batches()

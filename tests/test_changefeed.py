@@ -633,3 +633,98 @@ def test_changefeed_expire_refuses_silent_row_loss(spark, tmp_root):
     build_index(spark, post, tmp_root, cfg, mode="append",
                 source_desc="post")                                    # v3
     assert changes(2).count() == 30
+
+
+def test_change_events_overwrite_delete_insert(spark, tmp_root, tmp_path):
+    """change_events CDC mode: an OVERWRITE emits delete-the-old-table +
+    insert-the-new instead of refusing; applying the events reproduces
+    the snapshot exactly (Delta CDF change-row analog)."""
+    spark.dataSource.register(BloomSearchDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    build_index(spark, generate_df(spark, 100), tmp_root, CFG)            # v1
+    build_index(spark, generate_df(spark, 40, seed=7), tmp_root, CFG)     # v2 OVERWRITE
+
+    ev = (
+        spark.read.format("bloomsearch").option("root", tmp_root)
+        .option("changes_from", "0").option("change_events", "true")
+        .option("commit_metadata", "true").load()
+    )
+    assert ev.schema["_change_type"].dataType.simpleString() == "string"
+    rows = ev.collect()
+    by = {}
+    for r in rows:
+        by.setdefault((r._commit_version, r._change_type), []).append(r.commit)
+    old = set(generate_pdf(100)["commit"])
+    new = set(generate_pdf(40, seed=7)["commit"])
+    assert set(by[(1, "insert")]) == old and len(by[(1, "insert")]) == 100
+    assert set(by[(2, "delete")]) == old and len(by[(2, "delete")]) == 100
+    assert set(by[(2, "insert")]) == new and len(by[(2, "insert")]) == 40
+    # replaying the event log reproduces the snapshot
+    state: set = set()
+    for r in sorted(rows, key=lambda r: (r._commit_version, r._change_type != "delete")):
+        (state.discard if r._change_type == "delete" else state.add)(r.commit)
+    snap = (
+        spark.read.format("bloomsearch").option("root", tmp_root).load()
+        .select("commit").collect()
+    )
+    assert state == {r.commit for r in snap}
+
+    # the streaming surface accepts the option too (same planner)
+    q = (
+        spark.readStream.format("bloomsearch").option("root", tmp_root)
+        .option("starting_version", "earliest")
+        .option("change_events", "true").load()
+        .writeStream.format("memory").queryName("ev_feed")
+        .option("checkpointLocation", str(tmp_path / "ckpt")).start()
+    )
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None
+        got = spark.table("ev_feed")
+        assert got.count() == 240  # 100 ins + 100 del + 40 ins
+        assert {r._change_type for r in got.select("_change_type").distinct().collect()} \
+            == {"insert", "delete"}
+    finally:
+        q.stop()
+
+    # snapshot batch reads refuse the stream-only option
+    with pytest.raises(Exception, match="changefeed"):
+        (
+            spark.read.format("bloomsearch").option("root", tmp_root)
+            .option("change_events", "true").load().count()
+        )
+
+
+def test_change_events_expire_emits_deletes(spark, tmp_root):
+    """change_events across an EXPIRE: the expired blocks' rows arrive as
+    delete events; applying the log matches the post-expire snapshot."""
+    from bloomsearch_spark import expire_blocks
+
+    spark.dataSource.register(BloomSearchDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    cfg = IndexConfig(
+        indexed_fields=("content",), partition_expr="''",
+        minmax_fields=("doc_id",), block_expr="doc_id", max_block_rows=20,
+    )
+    df = generate_df(spark, 200).withColumn(
+        "doc_id", F.monotonically_increasing_id()
+    )
+    build_index(spark, df, tmp_root, cfg)                                 # v1
+    expire_blocks(
+        spark, BloomIndex.load(spark, tmp_root),
+        F.col("minmax_min").getItem("doc_id") >= 100,
+    )                                                                     # v2
+    ev = (
+        spark.read.format("bloomsearch").option("root", tmp_root)
+        .option("changes_from", "0").option("change_events", "true").load()
+    )
+    ins = {r.doc_id for r in ev.filter("_change_type = 'insert'").collect()}
+    dels = {r.doc_id for r in ev.filter("_change_type = 'delete'").collect()}
+    assert len(ins) == 200
+    snap = {
+        r.doc_id
+        for r in spark.read.format("bloomsearch").option("root", tmp_root)
+        .load().select("doc_id").collect()
+    }
+    assert ins - dels == snap  # applying the log == the live table
+    assert dels == ins - snap  # deletes are exactly the expired rows
