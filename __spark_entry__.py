@@ -560,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     (Delta table_changes analog; shares the stream planner) ---
         "bs_changes_batch": _bs_changes_batch,
         "bs_time_travel": _bs_time_travel,
+        "bs_change_events": _bs_change_events,
         # --- r05: native DSv2 streaming SINK — writeStream straight into
         #     the index, one exactly-once delta commit per micro-batch ---
         "strm_ds_sink": _strm_ds_sink,
@@ -664,6 +665,45 @@ def _strm_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates or maintenance re-emission breaks the hash)."""
     name, _root = _feed_root(spark, sf_dir)
     return spark.table(name).select(*[c.strip() for c in DOC_COLS.split(",")])
+
+
+_CDC_CACHE: dict[str, str] = {}
+
+
+def _bs_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r05: full CDC events (streaming/changefeed.py `change_events`):
+    v1 builds the even-doc_id half, v2 OVERWRITES with the doc_id%3==0
+    third — the event log must be exactly v1's rows as inserts, then
+    v2 deleting every v1 row and inserting the new third, each stamped
+    with `_commit_version` and `_change_type` (Delta CDF change-row
+    analog).  A feed that missed the overwrite's deletes, re-emitted
+    maintenance, or mis-attributed versions breaks the hash."""
+    from bloomsearch_spark.sources.datasource import BloomSearchDataSource
+
+    key = os.path.abspath(sf_dir)
+    if key not in _CDC_CACHE:
+        spark.dataSource.register(BloomSearchDataSource)
+        docs = _docs(spark, sf_dir)
+        root = tempfile.mkdtemp(prefix="bsidx-cdc-")
+        build_index(
+            spark, docs.filter(F.col("doc_id") % 2 == 0), root, _CFG_MAIN,
+            source_desc="cdc-v1",
+        )
+        build_index(
+            spark, docs.filter(F.col("doc_id") % 3 == 0), root, _CFG_MAIN,
+            mode="overwrite", source_desc="cdc-v2-overwrite",
+        )
+        _CDC_CACHE[key] = root
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(BloomSearchDataSource)
+    cols = [c.strip() for c in DOC_COLS.split(",")]
+    return (
+        spark.read.format("bloomsearch").option("root", _CDC_CACHE[key])
+        .option("changes_from", "0")
+        .option("commit_metadata", "true").option("change_events", "true")
+        .load()
+        .select(*cols, "_commit_version", "_change_type")
+    )
 
 
 def _bs_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1120,6 +1160,16 @@ def oracle_sql() -> dict[str, str]:
         # two commits' thirds only (the later append invisible)
         "bs_time_travel": (
             f"SELECT {DOC_COLS} FROM documents WHERE doc_id % 3 <> 2"
+        ),
+        # CDC events across an overwrite: v1 inserts the even half, v2
+        # deletes all of it and inserts the %3==0 third
+        "bs_change_events": (
+            f"SELECT {DOC_COLS}, CAST(1 AS BIGINT) AS _commit_version, "
+            "'insert' AS _change_type FROM documents WHERE doc_id % 2 = 0 "
+            f"UNION ALL SELECT {DOC_COLS}, CAST(2 AS BIGINT), 'delete' "
+            "FROM documents WHERE doc_id % 2 = 0 "
+            f"UNION ALL SELECT {DOC_COLS}, CAST(2 AS BIGINT), 'insert' "
+            "FROM documents WHERE doc_id % 3 = 0"
         ),
         "dd_jaccard": _JACCARD_ORACLE,
         # deterministic LSH with these (seeds, bands) has recall 1 on the
