@@ -41,7 +41,10 @@ Options beyond ``root``/``starting_version``/``blocks_per_task``:
   for time travel; a vacuumed delete source fails loudly at read.  The
   block-granular diff at a deleting commit costs O(both versions'
   manifests) driver-side — paid only at those rare versions, never on
-  the append fast path.
+  the append fast path.  APPLY CONVENTION (same as Delta CDF overwrite
+  events): within one ``_commit_version``, apply deletes BEFORE inserts
+  — an overwrite's old and new row sets can intersect, and
+  insert-then-delete would wrongly drop the surviving keys.
 - ``commit_metadata`` ("true"): append ``_commit_version`` (bigint — the
   manifest version number that committed each row) and
   ``_commit_timestamp`` (timestamp — that version meta's ``created_at``)
