@@ -364,7 +364,22 @@ class BloomSearchStreamReader(DataSourceStreamReader):
         arrow_schema = to_arrow_schema(self.out_schema)
         data_dir = fsx.join(self.root, "data")
         for rel in partition.rel_paths:
-            tbl = fsx.read_parquet_dir(fsx.join(data_dir, rel))
+            try:
+                tbl = fsx.read_parquet_dir(fsx.join(data_dir, rel))
+            except Exception as e:
+                # historical sources (an old version's inserts, a deleting
+                # commit's removed dirs) disappear under the DATA vacuum;
+                # surface the lag/retention diagnosis instead of a bare
+                # FileNotFound (the original error stays chained)
+                raise RuntimeError(
+                    f"changefeed {partition.kind} source {rel!r} (version "
+                    f"v{partition.version:08d}) is unreadable — most "
+                    "likely vacuumed while this consumer lagged.  "
+                    "Historical rows live in block dirs only until "
+                    "vacuum; size vacuum's retain_versions/retain_time "
+                    "to cover consumer lag, or re-seed downstream from a "
+                    "snapshot and restart the feed past this version"
+                ) from e
             if len(tbl):
                 # project arrow-side — an old commit written under a
                 # narrower schema gets null columns rather than KeyError.

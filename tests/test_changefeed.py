@@ -728,3 +728,22 @@ def test_change_events_expire_emits_deletes(spark, tmp_root):
     }
     assert ins - dels == snap  # applying the log == the live table
     assert dels == ins - snap  # deletes are exactly the expired rows
+
+
+def test_changefeed_vacuumed_row_source_fails_with_guidance(spark, tmp_root):
+    """A lagging consumer whose historical row sources (old inserts or a
+    deleting commit's removed dirs) were DATA-vacuumed must get the
+    lag/retention diagnosis, never a bare FileNotFound or — worse —
+    silent empty batches."""
+    from bloomsearch_spark import vacuum
+
+    spark.dataSource.register(BloomSearchDataSource)
+    build_index(spark, generate_df(spark, 100), tmp_root, CFG)            # v1
+    build_index(spark, generate_df(spark, 40, seed=7), tmp_root, CFG)     # v2 OVERWRITE
+    vacuum(BloomIndex.load(spark, tmp_root))  # reclaims v1's block dirs
+    with pytest.raises(Exception, match="vacuumed while this consumer lagged"):
+        (
+            spark.read.format("bloomsearch").option("root", tmp_root)
+            .option("changes_from", "0").option("change_events", "true")
+            .load().collect()
+        )
