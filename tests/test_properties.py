@@ -75,5 +75,18 @@ def test_tokenize_value_total_and_lowercase(v):
     and integral floats render like Go %v (no trailing .0)."""
     toks = tokenize_value(v)
     assert all(t and t == t.lower() and not t.isspace() for t in toks)
-    if isinstance(v, float) and v == int(v) and abs(v) < 1e15:
+    # Go %v switches to scientific form at decimal exponent >= 6 (shortest
+    # %g); only below 1e6 is an integral float guaranteed positional with
+    # no '.' (tokenizer.py documents the threshold).
+    if isinstance(v, float) and v == int(v) and abs(v) < 1e6:
         assert "." not in go_format_value(v)
+
+
+def test_go_format_integral_float_scientific_threshold():
+    """Golden Go %v outputs around the 1e6 positional/scientific boundary."""
+    assert go_format_value(123456.0) == "123456"
+    assert go_format_value(999999.0) == "999999"
+    assert go_format_value(1000000.0) == "1e+06"
+    assert go_format_value(1000001.0) == "1.000001e+06"
+    assert go_format_value(-1000001.0) == "-1.000001e+06"
+    assert go_format_value(1e15) == "1e+15"
