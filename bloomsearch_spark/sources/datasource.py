@@ -1562,6 +1562,7 @@ class BloomSearchDataSource(DataSource):
             bad = [
                 k for k in ("token", "tokens", "field", "field_token",
                             "field_regex", "max_versions_per_trigger",
+                            "max_blocks_per_trigger",
                             "version", "timestamp_as_of",
                             "starting_version", "starting_timestamp")
                 if opts.get(k)
@@ -1578,6 +1579,7 @@ class BloomSearchDataSource(DataSource):
             return BloomSearchChangesReader(opts, schema)
         for stream_only in ("commit_metadata", "change_events",
                             "max_versions_per_trigger",
+                            "max_blocks_per_trigger",
                             "starting_version", "starting_timestamp"):
             if opts.get(stream_only):
                 raise ValueError(
@@ -1602,7 +1604,9 @@ class BloomSearchDataSource(DataSource):
         ``starting_timestamp`` (first commit at-or-after the instant),
         ``blocks_per_task``, ``commit_metadata`` (append a
         ``_commit_version`` provenance column), ``max_versions_per_trigger``
-        (bound the backlog admitted per micro-batch).  See
+        / ``max_blocks_per_trigger`` (bound the backlog admitted per
+        micro-batch — the block cap splits even ONE giant commit across
+        triggers via composite version+cursor offsets).  See
         streaming/changefeed.py."""
         from ..streaming.changefeed import BloomSearchStreamReader
 
