@@ -745,22 +745,78 @@ class BloomIndex:
         (maintenance commits only), ``is_maintenance``,
         ``streaming_batch`` (the exactly-once replay watermark, if the
         streaming sink has written), ``n_segments`` (manifest breadth —
-        watch it to schedule ``fold_manifest``).
+        watch it to schedule ``fold_manifest``), and the operation
+        metrics (Delta ``operationMetrics`` analog) computed from the
+        segments each commit ADDED relative to its predecessor:
+        ``blocks_written`` / ``files_written`` (added manifest entries,
+        parquet footer counts), ``rows_written`` / ``bytes_written``
+        (summed over the added blocks segments, column-pruned read).
+        Metrics are NULL when the predecessor meta was vacuumed (the
+        delta is uncomputable) or for pre-segment legacy versions; for a
+        maintenance commit they describe its rewritten output (a fold's
+        consolidated segment, a merge's merged blocks), mirroring
+        OPTIMIZE's operationMetrics.
 
         Driver cost: one meta.json per retained version, newest-first,
         bounded by ``limit`` BEFORE any read — pass it on long-retention
-        roots (the changefeed planner has the same O(versions) shape)."""
+        roots (the changefeed planner has the same O(versions) shape) —
+        plus one footer/column-pruned read per segment ADDED within the
+        window (a segment is added by exactly one version, so this is
+        O(segments), never O(blocks))."""
+        import pyarrow.compute as pc
+
         names = retained_versions(self.root)[::-1]
         if limit is not None:
             names = names[: max(limit, 0)]
+        mdir = _manifest_dir(self.root)
+        metas: dict[str, dict | None] = {}
+
+        def _meta_of(name: str) -> dict | None:
+            if name not in metas:
+                try:
+                    metas[name] = json.loads(
+                        fsx.read_bytes(fsx.join(mdir, name, "meta.json"))
+                    )
+                except FileNotFoundError:
+                    metas[name] = None  # vacuumed predecessor
+            return metas[name]
+
         rows = []
         for name in names:
-            m = json.loads(
-                fsx.read_bytes(
-                    fsx.join(_manifest_dir(self.root), name, "meta.json")
+            m = _meta_of(name)
+            parent = m.get("parent_version")
+            n = int(name[1:])
+            blocks_w = files_w = rows_w = bytes_w = None
+            tables = m.get("tables")
+            prev_tables = (
+                {} if n == 1 else (lambda pm: pm and pm.get("tables"))(
+                    _meta_of(f"v{n - 1:08d}")
                 )
             )
-            parent = m.get("parent_version")
+            if tables is not None and prev_tables is not None:
+                added = {
+                    t: [
+                        r
+                        for r in tables.get(t, ())
+                        if r not in set(prev_tables.get(t, ()))
+                    ]
+                    for t in ("blocks", "files")
+                }
+                blocks_w = sum(
+                    fsx.parquet_dir_rows(fsx.join(mdir, r))
+                    for r in added["blocks"]
+                )
+                files_w = sum(
+                    fsx.parquet_dir_rows(fsx.join(mdir, r))
+                    for r in added["files"]
+                )
+                rows_w = bytes_w = 0
+                for r in added["blocks"]:
+                    t = fsx.read_parquet_dir(
+                        fsx.join(mdir, r), columns=["row_count", "byte_size"]
+                    )
+                    rows_w += pc.sum(t.column("row_count")).as_py() or 0
+                    bytes_w += pc.sum(t.column("byte_size")).as_py() or 0
             desc = m.get("source_desc") or ""
             sb = m.get("last_stream_batch")
             refs = m.get("tables") or {}
@@ -783,6 +839,10 @@ class BloomIndex:
                     parent is not None,
                     int(sb) if sb is not None else None,
                     len(refs.get("blocks", ())),
+                    blocks_w,
+                    files_w,
+                    rows_w,
+                    bytes_w,
                 )
             )
         return self.spark.createDataFrame(
@@ -790,7 +850,8 @@ class BloomIndex:
             "version long, name string, timestamp double, "
             "timestamp_epoch double, operation string, "
             "source_desc string, parent_version long, is_maintenance boolean, "
-            "streaming_batch long, n_segments long",
+            "streaming_batch long, n_segments long, blocks_written long, "
+            "files_written long, rows_written long, bytes_written long",
         ).withColumn("timestamp", F.timestamp_seconds(F.col("timestamp")))
 
     def block_paths(self, data_paths: list[str]) -> list[str]:

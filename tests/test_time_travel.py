@@ -302,6 +302,12 @@ def test_history_describe(spark, history):
     assert [r.operation for r in rows] == ["build"] * 3
     assert all(not r.is_maintenance and r.parent_version is None for r in rows)
     assert [r.n_segments for r in rows] == [3, 2, 1]
+    # operation metrics (Delta operationMetrics analog): each commit's
+    # added rows/blocks/files/bytes, computed from the segments it added
+    assert [r.rows_written for r in rows] == [V3_ROWS, V2_ROWS, V1_ROWS]
+    for r in rows:
+        assert r.blocks_written >= 1 and r.files_written >= 1
+        assert r.bytes_written > 0
     for r in rows:
         assert abs(r.timestamp.timestamp() - t[r.version]) < 1e-3
         # timestamp_epoch is the UNAMBIGUOUS timestamp_as_of input (the
@@ -323,6 +329,12 @@ def test_history_maintenance_attribution(spark, tmp_root):
             for r in rows] == [
         (3, "fold", True, 2), (2, "merge", True, 1), (1, "build", False, None),
     ]
+    # maintenance metrics describe the op's rewritten output (OPTIMIZE's
+    # operationMetrics analog): the fold consolidates all 150 rows into
+    # its folded segment; the build wrote the same 150
+    by_v = {r.version: r for r in rows}
+    assert by_v[1].rows_written == 150
+    assert by_v[3].rows_written == 150 and by_v[3].blocks_written >= 1
 
 
 def test_changefeed_starting_timestamp_errors(spark, history):
