@@ -252,13 +252,26 @@ def verify_pdf(
     tokenizer,
 ) -> np.ndarray:
     """EXACT verify (Q12) over candidate rows — verify.compile_bloom_verify
-    re-expressed in pandas with the index's tokenizer."""
+    re-expressed in pandas with the index's tokenizer.
+
+    Vectorized via per-column FACTORIZATION (r06, VERDICT r05 item 8):
+    each distinct value is cast + tokenized ONCE (a vectorized
+    ``tokenize_series`` for the default tokenizer; one ``value_fn`` call
+    per distinct for a custom one — the irreducible Python cost), and
+    every token-membership leaf is one pass over the DISTINCTS plus a
+    C-level gather ``mask_of_distinct[codes]`` instead of two per-row
+    Python lambda passes.  Token lists stay LISTS — converting them to
+    frozensets measured as expensive as tokenizing itself, and ``in``
+    over the typical 1-5 tokens is just as fast.  Multi-leaf queries and
+    duplicate-heavy columns amortize to near-zero marginal cost per
+    leaf."""
     from ..tokenizer import tokenize_series
 
     n = len(pdf)
     cols = set(pdf.columns)
     indexed = set(indexed_fields) & cols
-    tok_cache: dict[str, pd.Series] = {}
+    # col -> (factorize codes, token list per distinct value)
+    tok_cache: dict[str, tuple[np.ndarray, list]] = {}
 
     def _cast_value(v):
         # mirror the Spark verify path's F.col(c).cast("string") before the
@@ -271,23 +284,28 @@ def verify_pdf(
             return "true" if v else "false"
         return str(v)
 
-    def tokens_of(col: str) -> pd.Series:
-        if col not in tok_cache:
+    def tokens_of(col: str) -> tuple[np.ndarray, list]:
+        cached = tok_cache.get(col)
+        if cached is None:
+            codes, uniques = pd.factorize(pdf[col], use_na_sentinel=True)
             if tokenizer.name == "whitespace_lower":
-                tok_cache[col] = tokenize_series(pdf[col])
+                lists = list(tokenize_series(pd.Series(uniques)))
             else:
-                tok_cache[col] = pdf[col].map(
-                    lambda v: None
-                    if _cast_value(v) is None
-                    else tokenizer.value_fn(_cast_value(v))
-                )
-        return tok_cache[col]
+                fn = tokenizer.value_fn
+                lists = [
+                    fn(cv) if (cv := _cast_value(u)) is not None else ()
+                    for u in uniques
+                ]
+            cached = tok_cache[col] = (codes, lists)
+        return cached
 
     def tok_in(col: str, t: str) -> np.ndarray:
-        lists = tokens_of(col)
-        return lists.map(
-            lambda xs: t in xs if xs is not None else False
-        ).to_numpy(dtype=bool)
+        codes, lists = tokens_of(col)
+        mask_u = np.fromiter((t in x for x in lists), bool, count=len(lists))
+        out = np.zeros(n, bool)
+        valid = codes >= 0  # -1 = null value: never matches a token
+        out[valid] = mask_u[codes[valid]]
+        return out
 
     def ev(e: BloomExpr | None) -> np.ndarray:
         if e is None:

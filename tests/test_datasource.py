@@ -1035,3 +1035,106 @@ def test_pads_partition_filter_hypothesis_fuzz():
         )
 
     check()
+
+
+def test_verify_pdf_custom_tokenizer_vectorized():
+    """r06 (VERDICT r05 item 8): the custom-tokenizer exact-verify path is
+    factorized — value_fn runs once per DISTINCT value and each token leaf
+    is a C-level gather, not a per-row Python map.  Exactness pinned to
+    the old per-row implementation at 1e5 candidate rows, speed floor 2x
+    (min of 3 interleaved reps)."""
+    import time
+
+    import numpy as np
+
+    from bloomsearch_spark import query as q
+    from bloomsearch_spark import tokenizer as tk
+    from bloomsearch_spark.sources.datasource import verify_pdf
+
+    tok = tk.Tokenizer(
+        name="csv_lower_dsperf",
+        value_fn=lambda v: [t for t in v.lower().split(",") if t],
+    )
+    n = 100_000
+    rng = np.random.default_rng(7)
+    # duplicate-heavy categorical col + high-cardinality col + nulls
+    cats = np.array(["Alpha,Beta", "beta,GAMMA", "delta", "", "Alpha"])
+    vals = cats[rng.integers(0, len(cats), n)].astype(object)
+    vals[rng.random(n) < 0.05] = None
+    hi = np.array([f"row{i},tag{i % 97}" for i in range(n)], dtype=object)
+    pdf = pd.DataFrame({"a": vals, "b": hi, "num": rng.integers(0, 50, n)})
+    expr = q.And(
+        q.Or(q.Token("beta"), q.FieldToken("b", "tag13")),
+        q.Field("a"),
+    )
+    fields = ("a", "b")
+
+    def verify_pdf_rowwise(expr, pdf, indexed_fields, tokenizer):
+        # the pre-r06 implementation, kept as the semantic + speed baseline
+        n = len(pdf)
+        cols = set(pdf.columns)
+        indexed = set(indexed_fields) & cols
+        cache = {}
+
+        def cast(v):
+            if v is None or (isinstance(v, float) and np.isnan(v)):
+                return None
+            if isinstance(v, str):
+                return v
+            if isinstance(v, (bool, np.bool_)):
+                return "true" if v else "false"
+            return str(v)
+
+        def tokens_of(col):
+            if col not in cache:
+                cache[col] = pdf[col].map(
+                    lambda v: None if cast(v) is None
+                    else tokenizer.value_fn(cast(v))
+                )
+            return cache[col]
+
+        def tok_in(col, t):
+            return tokens_of(col).map(
+                lambda xs: t in xs if xs is not None else False
+            ).to_numpy(dtype=bool)
+
+        def ev(e):
+            if e is None:
+                return np.ones(n, bool)
+            if e.kind == "AND":
+                out = np.ones(n, bool)
+                for ch in e.children:
+                    out &= ev(ch)
+                return out
+            if e.kind == "OR":
+                out = np.zeros(n, bool)
+                for ch in e.children:
+                    out |= ev(ch)
+                return out
+            if e.kind == "FIELD":
+                return (
+                    pdf[e.field].notna().to_numpy()
+                    if e.field in indexed else np.zeros(n, bool)
+                )
+            if e.kind == "TOKEN":
+                out = np.zeros(n, bool)
+                for c in indexed_fields:
+                    if c in cols:
+                        out |= tok_in(c, e.token)
+                return out
+            return tok_in(e.field, e.token) if e.field in indexed \
+                else np.zeros(n, bool)
+
+        return ev(expr)
+
+    t_new = t_old = float("inf")
+    for _ in range(3):  # interleaved min-of-reps (host noise)
+        t0 = time.perf_counter()
+        got = verify_pdf(expr, pdf, fields, tok)
+        t_new = min(t_new, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        exp = verify_pdf_rowwise(expr, pdf, fields, tok)
+        t_old = min(t_old, time.perf_counter() - t0)
+    assert (got == exp).all()
+    assert got.sum() > 0 and not got.all()
+    assert t_old / t_new >= 2.0, (t_old, t_new)
