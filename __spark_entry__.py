@@ -335,6 +335,79 @@ def _strm_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_recall_entry(ann_fn, min_hits: int):
+    """Bound-check oracle (sk_* style) for an approximate ANN op: Spark
+    computes the EXACT top-k in-frame (brute_force_topk — itself
+    hash-exact vs SQL, see sim_topk) and returns, per query, the exact
+    k-th cosine score (SQL-recomputable anchor) plus a boolean asserting
+    the recall floor; DuckDB recomputes the k-th score exactly and
+    returns TRUE.  Per-query floor 0.7 sits under the seeded measured
+    minima (0.8 at sf0.01, 1.0 at sf0.1) while the pytest floors keep
+    enforcing the published MEAN recalls (lsh 0.9 / ivf 0.8)."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        base = _embs(spark, sf_dir)
+        queries = base.filter(F.col("vec_id") < 5)
+        exact = brute_force_topk(base, queries, k=10)
+        approx = ann_fn(base, queries, k=10)
+        hits = (
+            exact.select("query_id", "neighbor_id")
+            .join(approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count("*").alias("n_hit"))
+        )
+        kth = exact.filter(F.col("rank") == 10).select(
+            "query_id", F.col("sim").alias("kth_sim")
+        )
+        return kth.join(hits, "query_id", "left").select(
+            "query_id",
+            "kth_sim",
+            (F.coalesce(F.col("n_hit"), F.lit(0)) >= min_hits).alias("recall_ok"),
+        )
+
+    return q
+
+
+def _dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bound-check oracle for SimHash banding: the pigeonhole split
+    (blocks > max_hamming) guarantees the banded equi-join finds EXACTLY
+    the pairs with Hamming(simhash) <= 3 — so per document, the banded
+    partner set must equal a brute-force all-pairs Hamming scan over the
+    same signatures (computed in-frame; the signature hash itself is not
+    SQL-expressible).  Returns one row per document asserting that;
+    DuckDB returns the doc ids + TRUE."""
+    from bloomsearch_spark.functions.dedup import simhash_signatures
+
+    docs = _docs(spark, sf_dir)
+    banded = simhash_pairs(docs, "text", "doc_id", max_hamming=3).select(
+        "doc_a", "doc_b"
+    )
+    sigs = simhash_signatures(docs, "text", "doc_id")
+    a, b = sigs.alias("a"), sigs.alias("b")
+    brute = (
+        a.join(b, F.col("a.doc") < F.col("b.doc"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
+        )
+        .filter(F.col("hamming") <= 3)
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+    )
+    diff = banded.exceptAll(brute).union(brute.exceptAll(banded))
+    bad = (
+        diff.select(F.col("doc_a").alias("doc_id"))
+        .union(diff.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("bad", F.lit(True))
+    )
+    return (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .distinct()
+        .join(bad, "doc_id", "left")
+        .select("doc_id", F.col("bad").isNull().alias("pigeonhole_ok"))
+    )
+
+
 def _sk_quantile_query(build, value_col, table, bound):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet")).select(value_col)
@@ -494,9 +567,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_minhash": lambda spark, sf: minhash_lsh_pairs(
             _docs(spark, sf), "text", "doc_id", threshold=0.8, n=3
         ),
-        "dd_simhash": lambda spark, sf: simhash_pairs(
-            _docs(spark, sf), "text", "doc_id", max_hamming=3
-        ),
+        # pigeonhole completeness asserted per doc vs an in-frame
+        # brute-force Hamming scan (bound-check oracle, r06)
+        "dd_simhash": _dd_simhash,
         # connected components over the verified near-dup pair graph ->
         # canonical cluster assignment (iterative min-label propagation,
         # edge-sized joins; oracle = recursive-CTE transitive closure)
@@ -510,19 +583,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": lambda spark, sf: brute_force_topk(
             _embs(spark, sf), _embs(spark, sf).filter(F.col("vec_id") < 5), k=10
         ),
-        "sim_lsh_topk": lambda spark, sf: lsh_topk(
-            _embs(spark, sf), _embs(spark, sf).filter(F.col("vec_id") < 5), k=10
-        ),
+        # recall floor vs the in-frame exact top-k + SQL-recomputable
+        # k-th score anchor (bound-check oracle, r06)
+        "sim_lsh_topk": _ann_recall_entry(lsh_topk, min_hits=7),
         # LSH-bucketed near-dup pair join (default scale path) over planted
         # near-dup twins; exact cosine verify keeps it hash-exact vs the
         # all-pairs oracle (multi-table miss prob ~1e-15 at these params)
         "sim_neardup": lambda spark, sf: embedding_neardup_pairs(
             _embs_with_neardups(spark, sf), threshold=0.9
         ),
-        # IVF cell-probe ANN (approximate -> rows-only driver check)
-        "sim_ivf_topk": lambda spark, sf: ivf_topk(
-            _embs(spark, sf), _embs(spark, sf).filter(F.col("vec_id") < 5), k=10
-        ),
+        # IVF cell-probe ANN, same bound-check shape as sim_lsh_topk
+        "sim_ivf_topk": _ann_recall_entry(ivf_topk, min_hits=7),
         # --- mergeable sketch family (HLL / CMS / t-digest / KLL) ---
         "sk_hll_distinct": _sk_hll_distinct,
         "sk_cms_counts": _sk_cms_counts,
@@ -977,6 +1048,25 @@ SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 10
 """
 
+_ANN_BOUND_ORACLE = """
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v)
+           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+           AS raw_sim
+  FROM d q JOIN d c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < 5
+), ranked AS (
+  SELECT query_id, round(raw_sim, 6) AS sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, sim AS kth_sim, TRUE AS recall_ok
+FROM ranked WHERE rank = 10
+"""
+
 _NEARDUP_ORACLE = """
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 d AS (
@@ -1208,5 +1298,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(((doc_id * 7 + fi) * 31 + 7) % 256 AS DOUBLE) AS mean_luma "
             "FROM (SELECT doc_id, unnest(range(0, (doc_id % 5) + 1, 2)) AS fi FROM documents)"
         ),
-        # dd_simhash, sim_lsh_topk: approximate/non-SQL ops -> rows-only check
+        # bound-check oracles for the approximate ops (r06 — every entry
+        # is now oracle-gated): Spark asserts the published bound vs the
+        # exact answer computed in-frame; SQL recomputes the exact
+        # SQL-expressible anchor + TRUE
+        "dd_simhash": (
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, TRUE AS pigeonhole_ok "
+            "FROM documents"
+        ),
+        "sim_lsh_topk": _ANN_BOUND_ORACLE,
+        "sim_ivf_topk": _ANN_BOUND_ORACLE,
     }
