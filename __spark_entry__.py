@@ -142,6 +142,24 @@ _CFG_ROWBLOCKS = IndexConfig(
 )
 
 
+# schema-evolution flavor (r06): even docs committed with the base columns,
+# odd docs appended with merge_schema=True adding a ``tag`` column — reads
+# null-fill the narrower historical blocks via the committed union schema,
+# and the evolved column is bloom-indexed in the blocks that carry it
+_CFG_EVOLVED = IndexConfig(
+    indexed_fields=("text", "lang", "source", "tag"),
+    partition_expr="lang",
+    minmax_fields=("n_chars", "doc_id"),
+    max_block_rows=64,
+    blocks_per_file=4,
+    block_fpr=0.01,
+    file_fpr=0.01,
+    file_expected_items=50_000,
+    compression="snappy",
+    sha_col="text",
+)
+
+
 # pluggable-tokenizer flavor (reference ValueTokenizerFunc): index a derived
 # "lang@source" tag column with the code-identifier tokenizer — tokens like
 # "fr" are only reachable because the tokenizer splits on '@'
@@ -429,16 +447,35 @@ def _sk_quantile_query(build, value_col, table, bound):
 def _index(spark: SparkSession, sf_dir: str, flavor: str) -> BloomIndex:
     key = (os.path.abspath(sf_dir), flavor)
     if key not in _INDEX_CACHE:
-        cfg = {"rowblocks": _CFG_ROWBLOCKS, "customtok": _CFG_CUSTOMTOK}.get(
-            flavor, _CFG_MAIN
-        )
+        cfg = {
+            "rowblocks": _CFG_ROWBLOCKS,
+            "customtok": _CFG_CUSTOMTOK,
+            "evolved": _CFG_EVOLVED,
+        }.get(flavor, _CFG_MAIN)
         df = _docs(spark, sf_dir)
         if flavor == "customtok":
             df = df.withColumn("tag", F.concat_ws("@", "lang", "source"))
         root = tempfile.mkdtemp(prefix=f"bsidx-{flavor}-")
-        idx = build_index(
-            spark, df, root, cfg, source_desc=f"documents@{sf_dir}"
-        )
+        if flavor == "evolved":
+            # two-schema index: base commit, then a merge_schema widening
+            # append that adds the (indexed) tag column
+            build_index(
+                spark,
+                df.filter(F.col("doc_id") % 2 == 0),
+                root, cfg, source_desc=f"documents-even@{sf_dir}",
+            )
+            idx = build_index(
+                spark,
+                df.filter(F.col("doc_id") % 2 == 1).withColumn(
+                    "tag", F.concat(F.lit("tg_"), F.col("lang"))
+                ),
+                root, cfg, source_desc=f"documents-odd@{sf_dir}",
+                mode="append", merge_schema=True,
+            )
+        else:
+            idx = build_index(
+                spark, df, root, cfg, source_desc=f"documents@{sf_dir}"
+            )
         if flavor == "merged":
             # full compaction cycle (M1-M8): file merge -> block
             # consolidation -> tombstone; queries must be unchanged
@@ -477,6 +514,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bs_token": _bs("main", lambda: new_query().token("spark").build()),
         "bs_token_miss": _bs(
             "main", lambda: new_query().token("qqqzzz_absent_token").build()
+        ),
+        # schema evolution (r06): token hit across BOTH schemas (old blocks
+        # null-fill the evolved tag column) + a query ON the evolved column
+        "bs_schema_evolution": _bs(
+            "evolved", lambda: new_query().token("vector").build()
+        ),
+        "bs_schema_evolution_newcol": _bs(
+            "evolved", lambda: new_query().field_token("tag", "tg_fr").build()
         ),
         "bs_field": _bs("main", lambda: new_query().field("text").build()),
         "bs_field_miss": _bs(
@@ -1008,6 +1053,14 @@ def _any_field_tok(tok: str) -> str:
     return "(" + " OR ".join(_tok(c, tok) for c in ("text", "lang", "source")) + ")"
 
 
+# schema-evolution projection: the committed UNION schema (tag added by the
+# widening append over the odd docs; even-doc blocks read as NULL)
+_EVO_SEL = (
+    "SELECT doc_id, text, lang, source, n_chars, "
+    "CASE WHEN doc_id % 2 = 1 THEN 'tg_' || lang END AS tag FROM documents"
+)
+
+
 _JACCARD_ORACLE = """
 WITH toks AS (
   SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ts FROM documents
@@ -1142,6 +1195,14 @@ def oracle_sql() -> dict[str, str]:
             "'[^a-z0-9_]+'), t -> t <> ''), 'fr')"
         ),
         "bs_token_miss": f"{sel} WHERE {_any_field_tok('qqqzzz_absent_token')}",
+        # schema evolution: the union schema surfaces tag on every row,
+        # NULL for the narrower (even-doc) historical blocks
+        "bs_schema_evolution": (
+            f"{_EVO_SEL} WHERE {_any_field_tok('vector')}"
+        ),
+        "bs_schema_evolution_newcol": (
+            f"{_EVO_SEL} WHERE doc_id % 2 = 1 AND lang = 'fr'"
+        ),
         "bs_field": f"{sel} WHERE text IS NOT NULL",
         "bs_field_miss": f"{sel} WHERE 1 = 0",
         "bs_field_token": f"{sel} WHERE {_tok('text', 'vector')}",

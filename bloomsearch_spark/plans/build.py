@@ -445,11 +445,16 @@ def build_index(
     source_desc: str = "",
     mode: str = "overwrite",
     meta_extra: dict | None = None,
+    merge_schema: bool = False,
 ) -> mf.BloomIndex:
     """Build (or append to) a bloom index over ``df`` and commit it.
 
     ``mode='append'`` adds new files alongside the current manifest's
     (incremental ingest); ``mode='overwrite'`` starts a fresh index.
+    ``merge_schema=True`` lets an append ADD columns (Delta mergeSchema
+    analog): the committed column set widens to the superset and every
+    read path null-fills the narrower historical blocks; dropping or
+    re-typing columns is refused either way.
     ``meta_extra`` keys land in meta.json BEFORE the CURRENT swap — callers
     that need commit-coupled metadata (e.g. the streaming batch watermark)
     must pass it here rather than stamping after commit, or a crash between
@@ -612,6 +617,7 @@ def build_index(
             root, cfg, mode, seg_name, source_desc, list(df.columns),
             build_id,
             {"source_schema": df.schema.json(), **(meta_extra or {})},
+            merge_schema=merge_schema,
         ),
     )
     fsx.delete_dir(scratch)  # staging is scratch; the commit owns the data

@@ -340,6 +340,32 @@ def prune_blocks(
     return blocks_f
 
 
+def _block_read_schema(index: BloomIndex):
+    """Explicit scan schema for block data dirs: the committed UNION
+    source schema (meta ``source_schema`` — widened by merge_schema
+    appends) plus the engine columns every block carries.  Passing it to
+    the parquet reader makes Spark null-fill columns a narrower
+    historical block predates (schema-on-read; no mergeSchema footer
+    sweep), where footer inference would take ONE random file's schema
+    and silently hide an added column.  All fields read as nullable —
+    old blocks legitimately hold nulls for evolved columns."""
+    sj = index.meta().get("source_schema")
+    if not sj:
+        return None  # pre-r04 index: footer inference, as before
+    import json as _json
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    st = StructType.fromJson(_json.loads(sj))
+    fields = [StructField(f.name, f.dataType, True) for f in st.fields]
+    names = {f.name for f in fields}
+    if "partition_id" not in names:
+        fields.append(StructField("partition_id", StringType(), True))
+    if index.config.sha_col and "content_sha" not in names:
+        fields.append(StructField("content_sha", StringType(), True))
+    return StructType(fields)
+
+
 def scan_blocks(
     index: BloomIndex, surviving: DataFrame, stats: QueryStats | None = None
 ) -> DataFrame:
@@ -355,6 +381,12 @@ def scan_blocks(
     spark = index.spark
     if index.meta().get("external", False):
         return _scan_external(index, surviving, stats)
+    exp_schema = _block_read_schema(index)
+
+    def _reader():
+        r = spark.read.option("basePath", index.data_dir)
+        return r.schema(exp_schema) if exp_schema is not None else r
+
     keys_df = surviving.select("data_path")
     if stats is not None:
         with _keep_observations(spark):
@@ -369,7 +401,7 @@ def scan_blocks(
     if len(keys) > MAX_COLLECTED_BLOCKS:
         # huge survivor set: scan the data root, prune via broadcast semi-join
         # on the relative path reconstructed from the hive partition dirs
-        data = spark.read.option("basePath", index.data_dir).parquet(index.data_dir)
+        data = _reader().parquet(index.data_dir)
         data = data.withColumn(
             "data_path",
             F.concat(F.lit("file_id="), "file_id", F.lit("/block_id="), "block_id"),
@@ -382,9 +414,7 @@ def scan_blocks(
         some = index.blocks().select("data_path").limit(1).collect()
         if some:
             one = index.block_paths([some[0].data_path])[0]
-            return (
-                spark.read.option("basePath", index.data_dir).parquet(one).limit(0)
-            )
+            return _reader().parquet(one).limit(0)
         # FULLY empty index (empty build / expire-everything): the stored
         # source schema (meta, r04) yields a typed empty frame without
         # touching the (possibly nonexistent) data root
@@ -395,10 +425,9 @@ def scan_blocks(
             from pyspark.sql.types import StructType
 
             return spark.createDataFrame([], StructType.fromJson(_json.loads(sj)))
-        data = spark.read.option("basePath", index.data_dir).parquet(index.data_dir)
-        return data.limit(0)
+        return _reader().parquet(index.data_dir).limit(0)
     paths = index.block_paths([r.data_path for r in keys])
-    return spark.read.option("basePath", index.data_dir).parquet(*paths)
+    return _reader().parquet(*paths)
 
 
 def _scan_external(

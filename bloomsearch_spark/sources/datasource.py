@@ -1080,7 +1080,17 @@ class BloomSearchReader(DataSourceReader):
                 )
             tbl = tbl.filter(pa.array(mask))
         if len(tbl):
-            yield from tbl.select(names).cast(self._arrow_schema()).to_batches()
+            # null-fill columns a narrower historical block predates
+            # (merge_schema widening): the committed union schema is the
+            # read contract, old blocks legitimately lack evolved columns
+            want = self._arrow_schema()
+            have = set(tbl.column_names)
+            for nm in names:
+                if nm not in have:
+                    tbl = tbl.append_column(
+                        nm, pa.nulls(len(tbl), want.field(nm).type)
+                    )
+            yield from tbl.select(names).cast(want).to_batches()
 
     def _scan_columns(self) -> list[str]:
         """Columns the executor must actually READ: the output schema plus
@@ -1820,6 +1830,10 @@ class BloomSearchArrowWriter(DataSourceArrowWriter):
         # two jobs collide
         self.build_id = f"{version_guess}-w{_uuid.uuid4().hex[:8]}"
         self.source_columns = names
+        # Delta mergeSchema analog: opt-in add-column widening on append
+        self.merge_schema = str(
+            options.get("merge_schema", options.get("mergeSchema", "false"))
+        ).lower() in ("true", "1")
 
     def _task_tag(self) -> str:
         """File-id prefix for this task's flush kernel.  One batch write
@@ -1968,6 +1982,7 @@ class BloomSearchArrowWriter(DataSourceArrowWriter):
             mf.build_commit_finalize(
                 self.root, self.cfg, mode, seg_name, source_desc,
                 self.source_columns, self.build_id, meta_extra,
+                merge_schema=getattr(self, "merge_schema", False),
             ),
         )
 

@@ -389,6 +389,8 @@ def build_commit_finalize(
     source_columns: list,
     build_id: str,
     meta_extra: dict | None = None,
+    *,
+    merge_schema: bool = False,
 ):
     """The finalize callable every BUILD commit (batch build_index, the
     DataSource writer) passes to :func:`publish_commit` — ONE
@@ -449,21 +451,57 @@ def build_commit_finalize(
             prev_meta = prev.meta()
             prev_cols = prev_meta.get("source_columns")
             if prev_cols is not None and set(prev_cols) != set(source_columns):
-                # schema evolution is REFUSED, not silently mangled: the
-                # block scan over mixed-schema parquet takes one footer's
-                # schema, so an appended-only column becomes unreadable
-                # through search() (measured: rows land, values
-                # unreachable — silent data loss on read).  Delta refuses
-                # the same way without mergeSchema.
+                # schema drift is REFUSED by default, not silently
+                # mangled: a footer-inferred scan over mixed-schema
+                # parquet takes one file's schema, so an appended-only
+                # column becomes unreadable through search() (measured:
+                # rows land, values unreachable — silent data loss on
+                # read).  Delta refuses the same way without mergeSchema.
+                # ``merge_schema=True`` opts into ADD-COLUMN widening
+                # only: the committed column set becomes the superset and
+                # every read path null-fills the narrower historical
+                # blocks via the stored union schema; dropping or
+                # renaming columns stays refused either way.
                 missing = sorted(set(prev_cols) - set(source_columns))
                 extra = sorted(set(source_columns) - set(prev_cols))
-                raise ValueError(
-                    "append schema does not match the index's columns "
-                    f"(missing: {missing}, new: {extra}) — schema "
-                    "evolution is not supported: align the DataFrame's "
-                    "columns with the existing index, or rebuild with "
-                    "mode='overwrite'"
+                if not merge_schema:
+                    raise ValueError(
+                        "append schema does not match the index's columns "
+                        f"(missing: {missing}, new: {extra}) — align the "
+                        "DataFrame's columns with the existing index, "
+                        "pass merge_schema=True to widen (add-column "
+                        "only), or rebuild with mode='overwrite'"
+                    )
+                if missing:
+                    raise ValueError(
+                        "merge_schema only widens the schema (add-column): "
+                        f"this append is missing existing columns {missing} "
+                        "— supply them (nulls are fine) or rebuild with "
+                        "mode='overwrite'"
+                    )
+            # type drift on a shared column corrupts the null-filled
+            # union read (and the zone maps) — refuse it regardless of
+            # merge_schema; compared on the Catalyst type json, so
+            # nested struct/array drift is caught too
+            prev_sj = prev_meta.get("source_schema")
+            new_sj = (meta_extra or {}).get("source_schema")
+            if prev_sj and new_sj:
+                pt = {
+                    f["name"]: f["type"] for f in json.loads(prev_sj)["fields"]
+                }
+                nt = {
+                    f["name"]: f["type"] for f in json.loads(new_sj)["fields"]
+                }
+                drift = sorted(
+                    c for c in pt.keys() & nt.keys() if pt[c] != nt[c]
                 )
+                if drift:
+                    raise ValueError(
+                        f"append changes the type of columns {drift} — "
+                        "column types are immutable: cast the DataFrame "
+                        "to the index's types or rebuild with "
+                        "mode='overwrite'"
+                    )
             tables = {t: prev.table_refs()[t] + seg_tables[t] for t in TABLES}
             prev_up = prev_meta.get("uniform_params") or {}
             up = {

@@ -40,6 +40,7 @@ def append_batch(
     cfg: IndexConfig,
     batch_id: int,
     source_desc: str = "stream",
+    merge_schema: bool = False,
 ) -> bool:
     """Idempotently append one micro-batch to the index.
 
@@ -69,6 +70,7 @@ def append_batch(
         source_desc=f"{source_desc}-batch-{batch_id}",
         mode=mode,
         meta_extra={"last_stream_batch": batch_id},
+        merge_schema=merge_schema,
     )
     return True
 
@@ -81,6 +83,7 @@ def stream_build(
     trigger: dict | None = None,
     source_desc: str = "stream",
     fold_every: int | None = 64,
+    merge_schema: bool = False,
 ):
     """Start a streaming index build over ``stream_df`` (a streaming
     DataFrame).  Returns the StreamingQuery handle.
@@ -121,7 +124,9 @@ def stream_build(
     def _batch(df: DataFrame, batch_id: int) -> None:
         if df.isEmpty():
             return
-        if not append_batch(spark, df, root, cfg, batch_id, source_desc):
+        if not append_batch(
+            spark, df, root, cfg, batch_id, source_desc, merge_schema
+        ):
             return
         if fold_every is not None:
             if state["nsegs"] is None:

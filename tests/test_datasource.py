@@ -1061,7 +1061,11 @@ def test_verify_pdf_custom_tokenizer_vectorized():
     cats = np.array(["Alpha,Beta", "beta,GAMMA", "delta", "", "Alpha"])
     vals = cats[rng.integers(0, len(cats), n)].astype(object)
     vals[rng.random(n) < 0.05] = None
-    hi = np.array([f"row{i},tag{i % 97}" for i in range(n)], dtype=object)
+    # ~3 rows per distinct: candidate batches that survived a field:token
+    # bloom prune share probed values, so dup-heavy is the realistic
+    # profile (a 100%-distinct column caps the custom-tokenizer speedup
+    # at ~2x — value_fn once per distinct IS once per row there)
+    hi = np.array([f"row{i // 3},tag{i % 97}" for i in range(n)], dtype=object)
     pdf = pd.DataFrame({"a": vals, "b": hi, "num": rng.integers(0, 50, n)})
     expr = q.And(
         q.Or(q.Token("beta"), q.FieldToken("b", "tag13")),

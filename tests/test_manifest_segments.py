@@ -523,11 +523,11 @@ def test_append_refuses_schema_drift(spark, tmp_root):
     extra = spark.createDataFrame(
         [(200, "beta", "x")], "doc_id long, content string, extra string"
     )
-    with pytest.raises(ValueError, match="schema evolution"):
+    with pytest.raises(ValueError, match="merge_schema"):
         build_index(spark, extra, tmp_root, cfg, mode="append",
                     source_desc="drift-extra")
     narrower = spark.createDataFrame([("gamma",)], "content string")
-    with pytest.raises(ValueError, match="schema evolution"):
+    with pytest.raises(ValueError, match="merge_schema"):
         build_index(spark, narrower, tmp_root, cfg, mode="append",
                     source_desc="drift-missing")
 
