@@ -456,7 +456,34 @@ def _index(spark: SparkSession, sf_dir: str, flavor: str) -> BloomIndex:
         if flavor == "customtok":
             df = df.withColumn("tag", F.concat_ws("@", "lang", "source"))
         root = tempfile.mkdtemp(prefix=f"bsidx-{flavor}-")
-        if flavor == "evolved":
+        if flavor == "deleted":
+            # row-level predicate DELETE (r06): drop every French doc,
+            # rewriting only the blocks that held one
+            from bloomsearch_spark import delete_where
+
+            built = build_index(
+                spark, df, root, cfg, source_desc=f"documents@{sf_dir}"
+            )
+            idx, _stats = delete_where(
+                spark, built, new_query().field_token("lang", "fr").build()
+            )
+        elif flavor == "restored":
+            # RESTORE (r06): append the odd docs, then roll back to the
+            # even-docs version as a new zero-copy commit
+            from bloomsearch_spark import restore
+
+            v1 = build_index(
+                spark,
+                df.filter(F.col("doc_id") % 2 == 0),
+                root, cfg, source_desc=f"documents-even@{sf_dir}",
+            )
+            v2 = build_index(
+                spark,
+                df.filter(F.col("doc_id") % 2 == 1),
+                root, cfg, source_desc=f"documents-odd@{sf_dir}", mode="append",
+            )
+            idx = restore(spark, v2, version=v1.version)
+        elif flavor == "evolved":
             # two-schema index: base commit, then a merge_schema widening
             # append that adds the (indexed) tag column
             build_index(
@@ -522,6 +549,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "bs_schema_evolution_newcol": _bs(
             "evolved", lambda: new_query().field_token("tag", "tg_fr").build()
+        ),
+        # row-level DELETE (r06): French docs deleted via block rewrite;
+        # a token query sees every surviving row and none of the deleted
+        "bs_delete_where": _bs(
+            "deleted", lambda: new_query().token("vector").build()
+        ),
+        # RESTORE (r06): rolled back to the even-docs version (zero-copy
+        # forward commit); the odd docs are gone again
+        "bs_restore": _bs(
+            "restored", lambda: new_query().token("vector").build()
         ),
         "bs_field": _bs("main", lambda: new_query().field("text").build()),
         "bs_field_miss": _bs(
@@ -1202,6 +1239,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bs_schema_evolution_newcol": (
             f"{_EVO_SEL} WHERE doc_id % 2 = 1 AND lang = 'fr'"
+        ),
+        "bs_delete_where": (
+            f"{sel} WHERE {_any_field_tok('vector')} AND lang <> 'fr'"
+        ),
+        "bs_restore": (
+            f"{sel} WHERE {_any_field_tok('vector')} AND doc_id % 2 = 0"
         ),
         "bs_field": f"{sel} WHERE text IS NOT NULL",
         "bs_field_miss": f"{sel} WHERE 1 = 0",

@@ -40,12 +40,15 @@ from .query import (
 from .plans.build import build_index
 from .plans.external import build_external_index
 from .plans.merge import (
+    DeleteStats,
     MergeStats,
     compact_blocks,
     expire_blocks,
     fold_manifest,
+    delete_where,
     maintain,
     merge_files,
+    restore,
     vacuum,
     vacuum_manifest,
 )
@@ -62,11 +65,11 @@ from .tokenizer import Tokenizer, get_tokenizer, register_tokenizer
 __all__ = [
     "And", "Between", "BloomExpr", "BloomIndex", "BloomParams", "Condition",
     "Eq", "Field", "FieldRegex", "FieldToken", "Gt", "Gte", "In", "IndexConfig",
-    "Lt", "Lte", "MergeStats", "MinMax", "Ne", "NotBetween", "NotIn", "Or",
+    "DeleteStats", "Lt", "Lte", "MergeStats", "MinMax", "Ne", "NotBetween", "NotIn", "Or",
     "Partition", "PrefilterAnd", "PrefilterOr", "Query", "QueryBuilder",
     "QueryStats", "RegexAnd", "RegexOr", "Token", "Tokenizer",
-    "build_external_index", "build_index", "compact_blocks", "expire_blocks",
-    "get_tokenizer", "merge_files", "new_query", "register_tokenizer",
+    "build_external_index", "build_index", "compact_blocks", "delete_where", "expire_blocks",
+    "get_tokenizer", "merge_files", "new_query", "register_tokenizer", "restore",
     "search", "sizing", "vacuum", "verify_integrity",
     "enable_read_checksum_verification",
     "CommitConflict", "fold_manifest", "maintain", "vacuum_manifest",

@@ -490,6 +490,318 @@ def expire_blocks(
 
 
 # ---------------------------------------------------------------------------
+# Row-level predicate DELETE (Delta DELETE analog, r06)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DeleteStats:
+    """Counters for :func:`delete_where` (``numDeletedRows`` /
+    ``numRemovedFiles`` / ``numAddedFiles`` in Delta's DELETE metrics)."""
+
+    files_before: int = 0
+    files_after: int = 0
+    blocks_before: int = 0
+    blocks_after: int = 0
+    candidate_blocks: int = 0
+    blocks_rewritten: int = 0
+    blocks_dropped: int = 0
+    rows_deleted: int = 0
+
+
+_DELETE_PLAN_SCHEMA = (
+    "file_id string, block_id string, new_block_id string, "
+    "new_data_path string, new_rows long, new_bytes long, n_deleted long"
+)
+
+
+def _make_delete_fn(data_dir: str, codec_kw: dict, nonce: str, drop_cols: tuple):
+    import pyarrow as _pa
+
+    plan_pa_schema = _pa.schema(
+        [
+            ("file_id", _pa.string()), ("block_id", _pa.string()),
+            ("new_block_id", _pa.string()), ("new_data_path", _pa.string()),
+            ("new_rows", _pa.int64()), ("new_bytes", _pa.int64()),
+            ("n_deleted", _pa.int64()),
+        ]
+    )
+
+    def fn(key, tbl):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        fid, bid = key[0], key[1]
+        mask = pc.fill_null(tbl.column("_bs_del"), False)
+        n_del = pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
+        row = {
+            "file_id": fid, "block_id": bid, "new_block_id": None,
+            "new_data_path": None, "new_rows": None, "new_bytes": None,
+            "n_deleted": int(n_del),
+        }
+        if n_del:
+            kept = tbl.filter(pc.invert(mask)).drop_columns(list(drop_cols))
+            if len(kept):
+                # the dir MUST follow file_id=<fid>/block_id=<bid> with
+                # the MANIFEST ids — scan_blocks' huge-survivor path
+                # reconstructs data_path from the hive dirs
+                new_bid = f"{bid}-{nonce}"
+                rel = fsx.join(f"file_id={fid}", f"block_id={new_bid}")
+                size = fsx.write_parquet_atomic(
+                    fsx.join(data_dir, rel), kept, "part-0.parquet", **codec_kw
+                )
+                row.update(
+                    new_block_id=new_bid, new_data_path=rel,
+                    new_rows=len(kept), new_bytes=int(size),
+                )
+            else:
+                row.update(new_rows=0)  # fully deleted: drop the block
+        return pa.Table.from_pylist([row], schema=plan_pa_schema)
+
+    return fn
+
+
+def delete_where(
+    spark: SparkSession,
+    index: BloomIndex,
+    query,
+    conflict_retries: int = 0,
+) -> tuple[BloomIndex, DeleteStats]:
+    """Delete every row matching ``query`` (the same :class:`Query` object
+    ``search`` takes — the ``DELETE FROM ... WHERE`` analog), by rewriting
+    only the blocks that actually contain matches.
+
+    Scale shape: the bloom hierarchy prunes to candidate blocks first, so
+    only data proportional to the match surface is read; one shuffle
+    groups CANDIDATE rows by block (each group bounded by
+    ``max_block_rows``); blocks where the exact verify matches nothing
+    pass through untouched (original dir, zero writes), fully-matched
+    blocks are dropped from the manifest, and partially-matched blocks
+    are rewritten under a fresh block dir (immutable dirs — time travel
+    and lagging changefeed consumers keep reading the old one until
+    vacuum).  Rewritten blocks KEEP their blooms/zone maps: both only
+    ever over-approximate (blooms disqualify, minmax widens), so pruning
+    stays sound and deletion costs no re-tokenization; a later
+    ``compact_blocks``/rebuild re-tightens them.
+
+    Commits via the maintenance protocol (``expected=`` snapshot,
+    ``CommitConflict`` on interleaved commits, ``conflict_retries`` to
+    re-plan).  A match-nothing delete commits NOTHING and returns the
+    input handle.  To a changefeed the commit is delete-the-old-block +
+    insert-the-rewritten-block events (``change_events`` required
+    mid-feed — apply deletes first); plain feeds refuse, same as
+    expire/overwrite.  Reference analog: the Go engine has TTL/partition
+    expiry only (bloom_tree_engine.go:1374+); row-level predicate delete
+    is the Delta-shaped surface its training-pipeline users expect.
+    """
+    if conflict_retries:
+        return _retry_conflicts(
+            spark, index, conflict_retries,
+            lambda ix: delete_where(spark, ix, query, 0),
+        )
+    if index.meta().get("external", False):
+        raise ValueError(
+            "delete_where rewrites block data and is not applicable to a "
+            "zero-copy external index (the source files are not ours to "
+            "rewrite); use expire_blocks for block-granular expiry"
+        )
+    from ..operators.verify import (
+        compile_bloom_verify,
+        compile_regex_verify,
+        json_verify_udf,
+    )
+    from ..tokenizer import get_tokenizer
+    from .build import codec_kwargs
+    from .search import prune_blocks, scan_blocks
+
+    cfg = index.config
+    stats = DeleteStats()
+    blocks = index.blocks()
+    stats.blocks_before = blocks.count()
+    stats.files_before = index.files().count()
+
+    surviving = prune_blocks(index, query)
+    data = scan_blocks(index, surviving)
+    tok = get_tokenizer(cfg.tokenizer)
+    if cfg.json_col is not None:
+        pred = json_verify_udf(query.bloom, query.regex, tok)(F.col(cfg.json_col))
+    else:
+        cols = data.columns
+        pred = compile_bloom_verify(query.bloom, cfg.indexed_fields, cols, tok) & (
+            compile_regex_verify(query.regex, cols)
+        )
+
+    keep_cols = [c for c in data.columns if c != "data_path"]
+    nonce = f"d{uuid.uuid4().hex[:8]}"  # per-attempt: racing deleters never
+    # write the same dir (the loser's dirs are vacuum-reclaimable orphans)
+    plan = (
+        data.select(*keep_cols)
+        .withColumn("_bs_del", pred)
+        .groupBy("file_id", "block_id")
+        .applyInArrow(
+            _make_delete_fn(
+                index.data_dir, codec_kwargs(cfg), nonce,
+                ("_bs_del", "file_id", "block_id"),
+            ),
+            _DELETE_PLAN_SCHEMA,
+        )
+        .persist()
+    )
+    agg = plan.agg(
+        F.count("*").alias("cand"),
+        F.sum("n_deleted").alias("deleted"),
+        F.sum((F.col("n_deleted") > 0).cast("long")).alias("touched"),
+        F.sum(((F.col("n_deleted") > 0) & F.col("new_data_path").isNotNull()).cast("long")).alias("rewritten"),
+    ).collect()[0]
+    stats.candidate_blocks = int(agg["cand"] or 0)
+    stats.rows_deleted = int(agg["deleted"] or 0)
+    stats.blocks_rewritten = int(agg["rewritten"] or 0)
+    stats.blocks_dropped = int((agg["touched"] or 0) - (agg["rewritten"] or 0))
+    if stats.rows_deleted == 0:
+        plan.unpersist()
+        stats.blocks_after = stats.blocks_before
+        stats.files_after = stats.files_before
+        return index, stats
+
+    changed = plan.filter(F.col("n_deleted") > 0).select(
+        "block_id", "new_block_id", "new_data_path", "new_rows", "new_bytes"
+    )
+    side = F.broadcast(changed) if stats.candidate_blocks <= 1_000_000 else changed
+    joined = blocks.join(side, "block_id", "left")
+    # fully-deleted blocks (new_rows == 0) leave the manifest
+    kept = joined.filter(F.col("new_rows").isNull() | (F.col("new_rows") > 0))
+    new_blocks = kept.select(
+        "file_id",
+        F.coalesce("new_block_id", "block_id").alias("block_id"),
+        "partition_id",
+        F.coalesce("new_data_path", "data_path").alias("data_path"),
+        F.coalesce("new_rows", "row_count").alias("row_count"),
+        "token_count",  # carried upper bound (blooms stay conservative)
+        F.coalesce("new_bytes", "byte_size").alias("byte_size"),
+        "minmax_min", "minmax_max", "expected_items", "fpr",
+        "field_bloom", "token_bloom", "fieldtoken_bloom",
+    )
+    live_files = new_blocks.select("file_id").distinct()
+    new_files = index.files().join(F.broadcast(live_files), "file_id", "left_semi")
+    out = _commit(spark, index, new_blocks, new_files, op="delete", stats=stats)
+    plan.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# RESTORE (Delta RESTORE analog, r06)
+# ---------------------------------------------------------------------------
+
+
+def restore(
+    spark: SparkSession,
+    index: BloomIndex,
+    version: str | None = None,
+    timestamp=None,
+    verify_data: bool = True,
+    conflict_retries: int = 0,
+) -> BloomIndex:
+    """Roll the index back to a retained historical version as a NEW
+    commit (``RESTORE TABLE ... TO VERSION AS OF`` analog) — zero-copy:
+    the restore version re-references the target's blocks/files segments
+    verbatim, no data or manifest rows are rewritten.
+
+    History keeps moving FORWARD: the restored state lands as a fresh
+    version (CURRENT+1) with full lineage retained, so the restore itself
+    is time-travelable and shows in ``history()``.  Identity metadata
+    (``source_columns``/``source_schema``/``uniform_params``) travels
+    back with the target — restoring to a pre-``merge_schema`` version
+    narrows the read schema again — while the streaming replay watermark
+    (``last_stream_batch``) is carried from CURRENT, never rewound: a
+    restored root must not let a restarted stream re-append its last
+    batch.
+
+    ``verify_data=True`` (default) runs a distributed existence check
+    over the target's block data dirs first and refuses when any were
+    vacuumed away (same failure contract as Delta RESTORE after VACUUM)
+    — size ``vacuum(retain_versions/retain_time)`` to the window you
+    want restorable.  To a changefeed, a restore is a DELETING commit
+    (the rolled-back versions' blocks disappear), so mid-feed consumers
+    need ``change_events`` — identical to overwrite/expire semantics.
+    """
+    if conflict_retries:
+        return _retry_conflicts(
+            spark, index, conflict_retries,
+            lambda ix: restore(spark, ix, version, timestamp, verify_data, 0),
+        )
+    target = BloomIndex.load(spark, index.root, version=version, timestamp=timestamp)
+    if target.version == index.version:
+        return index  # restoring to CURRENT: nothing to commit
+    if verify_data:
+        ext = bool(target.meta().get("external", False))
+        data_dir = target.data_dir
+
+        def _check(it):
+            from ..sources import fs as _fsx
+
+            for pdf in it:
+                missing = []
+                for rel in pdf["data_path"]:
+                    p = rel if ext else _fsx.join(data_dir, rel)
+                    if not _fsx.exists(p):
+                        missing.append(rel)
+                yield pd.DataFrame({"data_path": missing})
+
+        gone = (
+            target.blocks()
+            .select("data_path")
+            .repartition(32)
+            .mapInPandas(_check, "data_path string")
+        )
+        n_gone = gone.count()
+        if n_gone:
+            sample = [r.data_path for r in gone.limit(3).collect()]
+            raise ValueError(
+                f"cannot restore to {target.version}: {n_gone} of its block "
+                f"data dirs were vacuumed (e.g. {sample}) — keep a "
+                "retain_versions/retain_time vacuum window covering every "
+                "version you want restorable"
+            )
+
+    root = index.root
+    t_refs = target.table_refs()
+    t_meta = target.meta()
+    cur_meta = index.meta()
+
+    def finalize(prev_version: str | None) -> str:
+        v = mf.version_after(prev_version)
+        extra = {
+            "build_id": v,
+            "source_desc": f"restore of {target.version}",
+            "parent_version": index.version,
+            "restored_version": target.version,
+            "tables": {
+                "blocks": list(t_refs["blocks"]),
+                "files": list(t_refs["files"]),
+                # FULL lineage: history is never truncated by a rollback
+                "lineage": list(index.table_refs()["lineage"]),
+            },
+            # target identity: the restored state answers queries exactly
+            # as the target version did
+            **{
+                k: t_meta[k]
+                for k in (
+                    "source_columns", "source_schema", "uniform_params",
+                    "external",
+                )
+                if k in t_meta
+            },
+            # CURRENT's replay watermark only — never rewound
+            **mf.carried_meta(cur_meta, for_append=True),
+        }
+        mf.write_meta(fsx.join(root, "manifest", v), target.config, extra=extra)
+        return v
+
+    new_v = mf.publish_commit(root, finalize, expected=index.version)
+    return BloomIndex(spark, root, new_v)
+
+
+# ---------------------------------------------------------------------------
 # Commit + M8 tombstone/vacuum
 # ---------------------------------------------------------------------------
 

@@ -457,6 +457,41 @@ class BloomSearchStreamReader(DataSourceStreamReader):
             units += [
                 ("delete", r, self._ref_rows(r), added) for r in removed
             ]
+        elif str(meta.get("source_desc") or "").startswith(
+            ("delete", "restore")
+        ):
+            # row-level DELETE (delete_where rewrites matched blocks under
+            # new data paths) and RESTORE (the table becomes a historical
+            # version) both change the row set in BOTH directions: emit
+            # delete-the-removed + insert-the-added with SYMMETRIC path
+            # subtraction — a block dir present on both sides carries
+            # rows the commit did not touch, so it must appear in
+            # neither event stream.  Apply deletes first (CDC
+            # convention).  Without change_events, refuse: a plain feed
+            # has no way to carry either direction.
+            if not self.with_events:
+                op = str(meta.get("source_desc") or "").split(" ")[0]
+                raise RuntimeError(
+                    f"manifest version v{n:08d} is a {op.upper()} commit "
+                    "— it changes the row set, and the plain changefeed "
+                    "has no delete/truncate events to carry that; a "
+                    "replica fed past it would silently diverge.  Either "
+                    "read CDC events (.option('change_events', 'true') "
+                    "adds a _change_type column and emits the removed "
+                    "rows as deletes and rewritten/restored rows as "
+                    "inserts), or re-seed the downstream state from a "
+                    f"snapshot (optionally .option('version', "
+                    f"'v{n:08d}')) and restart the feed with "
+                    f".option('starting_version', {n}) and a fresh "
+                    "checkpoint"
+                )
+            units += [
+                ("delete", r, self._ref_rows(r), added) for r in removed
+            ]
+            units += [
+                ("insert", r, self._ref_rows(r), tuple(removed))
+                for r in added
+            ]
         # other maintenance commits emit nothing (rows merely
         # reorganized: merge / compact / fold)
         info = {
@@ -525,12 +560,14 @@ class BloomSearchStreamReader(DataSourceStreamReader):
             partition.row_start,
             partition.row_stop,
         )
-        if partition.kind == "delete" and partition.sub_refs:
-            # rows the deleting commit RETAINED: a removed segment's path
-            # survives only by reappearing in a segment that commit ADDED
-            # (within one version every block lives in exactly one
-            # segment — duplicates would double-count rows in every
-            # reader union), so this subtraction equals the full
+        if partition.sub_refs:
+            # paths present on BOTH sides of the commit carry untouched
+            # rows: a removed segment's path survives only by reappearing
+            # in a segment that commit ADDED (within one version every
+            # block lives in exactly one segment — duplicates would
+            # double-count rows in every reader union), and symmetrically
+            # a delete/restore commit's ADDED segments re-list the blocks
+            # it did not touch.  The subtraction equals the full
             # old-vs-new manifest diff, computed per task instead of on
             # the driver
             keep: set[str] = set()

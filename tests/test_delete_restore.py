@@ -1,0 +1,292 @@
+"""Row-level predicate DELETE + RESTORE (r06).
+
+``delete_where`` is the ``DELETE FROM ... WHERE`` analog: bloom-pruned
+candidate blocks only, untouched blocks pass through with their original
+data dirs, fully-matched blocks drop from the manifest, partial matches
+rewrite under fresh immutable dirs (blooms/zone maps carried — they only
+over-approximate, so pruning stays sound).  ``restore`` is the
+``RESTORE TABLE ... TO VERSION AS OF`` analog: a zero-copy forward
+commit re-referencing the target version's segments.  Both are
+row-set-changing commits, so the changefeed emits them as CDC
+delete/insert events (and refuses mid-feed without ``change_events``).
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bloomsearch_spark import (
+    BloomIndex,
+    CommitConflict,
+    IndexConfig,
+    build_index,
+    delete_where,
+    new_query,
+    restore,
+    search,
+    vacuum,
+)
+from bloomsearch_spark.sources import manifest as mf
+from bloomsearch_spark.sources.synthetic import generate_df, generate_pdf
+
+CFG = IndexConfig(
+    indexed_fields=("repo", "path", "lang", "content"),
+    partition_expr="lang",
+    max_block_rows=100,
+    blocks_per_file=4,
+    sha_col="content",
+)
+
+
+def _toks(s: pd.Series) -> pd.Series:
+    return s.str.lower().str.split()
+
+
+# ---------------------------------------------------------------------------
+# delete_where
+
+
+def test_delete_where_rewrites_only_matching_blocks(spark, tmp_root):
+    idx = build_index(spark, generate_df(spark, 800), tmp_root, CFG)
+    before = {
+        r.block_id: r.data_path for r in idx.blocks().select("block_id", "data_path").collect()
+    }
+    pdf = generate_pdf(800)
+    hit = _toks(pdf["content"]).map(lambda t: "needle_alpha" in t)
+
+    out, stats = delete_where(
+        spark, idx, new_query().token("needle_alpha").build()
+    )
+    assert stats.rows_deleted == int(hit.sum()) > 0
+    assert stats.blocks_rewritten + stats.blocks_dropped >= 1
+    # deleted rows are gone, every other row survives byte-exact
+    assert search(spark, out, new_query().token("needle_alpha").build()).count() == 0
+    got = search(spark, out, new_query().field("content").build()).toPandas()
+    exp = pdf[~hit]
+    assert len(got) == len(exp)
+    assert sorted(got["commit"]) == sorted(exp["commit"])
+    # untouched blocks keep their original dirs (no gratuitous rewrite)
+    after = {
+        r.block_id: r.data_path for r in out.blocks().select("block_id", "data_path").collect()
+    }
+    untouched = {b for b in after if b in before}
+    assert untouched and all(after[b] == before[b] for b in untouched)
+    rewritten = {b for b in after if b not in before}
+    assert len(rewritten) == stats.blocks_rewritten
+    # a needle sharing rows with the deleted one loses exactly the overlap
+    beta = _toks(pdf["content"]).map(lambda t: "needle_beta" in t)
+    got_beta = search(spark, out, new_query().token("needle_beta").build()).count()
+    assert got_beta == int((beta & ~hit).sum())
+
+
+def test_delete_where_drops_whole_partition_blocks(spark, tmp_root):
+    idx = build_index(spark, generate_df(spark, 600), tmp_root, CFG)
+    pdf = generate_pdf(600)
+    lang = pdf["lang"].iloc[0]
+    out, stats = delete_where(
+        spark, idx, new_query().field_token("lang", lang).build()
+    )
+    # blocks are single-partition (partition_expr=lang) -> whole blocks drop
+    assert stats.blocks_dropped >= 1
+    assert stats.rows_deleted == int((pdf["lang"] == lang).sum())
+    assert (
+        search(spark, out, new_query().field_token("lang", lang).build()).count()
+        == 0
+    )
+    assert (
+        search(spark, out, new_query().field("content").build()).count()
+        == int((pdf["lang"] != lang).sum())
+    )
+
+
+def test_delete_where_noop_commits_nothing(spark, tmp_root):
+    idx = build_index(spark, generate_df(spark, 200), tmp_root, CFG)
+    out, stats = delete_where(
+        spark, idx, new_query().token("zz_totally_absent").build()
+    )
+    assert stats.rows_deleted == 0
+    assert out.version == idx.version  # no empty commit
+    assert mf.current_version(tmp_root) == idx.version
+
+
+def test_delete_where_refuses_external(spark, tmp_root, tmp_path):
+    from bloomsearch_spark import build_external_index
+
+    src = str(tmp_path / "src.parquet")
+    generate_df(spark, 100).write.parquet(src)
+    idx = build_external_index(spark, spark.read.parquet(src), tmp_root, CFG)
+    with pytest.raises(ValueError, match="external"):
+        delete_where(spark, idx, new_query().token("needle_alpha").build())
+
+
+def test_delete_where_time_travel_then_vacuum(spark, tmp_root):
+    idx = build_index(spark, generate_df(spark, 400), tmp_root, CFG)
+    v1 = idx.version
+    pdf = generate_pdf(400)
+    hit = _toks(pdf["content"]).map(lambda t: "needle_alpha" in t)
+    out, stats = delete_where(
+        spark, idx, new_query().token("needle_alpha").build()
+    )
+    # pre-delete version still answers with the deleted rows (immutable dirs)
+    old = BloomIndex.load(spark, tmp_root, version=v1)
+    assert (
+        search(spark, old, new_query().token("needle_alpha").build()).count()
+        == int(hit.sum())
+    )
+    # vacuum with no retention reclaims the superseded dirs
+    removed = vacuum(out)
+    assert removed >= stats.blocks_rewritten + stats.blocks_dropped
+    # and the live table is untouched
+    assert (
+        search(spark, out, new_query().field("content").build()).count()
+        == int((~hit).sum())
+    )
+
+
+def test_delete_where_conflict_retry(spark, tmp_root):
+    idx = build_index(spark, generate_df(spark, 300), tmp_root, CFG)
+    # another commit lands after the snapshot: plain call conflicts,
+    # retrying re-plans from fresh
+    build_index(
+        spark, generate_df(spark, 100, seed=9), tmp_root, CFG, mode="append"
+    )
+    with pytest.raises(CommitConflict):
+        delete_where(spark, idx, new_query().token("needle_alpha").build())
+    out, stats = delete_where(
+        spark, idx, new_query().token("needle_alpha").build(), conflict_retries=2
+    )
+    both = pd.concat([generate_pdf(300), generate_pdf(100, seed=9)])
+    hit = _toks(both["content"]).map(lambda t: "needle_alpha" in t)
+    assert stats.rows_deleted == int(hit.sum())
+    assert search(spark, out, new_query().field("content").build()).count() == int(
+        (~hit).sum()
+    )
+
+
+# ---------------------------------------------------------------------------
+# restore
+
+
+def test_restore_roundtrip_and_schema_narrowing(spark, tmp_root):
+    cfg = IndexConfig(
+        indexed_fields=("repo", "path", "lang", "content", "tag"),
+        partition_expr="lang",
+        max_block_rows=100,
+        sha_col="content",
+    )
+    idx1 = build_index(spark, generate_df(spark, 300), tmp_root, cfg)
+    idx2 = build_index(
+        spark,
+        generate_df(spark, 200, seed=7).withColumn("tag", F.lit("wide")),
+        tmp_root, cfg, mode="append", merge_schema=True,
+    )
+    assert "tag" in idx2.meta()["source_columns"]
+
+    out = restore(spark, idx2, version=idx1.version)
+    assert out.version == "v00000003"  # history moves forward
+    assert out.meta()["restored_version"] == idx1.version
+    # identity traveled back: the widened column is gone again
+    assert "tag" not in out.meta()["source_columns"]
+    got = search(spark, out, new_query().field("content").build()).toPandas()
+    assert len(got) == 300
+    assert "tag" not in got.columns
+    assert sorted(got["commit"]) == sorted(generate_pdf(300)["commit"])
+    # restore shows in history
+    hist = {r.name: r.operation for r in out.history().collect()}
+    assert hist["v00000003"].startswith("restore")
+    # restoring to CURRENT is a no-op
+    assert restore(spark, out).version == out.version
+
+
+def test_restore_refuses_vacuumed_target(spark, tmp_root):
+    idx1 = build_index(spark, generate_df(spark, 200), tmp_root, CFG)
+    idx2 = build_index(
+        spark, generate_df(spark, 100, seed=7), tmp_root, CFG
+    )  # overwrite: v1's blocks now unreferenced
+    assert vacuum(idx2) > 0
+    with pytest.raises(ValueError, match="vacuum"):
+        restore(spark, idx2, version=idx1.version)
+
+
+def test_restore_keeps_stream_watermark(spark, tmp_root):
+    idx1 = build_index(spark, generate_df(spark, 100), tmp_root, CFG)
+    idx2 = build_index(
+        spark, generate_df(spark, 50, seed=7), tmp_root, CFG,
+        mode="append", meta_extra={"last_stream_batch": 7},
+    )
+    out = restore(spark, idx2, version=idx1.version)
+    # the replay guard never rewinds: a restarted stream must not
+    # re-append its last committed batch onto the restored root
+    assert out.meta()["last_stream_batch"] == 7
+
+
+# ---------------------------------------------------------------------------
+# changefeed CDC across delete/restore
+
+
+def test_change_events_delete_where(spark, tmp_root):
+    from bloomsearch_spark.sources.datasource import BloomSearchDataSource
+
+    spark.dataSource.register(BloomSearchDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    idx = build_index(spark, generate_df(spark, 300), tmp_root, CFG)
+    delete_where(spark, idx, new_query().token("needle_alpha").build())
+
+    # plain feed refuses the row-deleting commit
+    with pytest.raises(Exception, match="DELETE"):
+        (
+            spark.read.format("bloomsearch").option("root", tmp_root)
+            .option("changes_from", "0").load().count()
+        )
+
+    ev = (
+        spark.read.format("bloomsearch").option("root", tmp_root)
+        .option("changes_from", "0").option("change_events", "true")
+        .option("commit_metadata", "true").load()
+    ).collect()
+    # applying the log (deletes before inserts per version) reproduces
+    # the post-delete snapshot
+    state: set = set()
+    for r in sorted(ev, key=lambda r: (r._commit_version, r._change_type != "delete")):
+        (state.discard if r._change_type == "delete" else state.add)(r.commit)
+    pdf = generate_pdf(300)
+    hit = _toks(pdf["content"]).map(lambda t: "needle_alpha" in t)
+    assert state == set(pdf[~hit]["commit"])
+    # v2's events: the touched blocks' old rows out, their kept rows back
+    v2_del = [r.commit for r in ev if r._commit_version == 2 and r._change_type == "delete"]
+    v2_ins = [r.commit for r in ev if r._commit_version == 2 and r._change_type == "insert"]
+    assert set(pdf[hit]["commit"]) <= set(v2_del)
+    assert not (set(v2_ins) & set(pdf[hit]["commit"]))
+    # untouched blocks appear in NEITHER stream (symmetric subtraction)
+    assert len(v2_del) < 300
+
+
+def test_change_events_restore(spark, tmp_root):
+    from bloomsearch_spark.sources.datasource import BloomSearchDataSource
+
+    spark.dataSource.register(BloomSearchDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    idx1 = build_index(spark, generate_df(spark, 150), tmp_root, CFG)
+    idx2 = build_index(
+        spark, generate_df(spark, 60, seed=7), tmp_root, CFG, mode="append"
+    )
+    restore(spark, idx2, version=idx1.version)
+
+    with pytest.raises(Exception, match="RESTORE"):
+        (
+            spark.read.format("bloomsearch").option("root", tmp_root)
+            .option("changes_from", "0").load().count()
+        )
+    ev = (
+        spark.read.format("bloomsearch").option("root", tmp_root)
+        .option("changes_from", "0").option("change_events", "true")
+        .option("commit_metadata", "true").load()
+    ).collect()
+    state: set = set()
+    for r in sorted(ev, key=lambda r: (r._commit_version, r._change_type != "delete")):
+        (state.discard if r._change_type == "delete" else state.add)(r.commit)
+    assert state == set(generate_pdf(150)["commit"])
+    # the rollback arrived as deletes of exactly the appended rows
+    v3_del = {r.commit for r in ev if r._commit_version == 3 and r._change_type == "delete"}
+    assert v3_del == set(generate_pdf(60, seed=7)["commit"])
+    assert not [r for r in ev if r._commit_version == 3 and r._change_type == "insert"]
