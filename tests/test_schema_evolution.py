@@ -204,3 +204,75 @@ def test_datasource_read_and_writer_merge_schema(spark, tmp_root):
     assert len(got) == len(exp)
     assert sorted(got["commit"]) == sorted(exp["commit"])
     assert got["tag"].isna().sum() == exp["tag"].isna().sum()
+
+
+def test_delete_where_over_two_schema_index(spark, tmp_root):
+    """delete_where over an evolved index: the rewrite scan reads the
+    UNION schema (old blocks null-filled), so rewritten old blocks
+    materialize the evolved column as typed nulls and every read after
+    the delete stays union-schema consistent."""
+    from bloomsearch_spark import delete_where
+
+    build_index(spark, _base(spark), tmp_root, CFG, mode="overwrite")
+    idx = build_index(
+        spark, _widened(spark), tmp_root, CFG, mode="append", merge_schema=True
+    )
+    out, stats = delete_where(
+        spark, idx, new_query().token("needle_alpha").build()
+    )
+    old_pdf, new_pdf = generate_pdf(400, seed=42), generate_pdf(400, seed=7)
+    hit_old = old_pdf["content"].str.lower().str.split().map(
+        lambda t: "needle_alpha" in t
+    )
+    hit_new = new_pdf["content"].str.lower().str.split().map(
+        lambda t: "needle_alpha" in t
+    )
+    assert stats.rows_deleted == int(hit_old.sum() + hit_new.sum()) > 0
+    got = search(spark, out, new_query().field("content").build()).toPandas()
+    assert list(got.columns) == list(out.meta()["source_columns"])
+    assert len(got) == int((~hit_old).sum() + (~hit_new).sum())
+    # survivors from rewritten OLD blocks still surface NULL tag
+    assert got["tag"].isna().sum() == int((~hit_old).sum())
+
+
+def test_changefeed_across_widening_append(spark, tmp_root, tmp_path):
+    """A consumer whose schema was fixed before the widening keeps
+    streaming (evolved column projected out); a feed started after sees
+    the union schema with old commits null-filled."""
+    from bloomsearch_spark.sources.datasource import BloomSearchDataSource
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(BloomSearchDataSource)
+    build_index(spark, _base(spark, 200), tmp_root, CFG, mode="overwrite")
+
+    q = (
+        spark.readStream.format("bloomsearch").option("root", tmp_root)
+        .option("starting_version", "earliest").load()
+        .writeStream.format("memory").queryName("evo_feed")
+        .option("checkpointLocation", str(tmp_path / "ckpt")).start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("evo_feed").count() == 200
+        build_index(
+            spark, _widened(spark, 100), tmp_root, CFG,
+            mode="append", merge_schema=True,
+        )
+        q.processAllAvailable()
+        assert q.exception() is None
+        got = spark.table("evo_feed")
+        assert got.count() == 300
+        assert "tag" not in got.columns  # pre-widening consumer schema
+    finally:
+        q.stop()
+
+    # fresh batch changes read AFTER the widening: union schema, old
+    # commit null-filled
+    ev = (
+        spark.read.format("bloomsearch").option("root", tmp_root)
+        .option("changes_from", "0").option("commit_metadata", "true").load()
+    )
+    assert "tag" in ev.columns
+    assert ev.count() == 300
+    assert ev.filter("_commit_version = 1 AND tag IS NULL").count() == 200
+    assert ev.filter("_commit_version = 2 AND tag IS NOT NULL").count() == 100
