@@ -467,6 +467,27 @@ def _index(spark: SparkSession, sf_dir: str, flavor: str) -> BloomIndex:
             idx, _stats = delete_where(
                 spark, built, new_query().field_token("lang", "fr").build()
             )
+        elif flavor == "upserted":
+            # one-commit key upsert (r06): replace docs 0..19 with new
+            # text + insert 5 brand-new docs, keyed on doc_id
+            from bloomsearch_spark import upsert_keys
+
+            built = build_index(
+                spark, df, root, cfg, source_desc=f"documents@{sf_dir}"
+            )
+            updated = df.filter(F.col("doc_id") < 20).withColumn(
+                "text", F.concat(F.lit("upserted doc "), F.col("doc_id"))
+            )
+            fresh = spark.range(5).select(
+                (F.col("id") + 1_000_000).alias("doc_id"),
+                F.concat(F.lit("upserted fresh "), F.col("id")).alias("text"),
+                F.lit("xx").alias("lang"),
+                F.lit("srcnew").alias("source"),
+                F.lit(0).cast("long").alias("n_chars"),
+            )
+            idx, _stats = upsert_keys(
+                spark, built, updated.unionByName(fresh), key_field="doc_id"
+            )
         elif flavor == "restored":
             # RESTORE (r06): append the odd docs, then roll back to the
             # even-docs version as a new zero-copy commit
@@ -559,6 +580,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # forward commit); the odd docs are gone again
         "bs_restore": _bs(
             "restored", lambda: new_query().token("vector").build()
+        ),
+        # one-commit key UPSERT (r06): a token query sees exactly the
+        # replaced + inserted rows, the old versions of the keys are gone
+        "bs_upsert": _bs(
+            "upserted", lambda: new_query().token("upserted").build()
         ),
         "bs_field": _bs("main", lambda: new_query().field("text").build()),
         "bs_field_miss": _bs(
@@ -1245,6 +1271,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bs_restore": (
             f"{sel} WHERE {_any_field_tok('vector')} AND doc_id % 2 = 0"
+        ),
+        "bs_upsert": (
+            "SELECT doc_id, 'upserted doc ' || CAST(doc_id AS VARCHAR) AS text, "
+            "lang, source, n_chars FROM documents WHERE doc_id < 20 "
+            "UNION ALL "
+            "SELECT 1000000 + i AS doc_id, "
+            "'upserted fresh ' || CAST(i AS VARCHAR) AS text, "
+            "'xx' AS lang, 'srcnew' AS source, CAST(0 AS BIGINT) AS n_chars "
+            "FROM range(5) t(i)"
         ),
         "bs_field": f"{sel} WHERE text IS NOT NULL",
         "bs_field_miss": f"{sel} WHERE 1 = 0",

@@ -49,6 +49,7 @@ from .plans.merge import (
     maintain,
     merge_files,
     restore,
+    upsert_keys,
     vacuum,
     vacuum_manifest,
 )
@@ -70,7 +71,7 @@ __all__ = [
     "QueryStats", "RegexAnd", "RegexOr", "Token", "Tokenizer",
     "build_external_index", "build_index", "compact_blocks", "delete_where", "expire_blocks",
     "get_tokenizer", "merge_files", "new_query", "register_tokenizer", "restore",
-    "search", "sizing", "vacuum", "verify_integrity",
+    "search", "sizing", "upsert_keys", "vacuum", "verify_integrity",
     "enable_read_checksum_verification",
     "CommitConflict", "fold_manifest", "maintain", "vacuum_manifest",
     "BloomSearchDataSource",

@@ -631,46 +631,70 @@ def delete_where(
             compile_regex_verify(query.regex, cols)
         )
 
-    keep_cols = [c for c in data.columns if c != "data_path"]
-    nonce = f"d{uuid.uuid4().hex[:8]}"  # per-attempt: racing deleters never
-    # write the same dir (the loser's dirs are vacuum-reclaimable orphans)
-    plan = (
-        data.select(*keep_cols)
-        .withColumn("_bs_del", pred)
-        .groupBy("file_id", "block_id")
-        .applyInArrow(
-            _make_delete_fn(
-                index.data_dir, codec_kwargs(cfg), nonce,
-                ("_bs_del", "file_id", "block_id"),
-            ),
-            _DELETE_PLAN_SCHEMA,
-        )
-        .persist()
-    )
-    agg = plan.agg(
-        F.count("*").alias("cand"),
-        F.sum("n_deleted").alias("deleted"),
-        F.sum((F.col("n_deleted") > 0).cast("long")).alias("touched"),
-        F.sum(((F.col("n_deleted") > 0) & F.col("new_data_path").isNotNull()).cast("long")).alias("rewritten"),
-    ).collect()[0]
-    stats.candidate_blocks = int(agg["cand"] or 0)
-    stats.rows_deleted = int(agg["deleted"] or 0)
-    stats.blocks_rewritten = int(agg["rewritten"] or 0)
-    stats.blocks_dropped = int((agg["touched"] or 0) - (agg["rewritten"] or 0))
+    marked = data.select(
+        *[c for c in data.columns if c != "data_path"]
+    ).withColumn("_bs_del", pred)
+    plan = _rewrite_plan(index, marked).persist()
+    _rewrite_stats(plan, stats)
     if stats.rows_deleted == 0:
         plan.unpersist()
         stats.blocks_after = stats.blocks_before
         stats.files_after = stats.files_before
         return index, stats
+    new_blocks = _apply_rewrites(blocks, plan, stats.candidate_blocks)
+    live_files = new_blocks.select("file_id").distinct()
+    new_files = index.files().join(F.broadcast(live_files), "file_id", "left_semi")
+    out = _commit(spark, index, new_blocks, new_files, op="delete", stats=stats)
+    plan.unpersist()
+    return out
 
+
+def _rewrite_plan(index: BloomIndex, marked: DataFrame) -> DataFrame:
+    """Shared block-rewrite kernel (delete_where / upsert_keys):
+    ``marked`` = candidate scan rows + a boolean ``_bs_del`` column (+ the
+    hive file_id/block_id); groups by block and rewrites blocks with
+    matches under fresh immutable dirs (per-attempt nonce: racing
+    committers never write the same dir — the loser's dirs are
+    vacuum-reclaimable orphans)."""
+    from .build import codec_kwargs
+
+    nonce = f"d{uuid.uuid4().hex[:8]}"
+    return marked.groupBy("file_id", "block_id").applyInArrow(
+        _make_delete_fn(
+            index.data_dir, codec_kwargs(index.config), nonce,
+            ("_bs_del", "file_id", "block_id"),
+        ),
+        _DELETE_PLAN_SCHEMA,
+    )
+
+
+def _rewrite_stats(plan: DataFrame, stats: "DeleteStats") -> None:
+    agg = plan.agg(
+        F.count("*").alias("cand"),
+        F.sum("n_deleted").alias("deleted"),
+        F.sum((F.col("n_deleted") > 0).cast("long")).alias("touched"),
+        F.sum(
+            ((F.col("n_deleted") > 0) & F.col("new_data_path").isNotNull()).cast("long")
+        ).alias("rewritten"),
+    ).collect()[0]
+    stats.candidate_blocks = int(agg["cand"] or 0)
+    stats.rows_deleted = int(agg["deleted"] or 0)
+    stats.blocks_rewritten = int(agg["rewritten"] or 0)
+    stats.blocks_dropped = int((agg["touched"] or 0) - (agg["rewritten"] or 0))
+
+
+def _apply_rewrites(blocks: DataFrame, plan: DataFrame, n_candidates: int) -> DataFrame:
+    """Old blocks manifest -> post-rewrite manifest: untouched rows pass
+    through verbatim, rewritten blocks re-point (id/path/rows/bytes;
+    blooms and zone maps carried — conservative supersets), fully-deleted
+    blocks leave."""
     changed = plan.filter(F.col("n_deleted") > 0).select(
         "block_id", "new_block_id", "new_data_path", "new_rows", "new_bytes"
     )
-    side = F.broadcast(changed) if stats.candidate_blocks <= 1_000_000 else changed
+    side = F.broadcast(changed) if n_candidates <= 1_000_000 else changed
     joined = blocks.join(side, "block_id", "left")
-    # fully-deleted blocks (new_rows == 0) leave the manifest
     kept = joined.filter(F.col("new_rows").isNull() | (F.col("new_rows") > 0))
-    new_blocks = kept.select(
+    return kept.select(
         "file_id",
         F.coalesce("new_block_id", "block_id").alias("block_id"),
         "partition_id",
@@ -681,10 +705,178 @@ def delete_where(
         "minmax_min", "minmax_max", "expected_items", "fpr",
         "field_bloom", "token_bloom", "fieldtoken_bloom",
     )
+
+
+def _key_prune_query(index: BloomIndex, key_field: str, values: list):
+    """Bloom prune tree for an exact key-IN-set match, or None when the
+    blooms cannot cover it.  Sound because a block containing a row with
+    ``row[key] == v`` indexed EVERY token of v's rendered form — prune =
+    OR over keys of AND over each key's tokens.  Requires the key field
+    indexed, every value non-null, and every value to yield >= 1 token
+    under the index's tokenizer (an un-tokenizable value could hide in
+    any block)."""
+    from ..query import And as qAnd
+    from ..query import FieldToken as qFieldToken
+    from ..query import Or as qOr
+    from ..query import Query as qQuery
+    from ..tokenizer import get_tokenizer
+
+    cfg = index.config
+    if cfg.json_col is not None or key_field not in (cfg.indexed_fields or ()):
+        return None
+    tok = get_tokenizer(cfg.tokenizer)
+    terms = []
+    for v in values:
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            s = "true" if v else "false"
+        else:
+            s = v if isinstance(v, str) else str(v)
+        toks = list(tok.value_fn(s))
+        if not toks:
+            return None
+        terms.append(qAnd(*[qFieldToken(key_field, t) for t in toks]))
+    return qQuery(bloom=qOr(*terms))
+
+
+def upsert_keys(
+    spark: SparkSession,
+    index: BloomIndex,
+    source_df: DataFrame,
+    key_field: str,
+    conflict_retries: int = 0,
+    max_pruned_keys: int = 256,
+) -> tuple[BloomIndex, DeleteStats]:
+    """Key-based upsert in ONE commit (the ``MERGE INTO ... WHEN MATCHED
+    THEN UPDATE/DELETE+INSERT`` analog, full-row replacement semantics):
+    every index row whose ``key_field`` equals some source row's key is
+    deleted, then every source row is inserted — atomically, as a single
+    manifest version (no window where the keys are missing).
+
+    Scale shape: when the key batch is small (``max_pruned_keys``) and
+    the key field is bloom-indexed, candidate blocks come from the bloom
+    hierarchy — a CDC-apply upsert of K keys reads only the blocks whose
+    blooms admit one of them, which Delta's MERGE (file-stats pruning
+    only) cannot do for high-cardinality keys.  Larger batches fall back
+    to a full candidate scan with the key match as a distributed join —
+    Delta-MERGE-equivalent cost.  Matching is EXACT column equality
+    (null-safe: a NULL key never matches); blooms only prune.  The
+    rewrite kernel, immutability, bloom/zone-map conservatism, commit
+    protocol, and CDC contract (delete-the-removed + insert-the-added,
+    ``change_events`` required mid-feed) are shared with ``delete_where``.
+    Returns ``(index, DeleteStats)`` — ``rows_deleted`` counts replaced
+    rows; the insert count is ``source_df``'s row count.
+    """
+    if conflict_retries:
+        return _retry_conflicts(
+            spark, index, conflict_retries,
+            lambda ix: upsert_keys(spark, ix, source_df, key_field, 0,
+                                   max_pruned_keys),
+        )
+    if index.meta().get("external", False):
+        raise ValueError(
+            "upsert_keys rewrites block data and is not applicable to a "
+            "zero-copy external index"
+        )
+    cfg = index.config
+    src_cols = list(source_df.columns)
+    idx_cols = index.meta().get("source_columns")
+    if idx_cols is not None and set(idx_cols) != set(src_cols):
+        raise ValueError(
+            "upsert source columns do not match the index's "
+            f"(missing: {sorted(set(idx_cols) - set(src_cols))}, new: "
+            f"{sorted(set(src_cols) - set(idx_cols))}) — upsert replaces "
+            "whole rows; align the columns (for add-column evolution use "
+            "delete_where + a merge_schema append)"
+        )
+    if key_field not in src_cols:
+        raise ValueError(f"key field {key_field!r} not in source columns")
+    from .build import STAGING_SCHEMA, _make_map_build_fn
+    from .search import prune_blocks, scan_blocks
+
+    stats = DeleteStats()
+    blocks = index.blocks()
+    stats.blocks_before = blocks.count()
+    stats.files_before = index.files().count()
+
+    keys = source_df.select(F.col(key_field).alias("_bs_key")).distinct()
+    collected = keys.limit(max_pruned_keys + 1).collect()
+    prune_q = (
+        _key_prune_query(index, key_field, [r._bs_key for r in collected])
+        if len(collected) <= max_pruned_keys
+        else None
+    )
+    surviving = (
+        prune_blocks(index, prune_q) if prune_q is not None else blocks
+    )
+    data = scan_blocks(index, surviving)
+    # exact key match as a distributed join marker (broadcast for small
+    # key batches); NULL keys never match (join semantics)
+    selected = data.select(*[c for c in data.columns if c != "data_path"])
+    kmark = keys.withColumn("_bs_del", F.lit(True))
+    if len(collected) <= max_pruned_keys:
+        kmark = F.broadcast(kmark)
+    marked = (
+        selected.join(kmark, selected[key_field] == kmark["_bs_key"], "left")
+        .drop("_bs_key")
+        .withColumn("_bs_del", F.coalesce("_bs_del", F.lit(False)))
+    )
+    plan = _rewrite_plan(index, marked).persist()
+    _rewrite_stats(plan, stats)
+
+    # stage the source rows through the SAME zero-shuffle flush kernel as
+    # build_index (new block dirs + completed per-task file rows), into a
+    # scratch dir so downstream actions never re-run the side-effecting map
+    version_guess, _ = mf.next_version_dir(index.root)
+    tag = f"{version_guess}-u{uuid.uuid4().hex[:8]}"
+    d = source_df.withColumn(
+        "partition_id",
+        F.coalesce(F.expr(cfg.partition_expr).cast("string"), F.lit("")),
+    )
+    if cfg.sha_col:
+        d = d.withColumn(
+            "content_sha", F.sha2(F.col(cfg.sha_col).cast("string"), 256)
+        )
+    scratch = mf.staging_root(index.root, tag)
+    staging = fsx.join(scratch, "staging.parquet")
+    (
+        d.mapInArrow(
+            _make_map_build_fn(cfg, fsx.join(index.root, "data"), tag),
+            STAGING_SCHEMA,
+        )
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    st = spark.read.parquet(staging)
+    staged_blocks = st.filter(F.col("block_id").isNotNull()).select(
+        "file_id", "block_id", "partition_id", "data_path", "row_count",
+        "token_count", "byte_size", "minmax_min", "minmax_max",
+        "expected_items", "fpr", "field_bloom", "token_bloom",
+        "fieldtoken_bloom",
+    )
+    staged_files = st.filter(F.col("block_id").isNull()).select(
+        "file_id", "partition_id", "block_count", "row_count", "token_count",
+        "byte_size", "minmax_min", "minmax_max",
+        F.col("file_expected_items").alias("expected_items"),
+        F.col("file_fpr").alias("fpr"),
+        F.col("file_field_bloom").alias("field_bloom"),
+        F.col("file_token_bloom").alias("token_bloom"),
+        F.col("file_fieldtoken_bloom").alias("fieldtoken_bloom"),
+    )
+
+    new_blocks = _apply_rewrites(blocks, plan, stats.candidate_blocks).unionByName(
+        staged_blocks
+    )
     live_files = new_blocks.select("file_id").distinct()
-    new_files = index.files().join(F.broadcast(live_files), "file_id", "left_semi")
-    out = _commit(spark, index, new_blocks, new_files, op="delete", stats=stats)
+    new_files = (
+        index.files()
+        .join(F.broadcast(live_files), "file_id", "left_semi")
+        .unionByName(staged_files)
+    )
+    out = _commit(spark, index, new_blocks, new_files, op="upsert", stats=stats)
     plan.unpersist()
+    fsx.delete_dir(scratch)
     return out
 
 

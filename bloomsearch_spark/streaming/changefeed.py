@@ -458,11 +458,12 @@ class BloomSearchStreamReader(DataSourceStreamReader):
                 ("delete", r, self._ref_rows(r), added) for r in removed
             ]
         elif str(meta.get("source_desc") or "").startswith(
-            ("delete", "restore")
+            ("delete", "restore", "upsert")
         ):
             # row-level DELETE (delete_where rewrites matched blocks under
-            # new data paths) and RESTORE (the table becomes a historical
-            # version) both change the row set in BOTH directions: emit
+            # new data paths), UPSERT (replaced keys out, kept + source
+            # rows in) and RESTORE (the table becomes a historical
+            # version) all change the row set in BOTH directions: emit
             # delete-the-removed + insert-the-added with SYMMETRIC path
             # subtraction — a block dir present on both sides carries
             # rows the commit did not touch, so it must appear in

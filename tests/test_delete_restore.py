@@ -290,3 +290,120 @@ def test_change_events_restore(spark, tmp_root):
     v3_del = {r.commit for r in ev if r._commit_version == 3 and r._change_type == "delete"}
     assert v3_del == set(generate_pdf(60, seed=7)["commit"])
     assert not [r for r in ev if r._commit_version == 3 and r._change_type == "insert"]
+
+
+# ---------------------------------------------------------------------------
+# upsert_keys
+
+
+def _upsert_source(n_upd=30, n_new=10, n_table=400):
+    """Source batch: n_upd full-row replacements of existing paths +
+    n_new brand-new paths, all tagged with a marker token."""
+    pdf = generate_pdf(n_table).iloc[:n_upd].copy()
+    pdf["content"] = [f"upserted_marker row{i}" for i in range(n_upd)]
+    new = pd.DataFrame(
+        {
+            "repo": ["org0/monorepo"] * n_new,
+            "path": [f"brand/new{i}.py" for i in range(n_new)],
+            "commit": [f"newcommit{i}" for i in range(n_new)],
+            "lang": ["py"] * n_new,
+            "content": [f"upserted_marker fresh{i}" for i in range(n_new)],
+        }
+    )
+    return pd.concat([pdf, new], ignore_index=True)
+
+
+def test_upsert_keys_one_commit_replaces_and_inserts(spark, tmp_root):
+    from bloomsearch_spark import upsert_keys
+
+    idx = build_index(spark, generate_df(spark, 400), tmp_root, CFG)
+    src = _upsert_source()
+    out, stats = upsert_keys(
+        spark, idx, spark.createDataFrame(src), key_field="path"
+    )
+    # ONE commit, exactly
+    assert int(out.version[1:]) == int(idx.version[1:]) + 1
+    assert stats.rows_deleted == 30  # replaced rows only
+    # bloom-pruned candidates: only blocks admitting one of the 40 keys
+    assert 0 < stats.candidate_blocks < stats.blocks_before
+    total = search(spark, out, new_query().field("content").build())
+    assert total.count() == 400 + 10
+    got = search(
+        spark, out, new_query().token("upserted_marker").build()
+    ).toPandas()
+    assert len(got) == 40
+    assert sorted(got["path"]) == sorted(src["path"])
+    # the replaced rows' OLD content is gone
+    old_row = generate_pdf(400).iloc[0]
+    old_tok = old_row["content"].lower().split()[0]
+    still = search(spark, out, new_query().token(old_tok).build()).toPandas()
+    assert old_row["path"] not in set(
+        still[still["commit"] == old_row["commit"]]["path"]
+    )
+
+
+def test_upsert_large_batch_full_scan_same_result(spark, tmp_root):
+    from bloomsearch_spark import upsert_keys
+
+    idx = build_index(spark, generate_df(spark, 300), tmp_root, CFG)
+    src = _upsert_source(n_upd=20, n_new=5, n_table=300)
+    out, stats = upsert_keys(
+        spark, idx, spark.createDataFrame(src), key_field="path",
+        max_pruned_keys=0,  # force the full-candidate-scan path
+    )
+    assert stats.candidate_blocks == stats.blocks_before
+    assert stats.rows_deleted == 20
+    assert search(spark, out, new_query().field("content").build()).count() == 305
+    assert (
+        search(spark, out, new_query().token("upserted_marker").build()).count()
+        == 25
+    )
+
+
+def test_upsert_refuses_schema_drift(spark, tmp_root):
+    from bloomsearch_spark import upsert_keys
+
+    idx = build_index(spark, generate_df(spark, 100), tmp_root, CFG)
+    bad = spark.createDataFrame(_upsert_source(5, 0, n_table=100)).withColumn(
+        "extra", F.lit("x")
+    )
+    with pytest.raises(ValueError, match="columns"):
+        upsert_keys(spark, idx, bad, key_field="path")
+    with pytest.raises(ValueError, match="key field"):
+        upsert_keys(
+            spark, idx,
+            spark.createDataFrame(_upsert_source(5, 0, n_table=100)), key_field="nope",
+        )
+
+
+def test_upsert_changefeed_cdc(spark, tmp_root):
+    from bloomsearch_spark import upsert_keys
+    from bloomsearch_spark.sources.datasource import BloomSearchDataSource
+
+    spark.dataSource.register(BloomSearchDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    idx = build_index(spark, generate_df(spark, 200), tmp_root, CFG)
+    src = _upsert_source(n_upd=15, n_new=5, n_table=200)
+    upsert_keys(spark, idx, spark.createDataFrame(src), key_field="path")
+
+    with pytest.raises(Exception, match="UPSERT"):
+        (
+            spark.read.format("bloomsearch").option("root", tmp_root)
+            .option("changes_from", "0").load().count()
+        )
+    ev = (
+        spark.read.format("bloomsearch").option("root", tmp_root)
+        .option("changes_from", "0").option("change_events", "true")
+        .option("commit_metadata", "true").load()
+    ).collect()
+    state: dict = {}
+    for r in sorted(ev, key=lambda r: (r._commit_version, r._change_type != "delete")):
+        if r._change_type == "delete":
+            state.pop(r.path, None)
+        else:
+            state[r.path] = r.content
+    snap = search(
+        spark, BloomIndex.load(spark, tmp_root),
+        new_query().field("content").build(),
+    ).toPandas()
+    assert state == dict(zip(snap["path"], snap["content"]))
