@@ -426,6 +426,63 @@ def _dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CDC_REPLICA_CACHE: dict[str, str] = {}
+
+
+def _strm_cdc_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC replication loop (r06): source index A = build even docs,
+    append odd docs, then row-level delete of the French docs; replica B
+    is fed ONLY by A's changefeed read with change_events +
+    commit_metadata, applied through stream_apply_changes (one commit per
+    micro-batch, keys resolved to final state).  The query runs against
+    the REPLICA — hash-exact vs the raw-table oracle proves the whole
+    loop (CDC emit, delete/insert symmetry, apply resolution,
+    exactly-once watermark) preserves row-level semantics end to end."""
+    import uuid
+
+    from bloomsearch_spark import delete_where
+    from bloomsearch_spark.sources.datasource import BloomSearchDataSource
+    from bloomsearch_spark.streaming.ingest import stream_apply_changes
+
+    key = os.path.abspath(sf_dir)
+    if key not in _CDC_REPLICA_CACHE:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        spark.dataSource.register(BloomSearchDataSource)
+        work = tempfile.mkdtemp(prefix="bs-cdc-")
+        src_root = os.path.join(work, "source")
+        dst_root = os.path.join(work, "replica")
+        docs = _docs(spark, sf_dir)
+        build_index(
+            spark, docs.filter(F.col("doc_id") % 2 == 0), src_root,
+            _CFG_MAIN, source_desc=f"documents-even@{sf_dir}",
+        )
+        build_index(
+            spark, docs.filter(F.col("doc_id") % 2 == 1), src_root,
+            _CFG_MAIN, source_desc=f"documents-odd@{sf_dir}", mode="append",
+        )
+        delete_where(
+            spark, BloomIndex.load(spark, src_root),
+            new_query().field_token("lang", "fr").build(),
+        )
+        feed = (
+            spark.readStream.format("bloomsearch").option("root", src_root)
+            .option("starting_version", "earliest")
+            .option("change_events", "true")
+            .option("commit_metadata", "true")
+            .load()
+        )
+        q = stream_apply_changes(
+            feed, dst_root, _CFG_MAIN, key_field="doc_id",
+            checkpoint_dir=os.path.join(work, f"ckpt-{uuid.uuid4().hex[:6]}"),
+        )
+        q.awaitTermination(600)
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))
+        _CDC_REPLICA_CACHE[key] = dst_root
+    replica = BloomIndex.load(spark, _CDC_REPLICA_CACHE[key])
+    return search(spark, replica, new_query().token("vector").build())
+
+
 def _sk_quantile_query(build, value_col, table, bound):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet")).select(value_col)
@@ -586,6 +643,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bs_upsert": _bs(
             "upserted", lambda: new_query().token("upserted").build()
         ),
+        # full CDC replication loop (r06): query the REPLICA fed only by
+        # the source's change_events feed through stream_apply_changes
+        "strm_cdc_replica": _strm_cdc_replica,
         "bs_field": _bs("main", lambda: new_query().field("text").build()),
         "bs_field_miss": _bs(
             "main", lambda: new_query().field("no_such_field").build()
@@ -1271,6 +1331,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bs_restore": (
             f"{sel} WHERE {_any_field_tok('vector')} AND doc_id % 2 = 0"
+        ),
+        "strm_cdc_replica": (
+            f"{sel} WHERE {_any_field_tok('vector')} AND lang <> 'fr'"
         ),
         "bs_upsert": (
             "SELECT doc_id, 'upserted doc ' || CAST(doc_id AS VARCHAR) AS text, "

@@ -41,6 +41,7 @@ from .plans.build import build_index
 from .plans.external import build_external_index
 from .plans.merge import (
     DeleteStats,
+    apply_changes_batch,
     MergeStats,
     compact_blocks,
     expire_blocks,
@@ -69,7 +70,7 @@ __all__ = [
     "DeleteStats", "Lt", "Lte", "MergeStats", "MinMax", "Ne", "NotBetween", "NotIn", "Or",
     "Partition", "PrefilterAnd", "PrefilterOr", "Query", "QueryBuilder",
     "QueryStats", "RegexAnd", "RegexOr", "Token", "Tokenizer",
-    "build_external_index", "build_index", "compact_blocks", "delete_where", "expire_blocks",
+    "apply_changes_batch", "build_external_index", "build_index", "compact_blocks", "delete_where", "expire_blocks",
     "get_tokenizer", "merge_files", "new_query", "register_tokenizer", "restore",
     "search", "sizing", "upsert_keys", "vacuum", "verify_integrity",
     "enable_read_checksum_verification",

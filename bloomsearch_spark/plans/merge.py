@@ -50,6 +50,7 @@ from dataclasses import dataclass
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .. import bloom
 from ..sources import fs as fsx
@@ -747,6 +748,8 @@ def upsert_keys(
     key_field: str,
     conflict_retries: int = 0,
     max_pruned_keys: int = 256,
+    delete_keys_df: DataFrame | None = None,
+    meta_extra: dict | None = None,
 ) -> tuple[BloomIndex, DeleteStats]:
     """Key-based upsert in ONE commit (the ``MERGE INTO ... WHEN MATCHED
     THEN UPDATE/DELETE+INSERT`` analog, full-row replacement semantics):
@@ -767,12 +770,19 @@ def upsert_keys(
     ``change_events`` required mid-feed) are shared with ``delete_where``.
     Returns ``(index, DeleteStats)`` — ``rows_deleted`` counts replaced
     rows; the insert count is ``source_df``'s row count.
+
+    ``delete_keys_df`` (one ``key_field`` column) names extra keys to
+    delete WITHOUT re-inserting — the CDC-apply primitive: one commit
+    carries a micro-batch's upserts AND deletes.  A batch that matches
+    nothing and inserts nothing commits NOTHING.  ``meta_extra`` keys
+    land in the commit's meta.json (e.g. a streaming replay watermark).
     """
     if conflict_retries:
         return _retry_conflicts(
             spark, index, conflict_retries,
             lambda ix: upsert_keys(spark, ix, source_df, key_field, 0,
-                                   max_pruned_keys),
+                                   max_pruned_keys, delete_keys_df,
+                                   meta_extra),
         )
     if index.meta().get("external", False):
         raise ValueError(
@@ -800,7 +810,16 @@ def upsert_keys(
     stats.blocks_before = blocks.count()
     stats.files_before = index.files().count()
 
-    keys = source_df.select(F.col(key_field).alias("_bs_key")).distinct()
+    keys = source_df.select(F.col(key_field).alias("_bs_key"))
+    if delete_keys_df is not None:
+        if list(delete_keys_df.columns) != [key_field]:
+            raise ValueError(
+                f"delete_keys_df must have exactly one column {key_field!r}"
+            )
+        keys = keys.unionByName(
+            delete_keys_df.select(F.col(key_field).alias("_bs_key"))
+        )
+    keys = keys.distinct()
     collected = keys.limit(max_pruned_keys + 1).collect()
     prune_q = (
         _key_prune_query(index, key_field, [r._bs_key for r in collected])
@@ -865,6 +884,15 @@ def upsert_keys(
         F.col("file_fieldtoken_bloom").alias("fieldtoken_bloom"),
     )
 
+    if stats.rows_deleted == 0 and staged_blocks.limit(1).count() == 0:
+        # nothing matched, nothing to insert: commit NOTHING (a CDC
+        # stream's empty/irrelevant micro-batch must not churn versions)
+        plan.unpersist()
+        fsx.delete_dir(scratch)
+        stats.blocks_after = stats.blocks_before
+        stats.files_after = stats.files_before
+        return index, stats
+
     new_blocks = _apply_rewrites(blocks, plan, stats.candidate_blocks).unionByName(
         staged_blocks
     )
@@ -874,10 +902,89 @@ def upsert_keys(
         .join(F.broadcast(live_files), "file_id", "left_semi")
         .unionByName(staged_files)
     )
-    out = _commit(spark, index, new_blocks, new_files, op="upsert", stats=stats)
+    out = _commit(
+        spark, index, new_blocks, new_files, op="upsert", stats=stats,
+        meta_extra=meta_extra,
+    )
     plan.unpersist()
     fsx.delete_dir(scratch)
     return out
+
+
+def apply_changes_batch(
+    spark: SparkSession,
+    index: BloomIndex,
+    changes_df: DataFrame,
+    key_field: str,
+    change_col: str = "_change_type",
+    order_col: str | None = "_commit_version",
+    conflict_retries: int = 0,
+    max_pruned_keys: int = 256,
+    meta_extra: dict | None = None,
+) -> tuple[BloomIndex, DeleteStats]:
+    """Apply one CDC micro-batch as ONE commit (the ``APPLY CHANGES
+    INTO`` analog, and the inverse of the changefeed's ``change_events``
+    output): resolve each key's FINAL state within the batch, then
+    upsert the final inserts and delete the final-deleted keys through
+    :func:`upsert_keys`'s single-commit machinery.
+
+    Resolution: when ``order_col`` is present in the batch (the feed's
+    ``_commit_version`` by default), only each key's events at its MAX
+    order value count; within one order value, any insert wins over a
+    delete (the CDC apply convention — a deleting commit emits
+    delete-old + insert-kept for the same key, and delete-then-insert is
+    the correct composition).  So a key inserted at v3 and deleted at v5
+    ends deleted; deleted at v3, re-inserted at v5 ends at the v5 row.
+    With ``order_col=None`` (or absent from the frame) the whole batch
+    counts as one commit's events.
+
+    Composes with the changefeed into exact replication INCLUDING
+    row-set changes: ``readStream(A, change_events+commit_metadata)`` →
+    ``stream_apply_changes(B)`` keeps B row-equal to A across appends,
+    overwrites, expiry, delete_where, upsert and restore — the plain
+    sink replication (DS4) only carries appends."""
+    inserts, delete_keys = resolve_changes(
+        changes_df, key_field, change_col, order_col
+    )
+    return upsert_keys(
+        spark, index, inserts, key_field,
+        conflict_retries=conflict_retries,
+        max_pruned_keys=max_pruned_keys,
+        delete_keys_df=delete_keys,
+        meta_extra=meta_extra,
+    )
+
+
+def resolve_changes(
+    changes_df: DataFrame,
+    key_field: str,
+    change_col: str = "_change_type",
+    order_col: str | None = "_commit_version",
+) -> tuple[DataFrame, DataFrame]:
+    """CDC batch -> (final insert rows, final delete-only keys) under the
+    apply convention documented on :func:`apply_changes_batch`."""
+    meta_cols = {change_col}
+    if order_col is not None and order_col in changes_df.columns:
+        ranked = changes_df.withColumn(
+            "_bs_maxo", F.max(order_col).over(Window.partitionBy(key_field))
+        ).filter(F.col(order_col) == F.col("_bs_maxo")).drop("_bs_maxo")
+        meta_cols.add(order_col)
+    else:
+        ranked = changes_df
+    meta_cols |= {"_commit_version", "_commit_timestamp"} & set(
+        changes_df.columns
+    )
+    inserts = ranked.filter(F.col(change_col) != "delete").drop(
+        *sorted(meta_cols)
+    )
+    insert_keys = inserts.select(key_field).distinct()
+    delete_keys = (
+        ranked.filter(F.col(change_col) == "delete")
+        .select(key_field)
+        .distinct()
+        .join(insert_keys, key_field, "left_anti")  # insert wins in-order
+    )
+    return inserts, delete_keys
 
 
 # ---------------------------------------------------------------------------
@@ -1005,6 +1112,7 @@ def _commit(
     new_files: DataFrame,
     op: str,
     stats: MergeStats,
+    meta_extra: dict | None = None,
 ) -> tuple[BloomIndex, MergeStats]:
     """Commit a maintenance op's output as a new manifest version.
 
@@ -1067,6 +1175,7 @@ def _commit(
                 "parent_version": index.version,
                 "tables": tables,
                 **mf.carried_meta(meta),
+                **(meta_extra or {}),
             },
         )
         return version

@@ -153,3 +153,73 @@ def stream_build(
     )
     writer = writer.trigger(**(trigger or {"availableNow": True}))
     return writer.start()
+
+
+def stream_apply_changes(
+    changes_stream: DataFrame,
+    root: str,
+    cfg: IndexConfig,
+    key_field: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+    change_col: str = "_change_type",
+    order_col: str | None = "_commit_version",
+    conflict_retries: int = 3,
+    max_pruned_keys: int = 256,
+):
+    """CDC replication sink (the ``APPLY CHANGES INTO`` analog): apply a
+    change-event stream — e.g. another index's changefeed read with
+    ``change_events`` + ``commit_metadata`` — onto the index at ``root``,
+    ONE commit per micro-batch, exactly-once.
+
+    Composed end-to-end this is full replication INCLUDING row-set
+    changes: ``spark.readStream.format("bloomsearch").option("root", A)
+    .option("change_events", "true").option("commit_metadata", "true")``
+    → ``stream_apply_changes(feed, B, ...)`` keeps B row-equal to A
+    across appends, overwrites, expiry, delete_where, upsert and restore
+    — the plain sink replication (DS4) carries appends only.
+
+    Per micro-batch: each key's FINAL state resolves under the CDC apply
+    convention (max ``order_col``, insert wins within one order value —
+    see ``apply_changes_batch``), then one ``upsert_keys`` commit applies
+    the inserts and deletes atomically, bloom-pruning candidate blocks
+    for small key batches.  Exactly-once = the same commit-coupled
+    ``last_stream_batch`` watermark every streaming sink here shares (a
+    replayed batch returns before planning); an absent root is SEEDED by
+    the first batch's resolved inserts (``build_index`` overwrite), so a
+    replica needs no manual snapshot step.  ``conflict_retries`` re-plans
+    on commits racing in from elsewhere (e.g. the replica's own
+    maintenance cadence)."""
+    from ..plans.merge import apply_changes_batch, resolve_changes
+
+    spark = changes_stream.sparkSession
+
+    def _batch(df: DataFrame, batch_id: int) -> None:
+        if df.isEmpty():
+            return
+        cur = mf.current_version(root)
+        if cur is not None:
+            idx = mf.BloomIndex(spark, root, cur)
+            if batch_id <= idx.meta().get("last_stream_batch", -1):
+                return  # replayed batch: already committed
+            apply_changes_batch(
+                spark, idx, df, key_field,
+                change_col=change_col, order_col=order_col,
+                conflict_retries=conflict_retries,
+                max_pruned_keys=max_pruned_keys,
+                meta_extra={"last_stream_batch": batch_id},
+            )
+        else:
+            inserts, _dels = resolve_changes(df, key_field, change_col, order_col)
+            build_index(
+                spark, inserts, root, cfg,
+                source_desc=f"cdc-seed-batch-{batch_id}",
+                mode="overwrite",
+                meta_extra={"last_stream_batch": batch_id},
+            )
+
+    writer = changes_stream.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()
