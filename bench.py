@@ -13,7 +13,9 @@ Runs the headline workload at ``$SPARK_GRAFT_SF_DIR`` (default
 4. ``code_*``        — needle search + miss query over that index; the miss
                        query's prune funnel yields the prune-ratio metric at
                        the configured FPR p=0.01.
-5. ``dd_/sim_/txt_`` — training-data pipeline operators at the sf tables.
+5. ``mut_*``        — row-set mutations (r06): bloom-pruned point
+                       DELETE, CDC-style key upsert, zero-copy RESTORE.
+6. ``dd_/sim_/txt_`` — training-data pipeline operators at the sf tables.
 
 Output: one JSON line
   {"metric": ..., "value": <total sec>, "unit": "sec",
@@ -233,6 +235,46 @@ def main() -> None:
             return len(ratios)
 
         timed("prune_funnel", prune_funnel)
+
+        # ---- 2c. row-set mutations (r06) -----------------------------------
+        # one-shot stages on the code index: a bloom-pruned point DELETE,
+        # a CDC-style key upsert, and a zero-copy RESTORE back to the
+        # pre-mutation version.  The query stages above hold a handle
+        # PINNED to the pre-mutation version (immutable dirs, no vacuum
+        # here), so their repeated reps are unaffected.
+        from bloomsearch_spark import BloomIndex, delete_where, restore, upsert_keys
+
+        pre_mut_version = code_idx.version
+        one_path = code.select("path").orderBy(F.xxhash64("path")).limit(1).collect()[0].path
+
+        def mut_delete():
+            out, st = delete_where(
+                spark, BloomIndex.load(spark, code_root),
+                new_query().field_token("path", one_path.lower()).build(),
+            )
+            extras["mut_delete_candidate_blocks"] = st.candidate_blocks
+            extras["mut_delete_rows"] = st.rows_deleted
+            return st.rows_deleted
+
+        timed("mut_delete_point", mut_delete)
+
+        def mut_upsert():
+            src = code.orderBy(F.xxhash64("commit")).limit(64).withColumn(
+                "content", F.concat(F.lit("bench upserted "), F.col("path"))
+            )
+            out, st = upsert_keys(
+                spark, BloomIndex.load(spark, code_root), src, key_field="path"
+            )
+            extras["mut_upsert_candidate_blocks"] = st.candidate_blocks
+            return st.rows_deleted
+
+        timed("mut_upsert_cdc", mut_upsert)
+        timed(
+            "mut_restore",
+            lambda: restore(
+                spark, BloomIndex.load(spark, code_root), version=pre_mut_version
+            ).version,
+        )
 
         # ---- 3. pipeline operators ----------------------------------------
         embs = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
