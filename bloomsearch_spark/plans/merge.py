@@ -722,19 +722,24 @@ def _key_prune_query(index: BloomIndex, key_field: str, values: list):
     from ..query import Query as qQuery
     from ..tokenizer import get_tokenizer
 
+    from ..tokenizer import go_format_value
+
     cfg = index.config
     if cfg.json_col is not None or key_field not in (cfg.indexed_fields or ()):
         return None
     tok = get_tokenizer(cfg.tokenizer)
     terms = []
     for v in values:
-        if v is None:
+        # only types whose BUILD-side rendering we can reproduce exactly
+        # may prune (go_format_value is the scalar twin of the build's
+        # stringify: 30.0 -> "30", True -> "true"); anything else — dates,
+        # decimals, None — falls back to the always-sound full scan.  A
+        # wrong rendering here would wrongly DISQUALIFY blocks and
+        # silently skip matching rows.
+        if v is None or not isinstance(v, (str, bool, int, float)):
             return None
-        if isinstance(v, bool):
-            s = "true" if v else "false"
-        else:
-            s = v if isinstance(v, str) else str(v)
-        toks = list(tok.value_fn(s))
+        stxt = v if isinstance(v, str) else go_format_value(v)
+        toks = list(tok.value_fn(stxt))
         if not toks:
             return None
         terms.append(qAnd(*[qFieldToken(key_field, t) for t in toks]))

@@ -32,10 +32,13 @@ Options beyond ``root``/``starting_version``/``blocks_per_task``:
   ``starting_version``) — resolved against retained version metas'
   ``created_at`` in O(log n_versions) meta reads.
 - ``change_events`` ("true"): full CDC mode — append a ``_change_type``
-  string column ("insert" | "delete") and emit row-DELETING commits as
-  events instead of refusing: an OVERWRITE becomes delete-the-old-table
+  string column ("insert" | "delete") and emit row-set-changing commits
+  as events instead of refusing: an OVERWRITE becomes delete-the-old-table
   + insert-the-new, an EXPIRE becomes deletes of the expired blocks'
-  rows (Delta CDF's change-row analog).  Delete rows are read from the
+  rows, and (r06) DELETE / UPSERT / RESTORE commits emit
+  delete-the-removed + insert-the-added with SYMMETRIC path subtraction
+  — a block dir present on both sides carries untouched rows and
+  appears in neither stream (Delta CDF's change-row analog).  Delete rows are read from the
   REMOVED block dirs, which survive until vacuum — size the vacuums'
   ``retain_versions``/``retain_time`` to cover consumer lag, exactly as
   for time travel; a vacuumed delete source fails loudly at read.  The

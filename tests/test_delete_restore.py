@@ -407,3 +407,36 @@ def test_upsert_changefeed_cdc(spark, tmp_root):
         new_query().field("content").build(),
     ).toPandas()
     assert state == dict(zip(snap["path"], snap["content"]))
+
+
+def test_key_prune_query_rendering_matches_build():
+    """The upsert prune tree must tokenize key values exactly as the
+    BUILD rendered them (go_format_value twin): 30.0 -> "30", True ->
+    "true"; un-reproducible types (dates, None) disable pruning instead
+    of risking a wrongly-disqualified block (silently skipped rows)."""
+    import datetime
+    from types import SimpleNamespace
+
+    from bloomsearch_spark.plans.merge import _key_prune_query
+
+    cfg = IndexConfig(indexed_fields=("k",), partition_expr="''")
+    fake = SimpleNamespace(config=cfg, meta=lambda: {})
+
+    q = _key_prune_query(fake, "k", [30.0, 42, True, "Ab c"])
+    leaves = []
+
+    def walk(e):
+        if e.kind in ("AND", "OR"):
+            for ch in e.children:
+                walk(ch)
+        else:
+            leaves.append((e.field, e.token))
+
+    walk(q.bloom)
+    toks = {t for _, t in leaves}
+    assert toks == {"30", "42", "true", "ab", "c"}
+    # un-reproducible renderings -> no prune (sound full scan)
+    assert _key_prune_query(fake, "k", [datetime.date(2020, 1, 1)]) is None
+    assert _key_prune_query(fake, "k", [None]) is None
+    # unindexed key field -> no prune
+    assert _key_prune_query(fake, "other", ["x"]) is None
