@@ -440,3 +440,42 @@ def test_key_prune_query_rendering_matches_build():
     assert _key_prune_query(fake, "k", [None]) is None
     # unindexed key field -> no prune
     assert _key_prune_query(fake, "other", ["x"]) is None
+
+
+def test_delete_where_regex_and_or_tree(spark, tmp_root):
+    """delete_where takes the FULL query surface: a regex delete (final
+    regex filter semantics, Q13) and an OR bloom tree, applied
+    sequentially with the expected pandas state tracked across both."""
+    import re
+
+    from bloomsearch_spark import FieldToken, Or
+
+    idx = build_index(spark, generate_df(spark, 400), tmp_root, CFG)
+    state = generate_pdf(400)
+
+    # 1. regex delete on content
+    pat = "needle_(alpha|beta)"
+    out, stats = delete_where(
+        spark, idx, new_query().field_regex("content", pat).build()
+    )
+    hit = state["content"].map(lambda s: re.search(pat, s) is not None)
+    assert stats.rows_deleted == int(hit.sum()) > 0
+    state = state[~hit]
+    assert (
+        search(spark, out, new_query().field("content").build()).count()
+        == len(state)
+    )
+
+    # 2. OR bloom-tree delete on two partitions
+    langs = list(state["lang"].unique())[:2]
+    out2, stats2 = delete_where(
+        spark, out,
+        new_query().match(
+            Or(FieldToken("lang", langs[0]), FieldToken("lang", langs[1]))
+        ).build(),
+    )
+    hit2 = state["lang"].isin(langs)
+    assert stats2.rows_deleted == int(hit2.sum()) > 0
+    state = state[~hit2]
+    got = search(spark, out2, new_query().field("content").build()).toPandas()
+    assert sorted(got["commit"]) == sorted(state["commit"])
