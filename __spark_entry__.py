@@ -513,7 +513,19 @@ def _index(spark: SparkSession, sf_dir: str, flavor: str) -> BloomIndex:
         if flavor == "customtok":
             df = df.withColumn("tag", F.concat_ws("@", "lang", "source"))
         root = tempfile.mkdtemp(prefix=f"bsidx-{flavor}-")
-        if flavor == "deleted":
+        if flavor == "zordered":
+            # OPTIMIZE ZORDER (r06): layout rewrite z-ordered on the two
+            # minmax columns; queries must be bit-identical to the plain
+            # index (blooms + rows rebuilt from the rows themselves)
+            from bloomsearch_spark import optimize_zorder
+
+            built = build_index(
+                spark, df, root, cfg, source_desc=f"documents@{sf_dir}"
+            )
+            idx, _stats = optimize_zorder(
+                spark, built, ["n_chars", "doc_id"], bits=8
+            )
+        elif flavor == "deleted":
             # row-level predicate DELETE (r06): drop every French doc,
             # rewriting only the blocks that held one
             from bloomsearch_spark import delete_where
@@ -646,6 +658,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full CDC replication loop (r06): query the REPLICA fed only by
         # the source's change_events feed through stream_apply_changes
         "strm_cdc_replica": _strm_cdc_replica,
+        # OPTIMIZE ZORDER (r06): same rows through a re-clustered layout
+        "bs_zorder": _bs(
+            "zordered", lambda: new_query().token("vector").build()
+        ),
         "bs_field": _bs("main", lambda: new_query().field("text").build()),
         "bs_field_miss": _bs(
             "main", lambda: new_query().field("no_such_field").build()
@@ -1335,6 +1351,7 @@ def oracle_sql() -> dict[str, str]:
         "strm_cdc_replica": (
             f"{sel} WHERE {_any_field_tok('vector')} AND lang <> 'fr'"
         ),
+        "bs_zorder": f"{sel} WHERE {_any_field_tok('vector')}",
         "bs_upsert": (
             "SELECT doc_id, 'upserted doc ' || CAST(doc_id AS VARCHAR) AS text, "
             "lang, source, n_chars FROM documents WHERE doc_id < 20 "

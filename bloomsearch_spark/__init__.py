@@ -49,6 +49,7 @@ from .plans.merge import (
     delete_where,
     maintain,
     merge_files,
+    optimize_zorder,
     restore,
     upsert_keys,
     vacuum,
@@ -71,7 +72,7 @@ __all__ = [
     "Partition", "PrefilterAnd", "PrefilterOr", "Query", "QueryBuilder",
     "QueryStats", "RegexAnd", "RegexOr", "Token", "Tokenizer",
     "apply_changes_batch", "build_external_index", "build_index", "compact_blocks", "delete_where", "expire_blocks",
-    "get_tokenizer", "merge_files", "new_query", "register_tokenizer", "restore",
+    "get_tokenizer", "merge_files", "new_query", "optimize_zorder", "register_tokenizer", "restore",
     "search", "sizing", "upsert_keys", "vacuum", "verify_integrity",
     "enable_read_checksum_verification",
     "CommitConflict", "fold_manifest", "maintain", "vacuum_manifest",

@@ -491,6 +491,167 @@ def expire_blocks(
 
 
 # ---------------------------------------------------------------------------
+# OPTIMIZE ZORDER (r06): layout rewrite for tight zone maps
+# ---------------------------------------------------------------------------
+
+
+def zorder_column(df: DataFrame, cols: list[str], bits: int = 8):
+    """Z-order (Morton) key over ``cols`` as a pure-Catalyst Column.
+
+    Each column is bucketed into 2^bits rank buckets via
+    ``width_bucket`` against its approxQuantile boundaries (KB-scale
+    driver work, one pass over the data), then the bucket ids' bits are
+    interleaved — standard Morton encoding, whole-stage-codegen all the
+    way (shiftleft/bitwiseOR over int64; bits × len(cols) must fit 63).
+    NULLs land in bucket 0 (co-located, never scattered)."""
+    if bits * len(cols) > 63:
+        raise ValueError("bits * len(cols) must fit in a signed int64")
+    n_b = (1 << bits) - 1
+    bucket_cols = []
+    for c in cols:
+        qs = [i / n_b for i in range(1, n_b + 1)]
+        bounds = df.select(F.col(c).cast("double").alias("v")).approxQuantile(
+            "v", qs, 0.001
+        )
+        # strictly increasing boundaries (width_bucket requires it);
+        # collapse duplicates from low-cardinality columns
+        uniq: list[float] = []
+        for b in bounds:
+            if not uniq or b > uniq[-1]:
+                uniq.append(b)
+        # bucket = #boundaries below the value: one JVM-side lambda pass
+        # over the literal boundary array (Spark's width_bucket is the
+        # 4-arg UNIFORM version — useless for rank buckets).  The cast
+        # re-evaluates per element (Catalyst lambda semantics) but it is
+        # a scalar numeric cast, not the shingles-bug class of cost.
+        # NULL values compare null -> excluded -> bucket 0 (co-located).
+        bounds_arr = F.array(*[F.lit(float(b)) for b in uniq])
+
+        def _below(col_name):
+            # factory, NOT a default-arg closure: a 2-arity lambda would
+            # make pyspark pass the (element, index) pair
+            return lambda t: F.col(col_name).cast("double") > t
+
+        bucket_cols.append(
+            F.coalesce(
+                F.size(F.filter(bounds_arr, _below(c))),
+                F.lit(0),
+            ).cast("long")
+        )
+    z = F.lit(0).cast("long")
+    for bit in range(bits):
+        for ci, bc in enumerate(bucket_cols):
+            pos = bit * len(cols) + ci
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bc, bit).bitwiseAND(F.lit(1)), pos
+                )
+            )
+    return z
+
+
+def optimize_zorder(
+    spark: SparkSession,
+    index: BloomIndex,
+    cols: list[str],
+    bits: int = 8,
+    conflict_retries: int = 0,
+) -> tuple[BloomIndex, DeleteStats]:
+    """Rewrite the index's physical layout Z-ORDERED by ``cols`` (the
+    ``OPTIMIZE ... ZORDER BY`` analog): same rows, new blocks whose zone
+    maps are TIGHT on every z-ordered column, so minmax prefilters on
+    any of them prune to ~the matching block range instead of scanning
+    blocks whose [min,max] spans the whole domain (the multi-column
+    generalization of sorting; a plain sort would tighten only its
+    leading column).
+
+    Mechanics: one pass computes per-column rank-bucket boundaries
+    (approxQuantile, KB-scale driver state), the Morton key is a pure
+    Catalyst expression, and the rows flow ``repartitionByRange(z) →
+    sortWithinPartitions(z) →`` the SAME zero-shuffle flush kernel as
+    build_index — exactly ONE data shuffle for the whole rewrite, the
+    theoretical minimum for a global re-clustering.  Commits through the
+    maintenance protocol (op="zorder"); to the changefeed it is a
+    reorganization like merge/compact — rows unchanged, nothing emitted.
+    Blooms and row contents are rebuilt from the rows themselves, so
+    queries are bit-identical before and after (hash-proven by the
+    ``bs_zorder`` oracle).  ``cols`` should be (a subset of) the
+    config's ``minmax_fields`` — tightening zone maps nobody probes
+    buys nothing."""
+    if conflict_retries:
+        return _retry_conflicts(
+            spark, index, conflict_retries,
+            lambda ix: optimize_zorder(spark, ix, cols, bits, 0),
+        )
+    if index.meta().get("external", False):
+        raise ValueError("optimize_zorder rewrites block data; external "
+                         "indexes are zero-copy — rebuild instead")
+    from .build import STAGING_SCHEMA, _make_map_build_fn
+    from .search import scan_blocks
+
+    cfg = index.config
+    stats = DeleteStats()
+    blocks = index.blocks()
+    stats.blocks_before = blocks.count()
+    stats.files_before = index.files().count()
+
+    source_columns = index.meta().get("source_columns") or []
+    rows = scan_blocks(index, blocks).select(*source_columns)
+    n_rows = int(
+        blocks.agg(F.sum("row_count").alias("n")).collect()[0]["n"] or 0
+    )
+    per_task = max(1, cfg.max_block_rows * cfg.blocks_per_file)
+    n_parts = max(1, -(-n_rows // per_task))
+    z = zorder_column(rows, cols, bits=bits)
+    ordered = (
+        rows.withColumn("_bs_z", z)
+        .repartitionByRange(n_parts, "_bs_z")
+        .sortWithinPartitions("_bs_z")
+        .drop("_bs_z")
+    )
+    d = ordered.withColumn(
+        "partition_id",
+        F.coalesce(F.expr(cfg.partition_expr).cast("string"), F.lit("")),
+    )
+    if cfg.sha_col:
+        d = d.withColumn(
+            "content_sha", F.sha2(F.col(cfg.sha_col).cast("string"), 256)
+        )
+    version_guess, _ = mf.next_version_dir(index.root)
+    tag = f"{version_guess}-z{uuid.uuid4().hex[:8]}"
+    scratch = mf.staging_root(index.root, tag)
+    staging = fsx.join(scratch, "staging.parquet")
+    (
+        d.mapInArrow(
+            _make_map_build_fn(cfg, fsx.join(index.root, "data"), tag),
+            STAGING_SCHEMA,
+        )
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    st = spark.read.parquet(staging)
+    new_blocks = st.filter(F.col("block_id").isNotNull()).select(
+        "file_id", "block_id", "partition_id", "data_path", "row_count",
+        "token_count", "byte_size", "minmax_min", "minmax_max",
+        "expected_items", "fpr", "field_bloom", "token_bloom",
+        "fieldtoken_bloom",
+    )
+    new_files = st.filter(F.col("block_id").isNull()).select(
+        "file_id", "partition_id", "block_count", "row_count", "token_count",
+        "byte_size", "minmax_min", "minmax_max",
+        F.col("file_expected_items").alias("expected_items"),
+        F.col("file_fpr").alias("fpr"),
+        F.col("file_field_bloom").alias("field_bloom"),
+        F.col("file_token_bloom").alias("token_bloom"),
+        F.col("file_fieldtoken_bloom").alias("fieldtoken_bloom"),
+    )
+    stats.blocks_rewritten = stats.blocks_before
+    out = _commit(spark, index, new_blocks, new_files, op="zorder", stats=stats)
+    fsx.delete_dir(scratch)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Row-level predicate DELETE (Delta DELETE analog, r06)
 # ---------------------------------------------------------------------------
 

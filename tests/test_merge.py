@@ -360,3 +360,59 @@ def test_maintain_skips_compaction_on_external_index(spark, tmp_path):
     # the steps after the skip still ran (vacuum returned a count)
     assert out["data_dirs_removed"] == 0  # external data is caller-owned
     assert BloomIndex.load(spark, root).meta().get("external")
+
+
+def test_optimize_zorder_tightens_minmax_pruning(spark, tmp_root):
+    """OPTIMIZE ZORDER (r06): after the layout rewrite, a minmax range
+    prefilter on EITHER z-ordered column prunes to a small block subset
+    (pre-rewrite every block spans ~the whole domain), and the row set
+    is bit-identical."""
+    from bloomsearch_spark import Between, MinMax, optimize_zorder
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id"),
+        ((F.col("id") * 7919) % n).alias("a"),
+        ((F.col("id") * 104729) % n).alias("b"),
+        F.concat(F.lit("tok"), (F.col("id") % 97)).alias("text"),
+    )
+    cfg = IndexConfig(
+        indexed_fields=("text",),
+        partition_expr="''",
+        minmax_fields=("a", "b"),
+        max_block_rows=500,
+        blocks_per_file=4,
+    )
+    idx = build_index(spark, df, tmp_root, cfg)
+
+    def prefilter_blocks(ix, col):
+        q = new_query().match_prefilter(MinMax(col, Between(100, 300))).build()
+        out, st = search(spark, ix, q, with_stats=True)
+        rows = out.count()
+        st.finish()
+        return st.blocks_after_prefilter, rows
+
+    before_a, _ = prefilter_blocks(idx, "a")
+    total_blocks = idx.blocks().count()
+    assert before_a > total_blocks * 0.8  # random layout: no pruning
+
+    out, stats = optimize_zorder(spark, idx, ["a", "b"], bits=8)
+    assert stats.blocks_before == total_blocks
+    after_a, _ = prefilter_blocks(out, "a")
+    after_b, _ = prefilter_blocks(out, "b")
+    assert after_a <= total_blocks * 0.35, (after_a, total_blocks)
+    assert after_b <= total_blocks * 0.35, (after_b, total_blocks)
+
+    # rows bit-identical (same ids, same derived values)
+    got = search(spark, out, new_query().field("text").build())
+    assert got.count() == n
+    pre = {r.id for r in search(
+        spark, idx, new_query().field_token("text", "tok13").build()
+    ).collect()}
+    post = {r.id for r in search(
+        spark, out, new_query().field_token("text", "tok13").build()
+    ).collect()}
+    assert pre == post and len(pre) > 0
+    # maintenance commit: history advances, changefeed treats it as a
+    # reorganization (covered by the 'other maintenance' branch)
+    assert int(out.version[1:]) == int(idx.version[1:]) + 1
