@@ -513,7 +513,16 @@ def _index(spark: SparkSession, sf_dir: str, flavor: str) -> BloomIndex:
         if flavor == "customtok":
             df = df.withColumn("tag", F.concat_ws("@", "lang", "source"))
         root = tempfile.mkdtemp(prefix=f"bsidx-{flavor}-")
-        if flavor == "zordered":
+        if flavor == "cloned":
+            # shallow CLONE (r06): zero-copy fork; the query runs THROUGH
+            # the clone root (data_dir_override -> source data dir)
+            from bloomsearch_spark import clone
+
+            src = build_index(
+                spark, df, root, cfg, source_desc=f"documents@{sf_dir}"
+            )
+            idx = clone(spark, src, root + "-clone")
+        elif flavor == "zordered":
             # OPTIMIZE ZORDER (r06): layout rewrite z-ordered on the two
             # minmax columns; queries must be bit-identical to the plain
             # index (blooms + rows rebuilt from the rows themselves)
@@ -661,6 +670,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # OPTIMIZE ZORDER (r06): same rows through a re-clustered layout
         "bs_zorder": _bs(
             "zordered", lambda: new_query().token("vector").build()
+        ),
+        # shallow CLONE (r06): exact reads through the zero-copy fork
+        "bs_clone": _bs(
+            "cloned", lambda: new_query().token("vector").build()
         ),
         "bs_field": _bs("main", lambda: new_query().field("text").build()),
         "bs_field_miss": _bs(
@@ -1352,6 +1365,7 @@ def oracle_sql() -> dict[str, str]:
             f"{sel} WHERE {_any_field_tok('vector')} AND lang <> 'fr'"
         ),
         "bs_zorder": f"{sel} WHERE {_any_field_tok('vector')}",
+        "bs_clone": f"{sel} WHERE {_any_field_tok('vector')}",
         "bs_upsert": (
             "SELECT doc_id, 'upserted doc ' || CAST(doc_id AS VARCHAR) AS text, "
             "lang, source, n_chars FROM documents WHERE doc_id < 20 "

@@ -42,6 +42,7 @@ from .plans.external import build_external_index
 from .plans.merge import (
     DeleteStats,
     apply_changes_batch,
+    clone,
     MergeStats,
     compact_blocks,
     expire_blocks,
@@ -71,7 +72,7 @@ __all__ = [
     "DeleteStats", "Lt", "Lte", "MergeStats", "MinMax", "Ne", "NotBetween", "NotIn", "Or",
     "Partition", "PrefilterAnd", "PrefilterOr", "Query", "QueryBuilder",
     "QueryStats", "RegexAnd", "RegexOr", "Token", "Tokenizer",
-    "apply_changes_batch", "build_external_index", "build_index", "compact_blocks", "delete_where", "expire_blocks",
+    "apply_changes_batch", "build_external_index", "clone", "build_index", "compact_blocks", "delete_where", "expire_blocks",
     "get_tokenizer", "merge_files", "new_query", "optimize_zorder", "register_tokenizer", "restore",
     "search", "sizing", "upsert_keys", "vacuum", "verify_integrity",
     "enable_read_checksum_verification",

@@ -415,6 +415,7 @@ def compact_blocks(
             "compact_blocks rewrites block data and is not applicable to a "
             "zero-copy external index; use merge_files (metadata-only)"
         )
+    _refuse_shallow_clone(index, "compact_blocks")
     target = max_block_rows or cfg.max_block_rows
     stats = MergeStats()
     blocks = index.blocks()
@@ -488,6 +489,21 @@ def expire_blocks(
     live_files = new_blocks.select("file_id").distinct()
     new_files = index.files().join(F.broadcast(live_files), "file_id", "left_semi")
     return _commit(spark, index, new_blocks, new_files, op="expire", stats=stats)
+
+
+
+
+def _refuse_shallow_clone(index: BloomIndex, op: str) -> None:
+    if index.meta().get("data_dir_override"):
+        raise ValueError(
+            f"{op} writes or deletes block data and is not applicable to a "
+            "SHALLOW CLONE — its block dirs belong to the source root "
+            "(mutating them would corrupt the source; writing new ones "
+            "would orphan on the source's vacuum).  Deep-clone first "
+            "(clone(..., shallow=False)) or run the op on the source.  "
+            "Metadata-only ops (merge_files, expire_blocks, fold_manifest, "
+            "vacuum_manifest, restore) remain available."
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -586,6 +602,7 @@ def optimize_zorder(
     if index.meta().get("external", False):
         raise ValueError("optimize_zorder rewrites block data; external "
                          "indexes are zero-copy — rebuild instead")
+    _refuse_shallow_clone(index, "optimize_zorder")
     from .build import STAGING_SCHEMA, _make_map_build_fn
     from .search import scan_blocks
 
@@ -767,6 +784,7 @@ def delete_where(
             "zero-copy external index (the source files are not ours to "
             "rewrite); use expire_blocks for block-granular expiry"
         )
+    _refuse_shallow_clone(index, "delete_where")
     from ..operators.verify import (
         compile_bloom_verify,
         compile_regex_verify,
@@ -955,6 +973,7 @@ def upsert_keys(
             "upsert_keys rewrites block data and is not applicable to a "
             "zero-copy external index"
         )
+    _refuse_shallow_clone(index, "upsert_keys")
     cfg = index.config
     src_cols = list(source_df.columns)
     idx_cols = index.meta().get("source_columns")
@@ -1252,7 +1271,7 @@ def restore(
                 k: t_meta[k]
                 for k in (
                     "source_columns", "source_schema", "uniform_params",
-                    "external",
+                    "external", "data_dir_override",
                 )
                 if k in t_meta
             },
@@ -1264,6 +1283,126 @@ def restore(
 
     new_v = mf.publish_commit(root, finalize, expected=index.version)
     return BloomIndex(spark, root, new_v)
+
+
+# ---------------------------------------------------------------------------
+# CLONE (Delta CLONE analog, r06)
+# ---------------------------------------------------------------------------
+
+
+def clone(
+    spark: SparkSession,
+    index: BloomIndex,
+    new_root: str,
+    shallow: bool = True,
+    version: str | None = None,
+    timestamp=None,
+) -> BloomIndex:
+    """Clone the index (optionally a historical version) to ``new_root``
+    as a fresh v1 commit — the ``CREATE TABLE ... CLONE`` analog.
+
+    ``shallow=True`` (default) copies ONLY the manifest (referenced
+    segments + meta; manifest-sized bytes): the clone's meta carries a
+    ``data_dir_override`` pointing at the source's data dir, every read
+    path resolves block dirs through it, and — like Delta shallow clones
+    — the clone depends on the source's retention: vacuum the SOURCE
+    only while no clone still references the removed blocks.  Shallow
+    clones are read-only for block DATA: appends and data-rewriting ops
+    (compact/delete/upsert/zorder/vacuum) refuse with guidance, while
+    metadata-only ops (merge_files, expire_blocks, fold/vacuum_manifest,
+    restore within the clone) work — so a clone is a cheap fork for
+    experiments like "expire half the table and measure".
+
+    ``shallow=False`` additionally copies every referenced block dir
+    (DISTRIBUTED — one task batch per block dir, bytes through the fs
+    layer) and yields a fully independent root.
+
+    External (zero-copy) indexes clone shallow-only by nature: their
+    data_path values are already absolute source URIs; the manifest copy
+    preserves them verbatim.
+    """
+    target = (
+        index  # clone the HANDLE's (possibly time-traveled) version
+        if version is None and timestamp is None
+        else BloomIndex.load(spark, index.root, version=version, timestamp=timestamp)
+    )
+    if mf.current_version(new_root) is not None:
+        raise ValueError(f"{new_root!r} already holds a committed index")
+    t_meta = target.meta()
+    external = bool(t_meta.get("external", False))
+    if external and not shallow:
+        raise ValueError(
+            "deep-cloning an external index would copy caller-owned source "
+            "files; clone shallow, or build a managed index from the source"
+        )
+
+    # copy the referenced manifest tables byte-for-byte, path-preserving
+    # (segment refs and pre-segment version-local refs alike)
+    refs = target.table_refs()
+    rel_paths = sorted({r for rs in refs.values() for r in rs})
+    src_mdir = fsx.join(index.root, "manifest")
+    dst_mdir = fsx.join(new_root, "manifest")
+    for rel in rel_paths:
+        for f in fsx.list_parquet_files(fsx.join(src_mdir, rel)):
+            name = f.rsplit("/", 1)[-1]
+            fsx.write_bytes_atomic(
+                fsx.join(dst_mdir, rel, name), fsx.read_bytes(f)
+            )
+
+    if not shallow:
+        src_data = target.data_dir
+        dst_data = fsx.join(new_root, "data")
+
+        def _copy(pdfs):
+            from ..sources import fs as _fsx
+
+            for pdf in pdfs:
+                n = 0
+                for rel in pdf["data_path"]:
+                    for f in _fsx.list_parquet_files(_fsx.join(src_data, rel)):
+                        name = f.rsplit("/", 1)[-1]
+                        _fsx.write_bytes_atomic(
+                            _fsx.join(dst_data, rel, name), _fsx.read_bytes(f)
+                        )
+                        n += 1
+                yield pd.DataFrame({"n": [n]})
+
+        copied = (
+            target.blocks()
+            .select("data_path")
+            .repartition(32)
+            .mapInPandas(_copy, "n long")
+            .agg(F.sum("n"))
+            .collect()[0][0]
+        )
+        if not copied:
+            raise RuntimeError("deep clone copied zero block files")
+
+    def finalize(prev_version):
+        v = mf.version_after(prev_version)  # v1 — fresh root
+        extra = {
+            "build_id": v,
+            "source_desc": f"clone of {index.root}@{target.version}",
+            "cloned_from": {"root": index.root, "version": target.version},
+            "tables": {t: list(refs[t]) for t in mf.TABLES},
+            **{
+                k: t_meta[k]
+                for k in (
+                    "source_columns", "source_schema", "uniform_params",
+                    "external", "last_stream_batch",
+                )
+                if k in t_meta
+            },
+        }
+        if shallow and not external:
+            # target.data_dir already resolves a clone-of-a-clone's
+            # override to the ORIGINAL source data dir
+            extra["data_dir_override"] = target.data_dir
+        mf.write_meta(fsx.join(new_root, "manifest", v), target.config, extra=extra)
+        return v
+
+    new_v = mf.publish_commit(new_root, finalize)
+    return BloomIndex(spark, new_root, new_v)
 
 
 # ---------------------------------------------------------------------------
@@ -1380,6 +1519,10 @@ def vacuum(
     root to be shared storage — already true for any multi-executor
     deployment; a registered custom scheme must also be registered in the
     executor interpreters (fs.register_scheme docstring)."""
+    # a shallow clone's data_dir IS the source's: vacuuming through the
+    # clone would anti-join the SOURCE's dirs against the CLONE's manifest
+    # and delete every source block the clone doesn't reference
+    _refuse_shallow_clone(index, "vacuum")
     spark = index.spark
     data_dir = index.data_dir
 

@@ -1118,10 +1118,14 @@ class BloomSearchReader(DataSourceReader):
         seen = set(names)
         return names + [c for c in extra if c and not (c in seen or seen.add(c))]
 
+    def _data_dir(self) -> str:
+        ov = self._meta().get("data_dir_override")
+        return ov if ov else fsx.join(self.root, "data")
+
     def _read_block(self, rel: str):
         import pyarrow as pa
 
-        d = fsx.join(self.root, "data", rel)
+        d = fsx.join(self._data_dir(), rel)
         try:
             tbl = fsx.read_parquet_dir(
                 d, filter=self._exact_filter(), columns=self._scan_columns()
@@ -1571,7 +1575,8 @@ class BloomSearchDataSource(DataSource):
                 f"index at {root} has no blocks — cannot infer a schema; "
                 "pass one explicitly via spark.read.schema(...)"
             )
-        dfs, dlocal = fsx.resolve(fsx.join(root, "data", rel))
+        ddir = meta.get("data_dir_override") or fsx.join(root, "data")
+        dfs, dlocal = fsx.resolve(fsx.join(ddir, rel))
         dset = pads.dataset(dlocal, format="parquet", filesystem=dfs)
         full = from_arrow_schema(dset.schema)
         keep = meta.get("source_columns") or [f.name for f in full.fields]

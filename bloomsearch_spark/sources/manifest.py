@@ -449,6 +449,13 @@ def build_commit_finalize(
         if mode == "append" and prev_version is not None:
             prev = BloomIndex(None, root, prev_version)
             prev_meta = prev.meta()
+            if prev_meta.get("data_dir_override"):
+                raise ValueError(
+                    "cannot append to a SHALLOW CLONE — its block dirs "
+                    "belong to the source root and new data dirs would "
+                    "orphan on vacuum; deep-clone first (clone(..., "
+                    "shallow=False)) or write to a fresh root"
+                )
             prev_cols = prev_meta.get("source_columns")
             if prev_cols is not None and set(prev_cols) != set(source_columns):
                 # schema drift is REFUSED by default, not silently
@@ -552,6 +559,11 @@ def carried_meta(parent_meta: dict, for_append: bool = False) -> dict:
             out["source_schema"] = parent_meta["source_schema"]
         if parent_meta.get("external"):
             out["external"] = True
+        if parent_meta.get("data_dir_override"):
+            # a shallow clone's maintenance commits must keep reading the
+            # SOURCE data dir — dropping this flips reads to the clone's
+            # (empty) local data dir
+            out["data_dir_override"] = parent_meta["data_dir_override"]
     return out
 
 
@@ -602,7 +614,15 @@ class BloomIndex:
 
     @property
     def data_dir(self) -> str:
-        return fsx.join(self.root, "data")
+        # a SHALLOW CLONE's manifest points at its source's data dir
+        # (zero-copy; plans/merge.clone) — every read path resolves
+        # block dirs through this property, so clones read transparently
+        ov = self.meta().get("data_dir_override")
+        return ov if ov else fsx.join(self.root, "data")
+
+    @property
+    def is_shallow_clone(self) -> bool:
+        return bool(self.meta().get("data_dir_override"))
 
     @property
     def version_dir(self) -> str:

@@ -237,6 +237,13 @@ class BloomSearchStreamReader(DataSourceStreamReader):
                     "rows live in caller-owned source files; use "
                     "bloomsearch_spark.search()"
                 )
+            if meta.get("data_dir_override"):
+                raise ValueError(
+                    "shallow clones have no changefeed — their single "
+                    "synthetic version would emit the whole table once and "
+                    "their block dirs belong to the SOURCE root; tail the "
+                    "source's changefeed instead (or deep-clone)"
+                )
         if start_ts is not None:
             # Delta startingTimestamp semantics: commits at-or-after the
             # instant are included.  Offsets are exclusive-from, so the
