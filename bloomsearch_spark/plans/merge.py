@@ -1747,6 +1747,7 @@ def maintain(
     max_blocks_per_file: int = 64,
     max_files_per_merge: int = 10,
     compact_rows: int | None = None,
+    zorder_by: list[str] | None = None,
     fold_threshold: int = 8,
     run_vacuum: bool = False,
     retain_versions: int = 0,
@@ -1769,14 +1770,21 @@ def maintain(
     size ``retain_versions``/``retain_time`` to cover reader/feed lag
     before enabling it in a schedule.
 
+    ``zorder_by`` runs :func:`optimize_zorder` on those columns as part
+    of the pass (the ``OPTIMIZE ... ZORDER BY`` spelling) — it rewrites
+    every block, so ``compact_rows`` is redundant with it; skipped on
+    external/shallow-clone roots like compact.
+
     Returns a stats dict: ``files_merged``, ``blocks_rewritten``,
     ``compact_skipped`` (True when ``compact_rows`` was requested on a
     zero-copy external index — nothing engine-owned to rewrite),
-    ``folded``, ``meta_dirs_removed``, ``data_dirs_removed``."""
+    ``zordered``, ``folded``, ``meta_dirs_removed``,
+    ``data_dirs_removed``."""
     out = {
         "files_merged": 0,
         "blocks_rewritten": 0,
         "compact_skipped": False,
+        "zordered": False,
         "folded": False,
         "meta_dirs_removed": 0,
         "data_dirs_removed": 0,
@@ -1798,6 +1806,15 @@ def maintain(
                 spark, idx, compact_rows, conflict_retries=conflict_retries
             )
             out["blocks_rewritten"] = cstats.blocks_rewritten
+    if zorder_by:
+        if idx.meta().get("external") or idx.meta().get("data_dir_override"):
+            out["compact_skipped"] = True  # nothing engine-owned to rewrite
+        else:
+            idx, zstats = optimize_zorder(
+                spark, idx, list(zorder_by), conflict_retries=conflict_retries
+            )
+            out["zordered"] = True
+            out["blocks_rewritten"] += zstats.blocks_rewritten
     idx = BloomIndex.load(spark, root)  # racing commits may have landed
     if len(idx.table_refs()["blocks"]) > fold_threshold:
         fold_manifest(spark, idx, conflict_retries=conflict_retries)

@@ -416,3 +416,29 @@ def test_optimize_zorder_tightens_minmax_pruning(spark, tmp_root):
     # maintenance commit: history advances, changefeed treats it as a
     # reorganization (covered by the 'other maintenance' branch)
     assert int(out.version[1:]) == int(idx.version[1:]) + 1
+
+
+def test_maintain_zorder_by(spark, tmp_root):
+    """maintain(zorder_by=...) composes the layout rewrite into the
+    one-call housekeeping pass; rows stay identical."""
+    from bloomsearch_spark.plans.merge import maintain
+
+    n = 5_000
+    df = spark.range(n).select(
+        F.col("id"),
+        ((F.col("id") * 7919) % n).alias("a"),
+        F.concat(F.lit("tok"), (F.col("id") % 31)).alias("text"),
+    )
+    cfg = IndexConfig(
+        indexed_fields=("text",), partition_expr="''",
+        minmax_fields=("a",), max_block_rows=250,
+    )
+    build_index(spark, df, tmp_root, cfg)
+    out = maintain(spark, tmp_root, zorder_by=["a"])
+    assert out["zordered"] and out["blocks_rewritten"] > 0
+    from bloomsearch_spark import BloomIndex
+
+    idx = BloomIndex.load(spark, tmp_root)
+    assert (
+        search(spark, idx, new_query().field("text").build()).count() == n
+    )
