@@ -545,6 +545,22 @@ def _index(spark: SparkSession, sf_dir: str, flavor: str) -> BloomIndex:
             idx, _stats = delete_where(
                 spark, built, new_query().field_token("lang", "fr").build()
             )
+        elif flavor == "dv_deleted":
+            # merge-on-read DELETE (r06, deletion vectors): two cumulative
+            # DV deletes (fr, then es) — ZERO data bytes move; every read
+            # masks the recorded positions.  Disjointness: the second
+            # delete's scan is already masked, so deltas never overlap.
+            from bloomsearch_spark import delete_where
+
+            idx = build_index(
+                spark, df, root, cfg, source_desc=f"documents@{sf_dir}"
+            )
+            for lang in ("fr", "es"):
+                idx, _stats = delete_where(
+                    spark, idx,
+                    new_query().field_token("lang", lang).build(),
+                    use_deletion_vectors=True,
+                )
         elif flavor == "upserted":
             # one-commit key upsert (r06): replace docs 0..19 with new
             # text + insert 5 brand-new docs, keyed on doc_id
@@ -653,6 +669,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # a token query sees every surviving row and none of the deleted
         "bs_delete_where": _bs(
             "deleted", lambda: new_query().token("vector").build()
+        ),
+        # merge-on-read DELETE via deletion vectors (r06): fr then es
+        # dv-deleted as inline position masks — zero data rewrite; a token
+        # query sees every surviving row and none of the masked ones
+        "bs_dv_delete": _bs(
+            "dv_deleted", lambda: new_query().token("vector").build()
         ),
         # RESTORE (r06): rolled back to the even-docs version (zero-copy
         # forward commit); the odd docs are gone again
@@ -1357,6 +1379,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bs_delete_where": (
             f"{sel} WHERE {_any_field_tok('vector')} AND lang <> 'fr'"
+        ),
+        "bs_dv_delete": (
+            f"{sel} WHERE {_any_field_tok('vector')} "
+            "AND lang NOT IN ('fr', 'es')"
         ),
         "bs_restore": (
             f"{sel} WHERE {_any_field_tok('vector')} AND doc_id % 2 = 0"

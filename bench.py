@@ -276,6 +276,24 @@ def main() -> None:
             ).version,
         )
 
+        # deletion-vector delete of the SAME match surface as
+        # mut_delete_point, run on the restored pre-mutation state: the
+        # two timings compare rewrite-speed vs metadata-speed directly
+        # (same bloom prune, same exact verify; zero data bytes written)
+        def mut_delete_dv():
+            out, st = delete_where(
+                spark, BloomIndex.load(spark, code_root),
+                new_query().field_token("path", one_path.lower()).build(),
+                use_deletion_vectors=True,
+            )
+            extras["mut_delete_dv_blocks"] = st.dv_blocks
+            extras["mut_delete_dv_rows"] = st.rows_deleted
+            return st.rows_deleted
+
+        timed("mut_delete_dv", mut_delete_dv)
+        # leave the bench root at the pre-mutation state (untimed)
+        restore(spark, BloomIndex.load(spark, code_root), version=pre_mut_version)
+
         # ---- 3. pipeline operators ----------------------------------------
         embs = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
         timed("dd_exact", lambda: exact_duplicates(docs, "text", "doc_id").count())

@@ -51,6 +51,7 @@ from .plans.merge import (
     maintain,
     merge_files,
     optimize_zorder,
+    purge_deletion_vectors,
     restore,
     upsert_keys,
     vacuum,
@@ -74,7 +75,8 @@ __all__ = [
     "QueryStats", "RegexAnd", "RegexOr", "Token", "Tokenizer",
     "apply_changes_batch", "build_external_index", "clone", "build_index", "compact_blocks", "delete_where", "expire_blocks",
     "get_tokenizer", "merge_files", "new_query", "optimize_zorder", "register_tokenizer", "restore",
-    "search", "sizing", "upsert_keys", "vacuum", "verify_integrity",
+    "purge_deletion_vectors", "search", "sizing", "upsert_keys", "vacuum",
+    "verify_integrity",
     "enable_read_checksum_verification",
     "CommitConflict", "fold_manifest", "maintain", "vacuum_manifest",
     "BloomSearchDataSource",

@@ -345,15 +345,34 @@ def _make_consolidate_fn(data_dir: str, codec_kw: dict):
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         block_id = key[0]
         if len(pdf) == 1:  # singleton group: pass the manifest row through
-            return pdf.drop(columns=["merge_block_id"])
+            # (its deletion vector, if any, still applies — the commit
+            # carries the dvs refs and the block keeps its id/data_path)
+            return pdf.drop(columns=["merge_block_id", "dv_positions"])
         file_id = pdf["file_id"].iloc[0]
         rel = fsx.join(f"file_id={file_id}", f"block_id={block_id}")
+        import numpy as np
         import pyarrow as pa
 
+        def _read_masked(p, pos):
+            t = fsx.read_parquet_dir(fsx.join(data_dir, p))
+            # deletion-vector purge: a consolidated block materializes
+            # only LIVE rows (merge-on-read becomes copy-on-write here),
+            # and its fresh block_id detaches the old mask
+            if pos is not None and len(pos):
+                m = np.ones(len(t), dtype=bool)
+                m[np.asarray(pos, dtype=np.int64)] = False
+                t = t.filter(pa.array(m))
+            return t
+
         tbl = pa.concat_tables(
-            [fsx.read_parquet_dir(fsx.join(data_dir, p)) for p in pdf["data_path"]],
+            [
+                _read_masked(p, pos)
+                for p, pos in zip(pdf["data_path"], pdf["dv_positions"])
+            ],
             promote_options="default",
         )
+        if len(tbl) == 0:  # every member row was DV-deleted: drop the block
+            return pdf.iloc[0:0].drop(columns=["merge_block_id", "dv_positions"])
         byte_size = fsx.write_parquet_atomic(
             fsx.join(data_dir, rel), tbl, "part-0.parquet", **codec_kw
         )
@@ -373,7 +392,7 @@ def _make_consolidate_fn(data_dir: str, codec_kw: dict):
                     "block_id": block_id,
                     "partition_id": pdf["partition_id"].iloc[0],
                     "data_path": rel,
-                    "row_count": int(pdf["row_count"].sum()),
+                    "row_count": int(len(tbl)),
                     "token_count": int(pdf["token_count"].sum()),
                     "byte_size": byte_size,
                     "minmax_min": mn_map,
@@ -450,6 +469,16 @@ def compact_blocks(
         .withColumn("merge_block_id", F.coalesce("merged", "block_id"))
         .drop("merged")
     )
+    # deletion-vector masks ride the plan as a per-block positions array:
+    # consolidation purges DV'd rows physically (and the merged block's
+    # fresh id detaches the old mask); singletons keep their carried ref
+    dv_agg = index.dv_agg()
+    if dv_agg is not None:
+        staged = staged.join(dv_agg, "data_path", "left")
+    else:
+        staged = staged.withColumn(
+            "dv_positions", F.lit(None).cast("array<long>")
+        )
     from .build import codec_kwargs
 
     new_blocks = staged.groupBy("merge_block_id").applyInPandas(
@@ -663,7 +692,13 @@ def optimize_zorder(
         F.col("file_fieldtoken_bloom").alias("fieldtoken_bloom"),
     )
     stats.blocks_rewritten = stats.blocks_before
-    out = _commit(spark, index, new_blocks, new_files, op="zorder", stats=stats)
+    # every block is rebuilt from a DV-MASKED scan: deleted rows are
+    # physically gone from the output, so the DV refs must NOT carry (they
+    # index positions of the dead layout)
+    out = _commit(
+        spark, index, new_blocks, new_files, op="zorder", stats=stats,
+        carry_dvs=False,
+    )
     fsx.delete_dir(scratch)
     return out
 
@@ -686,6 +721,7 @@ class DeleteStats:
     blocks_rewritten: int = 0
     blocks_dropped: int = 0
     rows_deleted: int = 0
+    dv_blocks: int = 0  # blocks that gained a deletion-vector delta
 
 
 _DELETE_PLAN_SCHEMA = (
@@ -745,6 +781,7 @@ def delete_where(
     index: BloomIndex,
     query,
     conflict_retries: int = 0,
+    use_deletion_vectors: bool = False,
 ) -> tuple[BloomIndex, DeleteStats]:
     """Delete every row matching ``query`` (the same :class:`Query` object
     ``search`` takes — the ``DELETE FROM ... WHERE`` analog), by rewriting
@@ -772,11 +809,24 @@ def delete_where(
     expire/overwrite.  Reference analog: the Go engine has TTL/partition
     expiry only (bloom_tree_engine.go:1374+); row-level predicate delete
     is the Delta-shaped surface its training-pipeline users expect.
+
+    ``use_deletion_vectors=True`` switches to MERGE-ON-READ (the Delta
+    deletion-vector analog): instead of rewriting matched blocks, the
+    commit records the matched row POSITIONS as an inline manifest delta
+    (``dvs`` table, ``sources/manifest.py::DVS_SCHEMA``) that every read
+    path masks out.  Cost shape: the commit writes O(matched positions)
+    manifest bytes and ZERO data bytes — at 100 TB a selective delete is
+    metadata-speed instead of match-surface-rewrite-speed; reads pay one
+    small anti-join until a later ``compact_blocks`` /
+    ``optimize_zorder`` purges the masks physically.  DV deletes also
+    work on SHALLOW CLONES (the mask lives in the clone's manifest;
+    source bytes untouched) — the one row-level mutation a zero-copy
+    fork supports.
     """
     if conflict_retries:
         return _retry_conflicts(
             spark, index, conflict_retries,
-            lambda ix: delete_where(spark, ix, query, 0),
+            lambda ix: delete_where(spark, ix, query, 0, use_deletion_vectors),
         )
     if index.meta().get("external", False):
         raise ValueError(
@@ -784,17 +834,11 @@ def delete_where(
             "zero-copy external index (the source files are not ours to "
             "rewrite); use expire_blocks for block-granular expiry"
         )
+    if use_deletion_vectors:
+        return _delete_where_dv(spark, index, query)
     _refuse_shallow_clone(index, "delete_where")
-    from ..operators.verify import (
-        compile_bloom_verify,
-        compile_regex_verify,
-        json_verify_udf,
-    )
-    from ..tokenizer import get_tokenizer
-    from .build import codec_kwargs
     from .search import prune_blocks, scan_blocks
 
-    cfg = index.config
     stats = DeleteStats()
     blocks = index.blocks()
     stats.blocks_before = blocks.count()
@@ -802,14 +846,7 @@ def delete_where(
 
     surviving = prune_blocks(index, query)
     data = scan_blocks(index, surviving)
-    tok = get_tokenizer(cfg.tokenizer)
-    if cfg.json_col is not None:
-        pred = json_verify_udf(query.bloom, query.regex, tok)(F.col(cfg.json_col))
-    else:
-        cols = data.columns
-        pred = compile_bloom_verify(query.bloom, cfg.indexed_fields, cols, tok) & (
-            compile_regex_verify(query.regex, cols)
-        )
+    pred = _delete_pred(index, data, query)
 
     marked = data.select(
         *[c for c in data.columns if c != "data_path"]
@@ -825,6 +862,234 @@ def delete_where(
     live_files = new_blocks.select("file_id").distinct()
     new_files = index.files().join(F.broadcast(live_files), "file_id", "left_semi")
     out = _commit(spark, index, new_blocks, new_files, op="delete", stats=stats)
+    plan.unpersist()
+    return out
+
+
+def _delete_pred(index: BloomIndex, data: DataFrame, query) -> Column:
+    """EXACT row-match predicate for ``query`` over a candidate scan — the
+    same truth stage search uses (Catalyst expressions; the pandas twin
+    for schemaless json_col indexes)."""
+    from ..operators.verify import (
+        compile_bloom_verify,
+        compile_regex_verify,
+        json_verify_udf,
+    )
+    from ..tokenizer import get_tokenizer
+
+    cfg = index.config
+    tok = get_tokenizer(cfg.tokenizer)
+    if cfg.json_col is not None:
+        return json_verify_udf(query.bloom, query.regex, tok)(F.col(cfg.json_col))
+    cols = data.columns
+    return compile_bloom_verify(query.bloom, cfg.indexed_fields, cols, tok) & (
+        compile_regex_verify(query.regex, cols)
+    )
+
+
+def _delete_where_dv(
+    spark: SparkSession, index: BloomIndex, query
+) -> tuple[BloomIndex, DeleteStats]:
+    """Merge-on-read DELETE (``delete_where(use_deletion_vectors=True)``):
+    record matched row POSITIONS as a disjoint ``dvs`` manifest delta
+    instead of rewriting blocks.
+
+    Plan shape: the same bloom-pruned candidate scan as the rewrite path,
+    read WITH file positions (``_metadata.row_index``) and with existing
+    DV masks applied — so an already-deleted position can never re-match,
+    which is what makes the deltas disjoint and their union the live
+    mask.  One manifest-sized aggregation groups matched positions per
+    block; the commit references the parent's blocks/files segments
+    verbatim and appends ONE dvs segment + a lineage delta — zero data
+    bytes move at any table size."""
+    from .search import prune_blocks, scan_blocks
+
+    stats = DeleteStats()
+    blocks = index.blocks()
+    stats.blocks_before = stats.blocks_after = blocks.count()
+    stats.files_before = stats.files_after = index.files().count()
+
+    surviving = prune_blocks(index, query)
+    data = scan_blocks(index, surviving, with_pos=True)
+    if "block_id" not in data.columns:
+        return index, stats  # fully-empty index: nothing can match
+    pred = _delete_pred(index, data, query)
+    matched = data.filter(pred).select("block_id", "_bs_pos", "_bs_fname")
+
+    version_guess, _ = mf.next_version_dir(index.root)
+    seg_name = f"{version_guess}-delete_dv-{uuid.uuid4().hex[:8]}"
+    seg_dir = mf.segment_dir(index.root, seg_name)
+    nd, nb = _mint_dv_delta(
+        index, matched, version_guess, seg_dir, op="delete_dv"
+    )
+    stats.rows_deleted = nd
+    stats.dv_blocks = stats.candidate_blocks = nb
+    if nd == 0:
+        return index, stats
+    meta = index.meta()
+    refs = index.table_refs()
+    prev_dvs = index.dvs_refs()
+
+    def finalize(prev_version: str | None) -> str:
+        version = mf.version_after(prev_version)
+        tables = {
+            "blocks": list(refs["blocks"]),
+            "files": list(refs["files"]),
+            "lineage": list(refs["lineage"])
+            + [mf.segment_ref(seg_name, "lineage")],
+            "dvs": prev_dvs + [mf.segment_ref(seg_name, "dvs")],
+        }
+        mf.write_meta(
+            fsx.join(index.root, "manifest", version),
+            index.config,
+            extra={
+                "build_id": version,
+                "source_desc": f"delete_dv of {index.version}",
+                "parent_version": index.version,
+                "tables": tables,
+                **mf.carried_meta(meta),
+            },
+        )
+        return version
+
+    v = mf.publish_commit(index.root, finalize, expected=index.version)
+    return mf.BloomIndex(spark, index.root, v), stats
+
+
+def _mint_dv_delta(
+    index: BloomIndex,
+    matched: DataFrame,
+    version_guess: str,
+    seg_dir: str,
+    op: str,
+) -> tuple[int, int]:
+    """Aggregate matched ``(block_id, _bs_pos, _bs_fname)`` rows into ONE
+    deletion-vector delta segment (``dvs.parquet`` + the op's
+    ``lineage.parquet`` rows under ``seg_dir``) — shared by the dv delete
+    and the dv upsert.  Returns ``(rows_deleted, dv_blocks)``; writes
+    nothing when no row matched.
+
+    ``matched`` must come from a MASKED scan (``scan_blocks(...,
+    with_pos=True)``), which is what makes deltas disjoint: an
+    already-deleted position can never re-match, so a block's live mask
+    is the plain union of its rows across segments."""
+    blocks = index.blocks()
+    plan = (
+        matched.groupBy("block_id")
+        .agg(
+            F.sort_array(F.collect_list("_bs_pos")).alias("positions"),
+            F.count(F.lit(1)).cast("long").alias("dv_count"),
+            F.count_distinct("_bs_fname").alias("n_files"),
+        )
+        # true data_path from the manifest — NOT reconstructed from the
+        # hive ids: after a metadata-only merge a block's dir keeps its
+        # ORIGINAL file_id in the path
+        .join(blocks.select("block_id", "file_id", "partition_id", "data_path"),
+              "block_id")
+        .persist()
+    )
+    try:
+        agg = plan.agg(
+            F.sum("dv_count").alias("nd"),
+            F.count(F.lit(1)).alias("nb"),
+            F.max("n_files").alias("nf"),
+        ).collect()[0]
+        nd, nb = int(agg["nd"] or 0), int(agg["nb"] or 0)
+        if nd == 0:
+            return 0, 0
+        if int(agg["nf"] or 0) > 1:
+            raise RuntimeError(
+                "deletion vectors index file-relative row positions and "
+                "require single-part block dirs; a block dir with multiple "
+                "parquet parts was found — engine-written blocks are always "
+                "single-part, so this index was modified out-of-band.  Use "
+                "the rewrite path (use_deletion_vectors=False)"
+            )
+        plan.select("block_id", "data_path", "positions", "dv_count").write.mode(
+            "overwrite"
+        ).parquet(fsx.join(seg_dir, "dvs.parquet"))
+        plan.select(
+            F.lit(version_guess).alias("build_id"),
+            "file_id",
+            "block_id",
+            "partition_id",
+            F.lit(op).alias("source_desc"),
+            (-F.col("dv_count")).cast("long").alias("rows_indexed"),
+            F.lit(0).cast("long").alias("tokens_inserted"),
+            F.lit(op).alias("op"),
+            F.lit(time.time()).alias("committed_at"),
+        ).write.mode("overwrite").parquet(fsx.join(seg_dir, "lineage.parquet"))
+        return nd, nb
+    finally:
+        plan.unpersist()
+
+
+def purge_deletion_vectors(
+    spark: SparkSession,
+    index: BloomIndex,
+    conflict_retries: int = 0,
+) -> tuple[BloomIndex, DeleteStats]:
+    """Rewrite ONLY the blocks that carry deletion vectors, materializing
+    their live rows under fresh immutable dirs and dropping every ``dvs``
+    ref (the Delta ``REORG TABLE ... APPLY (PURGE)`` analog) — targeted
+    merge-on-read -> copy-on-write conversion.
+
+    Why a dedicated op: ``compact_blocks`` purges only blocks small
+    enough to join a merge group and ``optimize_zorder`` rewrites the
+    WHOLE table — a full-sized block whose mask has grown heavy is
+    reached by neither.  Cost shape: reads/writes exactly the DV'd
+    blocks' bytes (bounded by mask spread, never table size); untouched
+    blocks pass through verbatim.  Blooms/zone maps are carried
+    (conservative supersets — pruning stays sound); a fully-masked block
+    drops from the manifest.  To the changefeed the commit is a
+    reorganization (rows unchanged — the purged rows were already dead
+    at the previous version): nothing is emitted, plain feeds pass.
+    Shallow clones refuse (their block dirs belong to the source); run
+    the purge on the source or deep-clone first."""
+    from .search import scan_blocks
+
+    if conflict_retries:
+        return _retry_conflicts(
+            spark, index, conflict_retries,
+            lambda ix: purge_deletion_vectors(spark, ix, 0),
+        )
+    stats = DeleteStats()
+    blocks = index.blocks()
+    stats.blocks_before = blocks.count()
+    stats.files_before = stats.files_after = index.files().count()
+    dv = index.dv_positions()
+    if dv is None:
+        stats.blocks_after = stats.blocks_before
+        return index, stats
+    _refuse_shallow_clone(index, "purge_deletion_vectors")
+
+    surviving = blocks.join(
+        dv.select("data_path").distinct(), "data_path", "left_semi"
+    )
+    # UNMASKED scan with positions: the rewrite kernel subtracts the dead
+    # rows itself (``_bs_del`` = position is in the block's mask), so the
+    # written block = live rows exactly — same kernel, same dir-nonce
+    # race-safety as delete_where's rewrite path
+    data = scan_blocks(index, surviving, with_pos=True, mask=False)
+    dead = dv.select("block_id", "_bs_pos").withColumn("_bs_del", F.lit(True))
+    marked = (
+        data.join(dead, ["block_id", "_bs_pos"], "left")
+        .withColumn("_bs_del", F.coalesce("_bs_del", F.lit(False)))
+        .drop("_bs_pos", "_bs_fname", "data_path")
+    )
+    plan = _rewrite_plan(index, marked).persist()
+    _rewrite_stats(plan, stats)
+    if stats.rows_deleted == 0:  # orphan-only masks: nothing to purge
+        plan.unpersist()
+        stats.blocks_after = stats.blocks_before
+        return index, stats
+    new_blocks = _apply_rewrites(blocks, plan, stats.candidate_blocks)
+    live_files = new_blocks.select("file_id").distinct()
+    new_files = index.files().join(F.broadcast(live_files), "file_id", "left_semi")
+    out = _commit(
+        spark, index, new_blocks, new_files, op="purge_dv", stats=stats,
+        carry_dvs=False,
+    )
     plan.unpersist()
     return out
 
@@ -934,6 +1199,7 @@ def upsert_keys(
     max_pruned_keys: int = 256,
     delete_keys_df: DataFrame | None = None,
     meta_extra: dict | None = None,
+    use_deletion_vectors: bool = False,
 ) -> tuple[BloomIndex, DeleteStats]:
     """Key-based upsert in ONE commit (the ``MERGE INTO ... WHEN MATCHED
     THEN UPDATE/DELETE+INSERT`` analog, full-row replacement semantics):
@@ -960,13 +1226,24 @@ def upsert_keys(
     carries a micro-batch's upserts AND deletes.  A batch that matches
     nothing and inserts nothing commits NOTHING.  ``meta_extra`` keys
     land in the commit's meta.json (e.g. a streaming replay watermark).
-    """
+
+    ``use_deletion_vectors=True`` makes the DELETE half merge-on-read
+    (the Delta ``MERGE ... WITH DVs`` analog): matched rows become a
+    ``dvs`` position delta instead of block rewrites, and the commit is
+    APPEND-SHAPED — parent blocks/files segments referenced verbatim plus
+    ONE new segment (staged inserts + dv delta + lineage), so a CDC-apply
+    stream of small batches costs O(batch) manifest bytes per commit
+    instead of O(manifest) folded rewrites, and ZERO old-block data bytes.
+    Reads pay the mask anti-join until compact/zorder/
+    ``purge_deletion_vectors`` purges.  The changefeed classifies the
+    commit as dv-deletes + inserts (``change_events`` required when keys
+    matched)."""
     if conflict_retries:
         return _retry_conflicts(
             spark, index, conflict_retries,
             lambda ix: upsert_keys(spark, ix, source_df, key_field, 0,
                                    max_pruned_keys, delete_keys_df,
-                                   meta_extra),
+                                   meta_extra, use_deletion_vectors),
         )
     if index.meta().get("external", False):
         raise ValueError(
@@ -1014,25 +1291,48 @@ def upsert_keys(
     surviving = (
         prune_blocks(index, prune_q) if prune_q is not None else blocks
     )
-    data = scan_blocks(index, surviving)
-    # exact key match as a distributed join marker (broadcast for small
-    # key batches); NULL keys never match (join semantics)
-    selected = data.select(*[c for c in data.columns if c != "data_path"])
-    kmark = keys.withColumn("_bs_del", F.lit(True))
-    if len(collected) <= max_pruned_keys:
-        kmark = F.broadcast(kmark)
-    marked = (
-        selected.join(kmark, selected[key_field] == kmark["_bs_key"], "left")
-        .drop("_bs_key")
-        .withColumn("_bs_del", F.coalesce("_bs_del", F.lit(False)))
-    )
-    plan = _rewrite_plan(index, marked).persist()
-    _rewrite_stats(plan, stats)
+    data = scan_blocks(index, surviving, with_pos=use_deletion_vectors)
+    version_guess, _ = mf.next_version_dir(index.root)
+    plan = None
+    seg_name = seg_dir = None
+    if use_deletion_vectors:
+        # merge-on-read delete half: matched positions -> ONE dvs delta
+        # (shared minting kernel with delete_where's dv path)
+        seg_name = f"{version_guess}-upsert_dv-{uuid.uuid4().hex[:8]}"
+        seg_dir = mf.segment_dir(index.root, seg_name)
+        nd = nb = 0
+        if "block_id" in data.columns:  # empty index scans have no blocks
+            kj = (
+                F.broadcast(keys)
+                if len(collected) <= max_pruned_keys
+                else keys
+            )
+            matched = data.join(
+                kj, data[key_field] == kj["_bs_key"], "left_semi"
+            ).select("block_id", "_bs_pos", "_bs_fname")
+            nd, nb = _mint_dv_delta(
+                index, matched, version_guess, seg_dir, op="upsert_dv"
+            )
+        stats.rows_deleted = nd
+        stats.dv_blocks = stats.candidate_blocks = nb
+    else:
+        # exact key match as a distributed join marker (broadcast for small
+        # key batches); NULL keys never match (join semantics)
+        selected = data.select(*[c for c in data.columns if c != "data_path"])
+        kmark = keys.withColumn("_bs_del", F.lit(True))
+        if len(collected) <= max_pruned_keys:
+            kmark = F.broadcast(kmark)
+        marked = (
+            selected.join(kmark, selected[key_field] == kmark["_bs_key"], "left")
+            .drop("_bs_key")
+            .withColumn("_bs_del", F.coalesce("_bs_del", F.lit(False)))
+        )
+        plan = _rewrite_plan(index, marked).persist()
+        _rewrite_stats(plan, stats)
 
     # stage the source rows through the SAME zero-shuffle flush kernel as
     # build_index (new block dirs + completed per-task file rows), into a
     # scratch dir so downstream actions never re-run the side-effecting map
-    version_guess, _ = mf.next_version_dir(index.root)
     tag = f"{version_guess}-u{uuid.uuid4().hex[:8]}"
     d = source_df.withColumn(
         "partition_id",
@@ -1072,11 +1372,74 @@ def upsert_keys(
     if stats.rows_deleted == 0 and staged_blocks.limit(1).count() == 0:
         # nothing matched, nothing to insert: commit NOTHING (a CDC
         # stream's empty/irrelevant micro-batch must not churn versions)
-        plan.unpersist()
+        if plan is not None:
+            plan.unpersist()
         fsx.delete_dir(scratch)
         stats.blocks_after = stats.blocks_before
         stats.files_after = stats.files_before
         return index, stats
+
+    if use_deletion_vectors:
+        # APPEND-SHAPED commit: parent blocks/files referenced verbatim +
+        # this one segment (staged inserts, the dv delta, both lineages) —
+        # O(batch) manifest bytes, zero old-block data bytes
+        staged_blocks.write.mode("overwrite").parquet(
+            fsx.join(seg_dir, "blocks.parquet")
+        )
+        staged_files.write.mode("overwrite").parquet(
+            fsx.join(seg_dir, "files.parquet")
+        )
+        # insert-lineage rows APPEND to the dv delta's (created if absent)
+        staged_blocks.select(
+            F.lit(version_guess).alias("build_id"),
+            "file_id",
+            "block_id",
+            "partition_id",
+            F.lit("upsert_dv").alias("source_desc"),
+            F.col("row_count").alias("rows_indexed"),
+            F.col("token_count").alias("tokens_inserted"),
+            F.lit("upsert_dv").alias("op"),
+            F.lit(time.time()).alias("committed_at"),
+        ).write.mode("append").parquet(fsx.join(seg_dir, "lineage.parquet"))
+        meta = index.meta()
+        refs = index.table_refs()
+        prev_dvs = index.dvs_refs()
+        nd = stats.rows_deleted
+
+        def finalize(prev_version: str | None) -> str:
+            version = mf.version_after(prev_version)
+            tables = {
+                "blocks": list(refs["blocks"])
+                + [mf.segment_ref(seg_name, "blocks")],
+                "files": list(refs["files"])
+                + [mf.segment_ref(seg_name, "files")],
+                "lineage": list(refs["lineage"])
+                + [mf.segment_ref(seg_name, "lineage")],
+            }
+            if prev_dvs or nd:
+                tables["dvs"] = list(prev_dvs) + (
+                    [mf.segment_ref(seg_name, "dvs")] if nd else []
+                )
+            mf.write_meta(
+                fsx.join(index.root, "manifest", version),
+                index.config,
+                extra={
+                    "build_id": version,
+                    "source_desc": f"upsert_dv of {index.version}",
+                    "parent_version": index.version,
+                    "tables": tables,
+                    **mf.carried_meta(meta),
+                    **(meta_extra or {}),
+                },
+            )
+            return version
+
+        v = mf.publish_commit(index.root, finalize, expected=index.version)
+        out_ix = mf.BloomIndex(spark, index.root, v)
+        stats.blocks_after = out_ix.blocks().count()
+        stats.files_after = out_ix.files().count()
+        fsx.delete_dir(scratch)
+        return out_ix, stats
 
     new_blocks = _apply_rewrites(blocks, plan, stats.candidate_blocks).unionByName(
         staged_blocks
@@ -1106,6 +1469,7 @@ def apply_changes_batch(
     conflict_retries: int = 0,
     max_pruned_keys: int = 256,
     meta_extra: dict | None = None,
+    use_deletion_vectors: bool = False,
 ) -> tuple[BloomIndex, DeleteStats]:
     """Apply one CDC micro-batch as ONE commit (the ``APPLY CHANGES
     INTO`` analog, and the inverse of the changefeed's ``change_events``
@@ -1127,7 +1491,13 @@ def apply_changes_batch(
     row-set changes: ``readStream(A, change_events+commit_metadata)`` →
     ``stream_apply_changes(B)`` keeps B row-equal to A across appends,
     overwrites, expiry, delete_where, upsert and restore — the plain
-    sink replication (DS4) only carries appends."""
+    sink replication (DS4) only carries appends.
+
+    ``use_deletion_vectors=True`` passes through to :func:`upsert_keys`:
+    each applied batch is an APPEND-SHAPED commit (inserts + a dv
+    position delta, O(batch) manifest bytes, zero old-block rewrites) —
+    the right shape for a long-running CDC stream; schedule
+    compact/``purge_deletion_vectors`` to re-tighten reads."""
     inserts, delete_keys = resolve_changes(
         changes_df, key_field, change_col, order_col
     )
@@ -1137,6 +1507,7 @@ def apply_changes_batch(
         max_pruned_keys=max_pruned_keys,
         delete_keys_df=delete_keys,
         meta_extra=meta_extra,
+        use_deletion_vectors=use_deletion_vectors,
     )
 
 
@@ -1264,6 +1635,14 @@ def restore(
                 "files": list(t_refs["files"]),
                 # FULL lineage: history is never truncated by a rollback
                 "lineage": list(index.table_refs()["lineage"]),
+                # the TARGET's deletion vectors travel back with it —
+                # restoring to a pre-DV version drops the mask (rows
+                # were live then), restoring to a post-DV version keeps
+                # exactly its mask; carrying CURRENT's refs instead
+                # would delete rows the restored snapshot never deleted
+                **(
+                    {"dvs": list(t_refs["dvs"])} if t_refs.get("dvs") else {}
+                ),
             },
             # target identity: the restored state answers queries exactly
             # as the target version did
@@ -1384,7 +1763,10 @@ def clone(
             "build_id": v,
             "source_desc": f"clone of {index.root}@{target.version}",
             "cloned_from": {"root": index.root, "version": target.version},
-            "tables": {t: list(refs[t]) for t in mf.TABLES},
+            "tables": {
+                t: list(refs[t])
+                for t in (*mf.TABLES, *(["dvs"] if refs.get("dvs") else []))
+            },
             **{
                 k: t_meta[k]
                 for k in (
@@ -1418,8 +1800,17 @@ def _commit(
     op: str,
     stats: MergeStats,
     meta_extra: dict | None = None,
+    carry_dvs: bool = True,
 ) -> tuple[BloomIndex, MergeStats]:
     """Commit a maintenance op's output as a new manifest version.
+
+    ``carry_dvs``: deletion-vector segment refs carry to the new version
+    by default — maintenance ops that keep any UN-rewritten block alive
+    (merge_files, compact, expire, delete/upsert rewrites) must keep its
+    mask or silently resurrect DV-deleted rows; refs for rewritten blocks
+    are orphan-but-harmless (keyed by the dead block_id) and fold cleans
+    them.  Pass False only when the op rewrote EVERY block from a
+    DV-masked scan (zorder) — the output contains no masked positions.
 
     Writes ONE segment: the transformed blocks/files (a maintenance op's
     output IS the folded manifest — its segment replaces every prior
@@ -1471,6 +1862,8 @@ def _commit(
             "lineage": index.table_refs()["lineage"]
             + [mf.segment_ref(seg_name, "lineage")],
         }
+        if carry_dvs and index.dvs_refs():
+            tables["dvs"] = index.dvs_refs()
         mf.write_meta(
             vdir,
             index.config,
@@ -1632,10 +2025,38 @@ def fold_manifest(
     index.lineage().write.mode("overwrite").parquet(
         fsx.join(seg_dir, "lineage.parquet")
     )
+    # deletion vectors fold too: per-block UNION of the delta positions
+    # (deltas are disjoint — see DVS_SCHEMA), orphan rows for blocks a
+    # rewrite/expire already dropped are semi-joined away.  An all-orphan
+    # result folds back to the clean no-DV state (no ref at all).
+    fold_dvs = False
+    dvs = index.dvs(cache=False)
+    if dvs is not None:
+        (
+            dvs.join(
+                index.blocks(cache=False).select("data_path"),
+                "data_path",
+                "left_semi",
+            )
+            .groupBy("block_id", "data_path")
+            .agg(F.flatten(F.collect_list("positions")).alias("positions"))
+            .select(
+                "block_id",
+                "data_path",
+                "positions",
+                F.size("positions").cast("long").alias("dv_count"),
+            )
+            .write.mode("overwrite")
+            .parquet(fsx.join(seg_dir, "dvs.parquet"))
+        )
+        fold_dvs = fsx.parquet_dir_rows(fsx.join(seg_dir, "dvs.parquet")) > 0
     meta = index.meta()
 
     def finalize(prev_version: str | None) -> str:
         version = mf.version_after(prev_version)
+        tables = {t: [mf.segment_ref(seg_name, t)] for t in mf.TABLES}
+        if fold_dvs:
+            tables["dvs"] = [mf.segment_ref(seg_name, "dvs")]
         mf.write_meta(
             fsx.join(root, "manifest", version),
             index.config,
@@ -1643,7 +2064,7 @@ def fold_manifest(
                 "build_id": version,
                 "source_desc": f"fold of {index.version}",
                 "parent_version": index.version,
-                "tables": {t: [mf.segment_ref(seg_name, t)] for t in mf.TABLES},
+                "tables": tables,
                 **mf.carried_meta(meta),
             },
         )

@@ -366,8 +366,37 @@ def _block_read_schema(index: BloomIndex):
     return StructType(fields)
 
 
+def _apply_dv_mask(
+    index: BloomIndex, data: DataFrame, with_pos: bool, mask: bool = True
+) -> DataFrame:
+    """Mask deletion-vector positions out of a hive-partitioned block scan
+    (``block_id`` partition column present): one anti-join on
+    ``(block_id, _metadata.row_index)`` against the exploded DV table —
+    JVM-side, broadcast when small, a no-op frame-identity when the
+    version has no DVs.  ``with_pos=True`` keeps ``_bs_pos`` (the
+    file-relative row position) and ``_bs_fname`` on the output — the
+    dv-delete write path needs them to mint new deltas.  ``mask=False``
+    skips the anti-join (internal: the DV PURGE rewrite needs the dead
+    rows in-frame to subtract them itself)."""
+    dv = index.dv_positions() if mask else None
+    if dv is None and not with_pos:
+        return data
+    data = data.withColumn("_bs_pos", F.col("_metadata.row_index"))
+    if with_pos:
+        data = data.withColumn("_bs_fname", F.col("_metadata.file_name"))
+    if dv is not None:
+        data = data.join(
+            dv.select("block_id", "_bs_pos"), ["block_id", "_bs_pos"], "left_anti"
+        )
+    return data if with_pos else data.drop("_bs_pos")
+
+
 def scan_blocks(
-    index: BloomIndex, surviving: DataFrame, stats: QueryStats | None = None
+    index: BloomIndex,
+    surviving: DataFrame,
+    stats: QueryStats | None = None,
+    with_pos: bool = False,
+    mask: bool = True,
 ) -> DataFrame:
     """Read only the surviving blocks' data directories (via ``data_path``,
     which stays valid across metadata-only merges).
@@ -377,9 +406,16 @@ def scan_blocks(
     OOM the driver.  When the bound trips in stats mode, the limited collect
     short-circuited the manifest scan, so the funnel Observations are
     partial: the counters recompute via bounded count() jobs instead
-    (``_finalize(force_fallback=True)``)."""
+    (``_finalize(force_fallback=True)``).
+
+    Deletion-vector positions are masked out of every returned row set
+    (merge-on-read) — see :func:`_apply_dv_mask`; ``with_pos=True``
+    additionally keeps the file-relative row position / file name columns
+    (internal: the dv-delete writer)."""
     spark = index.spark
     if index.meta().get("external", False):
+        if with_pos:
+            raise ValueError("with_pos is not supported on external indexes")
         return _scan_external(index, surviving, stats)
     exp_schema = _block_read_schema(index)
 
@@ -406,15 +442,24 @@ def scan_blocks(
             "data_path",
             F.concat(F.lit("file_id="), "file_id", F.lit("/block_id="), "block_id"),
         )
-        return data.join(F.broadcast(keys_df), ["data_path"], "left_semi")
+        data = data.join(F.broadcast(keys_df), ["data_path"], "left_semi")
+        return _apply_dv_mask(index, data, with_pos, mask)
     if not keys:
         # empty survivor set: derive the scan schema from ONE block dir —
         # listing the whole data root for a limit(0) costs seconds at 10^3+
-        # blocks (measured 3.2 s for a miss query over 960 blocks)
+        # blocks (measured 3.2 s for a miss query over 960 blocks).
+        # Empty frames need no DV mask; with_pos pads the schema instead.
+        def _pad_pos(df: DataFrame) -> DataFrame:
+            if not with_pos:
+                return df
+            return df.withColumn("_bs_pos", F.lit(None).cast("long")).withColumn(
+                "_bs_fname", F.lit(None).cast("string")
+            )
+
         some = index.blocks().select("data_path").limit(1).collect()
         if some:
             one = index.block_paths([some[0].data_path])[0]
-            return _reader().parquet(one).limit(0)
+            return _pad_pos(_reader().parquet(one).limit(0))
         # FULLY empty index (empty build / expire-everything): the stored
         # source schema (meta, r04) yields a typed empty frame without
         # touching the (possibly nonexistent) data root
@@ -424,10 +469,12 @@ def scan_blocks(
 
             from pyspark.sql.types import StructType
 
-            return spark.createDataFrame([], StructType.fromJson(_json.loads(sj)))
-        return _reader().parquet(index.data_dir).limit(0)
+            return _pad_pos(
+                spark.createDataFrame([], StructType.fromJson(_json.loads(sj)))
+            )
+        return _pad_pos(_reader().parquet(index.data_dir).limit(0))
     paths = index.block_paths([r.data_path for r in keys])
-    return _reader().parquet(*paths)
+    return _apply_dv_mask(index, _reader().parquet(*paths), with_pos, mask)
 
 
 def _scan_external(

@@ -633,6 +633,10 @@ class BloomSearchReader(DataSourceReader):
             options.get("max_driver_blocks", str(MAX_DRIVER_BLOCKS))
         )
         self.slice_rows = int(options.get("slice_rows", "4096"))
+        # deletion-vector segment refs (merge-on-read DELETE) — empty for
+        # the common no-DV case; the executor-side mask loads lazily once
+        # per task from these immutable manifest segments
+        self.dv_refs = tuple((meta.get("tables") or {}).get("dvs") or ())
         self._bloom = self._parse_bloom_options(options)
         self._regex = self._parse_regex_options(options)
         self._pushed_prefilter: list[PrefilterExpr] = []
@@ -1122,13 +1126,41 @@ class BloomSearchReader(DataSourceReader):
         ov = self._meta().get("data_dir_override")
         return ov if ov else fsx.join(self.root, "data")
 
+    def _dv_positions(self, rel: str):
+        """Deletion-vector positions for one block data dir, or None.  The
+        (data_path -> positions) map loads ONCE per task from the pinned
+        version's immutable dvs segments — bytes bounded by
+        deleted-and-not-yet-compacted rows, never by the table."""
+        if not self.dv_refs:
+            return None
+        m = getattr(self, "_dv_map_cache", None)
+        if m is None:
+            m = {}
+            mdir = fsx.join(self.root, "manifest")
+            for ref in self.dv_refs:
+                t = fsx.read_parquet_dir(
+                    fsx.join(mdir, ref), columns=["data_path", "positions"]
+                )
+                for p, pos in zip(
+                    t.column("data_path").to_pylist(),
+                    t.column("positions").to_pylist(),
+                ):
+                    m.setdefault(p, []).extend(pos)
+            self._dv_map_cache = m
+        return m.get(rel)
+
     def _read_block(self, rel: str):
         import pyarrow as pa
 
         d = fsx.join(self._data_dir(), rel)
+        dv = self._dv_positions(rel)
+        # a DV'd block reads WITHOUT the pushed exact filter: positions
+        # index the unfiltered file, and the pushdown is prune-only anyway
+        # (Spark re-applies every pushed predicate).  Column pruning stays.
+        exact = None if dv else self._exact_filter()
         try:
             tbl = fsx.read_parquet_dir(
-                d, filter=self._exact_filter(), columns=self._scan_columns()
+                d, filter=exact, columns=self._scan_columns()
             )
         except pa.lib.ArrowException:
             # unexpected physical type / column absent from an old block:
@@ -1136,6 +1168,10 @@ class BloomSearchReader(DataSourceReader):
             # verify handles missing columns).  A CRC failure re-raises on
             # the retry — never masked.
             tbl = fsx.read_parquet_dir(d)
+        if dv:
+            mask = np.ones(len(tbl), dtype=bool)
+            mask[np.asarray(dv, dtype=np.int64)] = False
+            tbl = tbl.filter(pa.array(mask))
         yield from self._verify_batches(tbl)
 
     def _read_external(self, src: str, partition_ids: Sequence[str]):

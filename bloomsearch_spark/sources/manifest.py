@@ -83,6 +83,23 @@ LINEAGE_SCHEMA = (
     "op string, committed_at double"
 )
 
+# Deletion vectors (merge-on-read DELETE, the Delta DV analog): one row per
+# (block, dv-delete commit) holding the positions that commit newly deleted
+# — file-relative row indices into the block's single parquet part file.
+# Deltas are DISJOINT by construction (the dv-delete scan masks existing
+# DVs, so an already-deleted position can never re-match), which makes the
+# live mask for a block the plain UNION of its rows across the version's
+# ``dvs`` segments — associative and order-free, the same merge discipline
+# as the bloom bitset OR.  ``dvs`` is an OPTIONAL fourth manifest table:
+# versions without the key simply have no deletion vectors (full
+# back-compat), and positions live INLINE in the manifest segment (bounded
+# by match surface, never table size), so the data vacuum needs no new
+# file class.  block_id keys Spark-side joins; data_path keys arrow-side
+# file reads (both are 1:1 with the physical block file).
+DVS_SCHEMA = (
+    "block_id string, data_path string, positions array<long>, dv_count long"
+)
+
 
 TABLES = ("blocks", "files", "lineage")
 
@@ -510,6 +527,12 @@ def build_commit_finalize(
                         "mode='overwrite'"
                     )
             tables = {t: prev.table_refs()[t] + seg_tables[t] for t in TABLES}
+            # deletion vectors survive appends unchanged — dropping the
+            # refs here would silently RESURRECT every DV-deleted row on
+            # the next read (overwrite correctly starts clean instead)
+            prev_dvs = prev.table_refs().get("dvs")
+            if prev_dvs:
+                tables["dvs"] = list(prev_dvs)
             prev_up = prev_meta.get("uniform_params") or {}
             up = {
                 lvl: (v if prev_up.get(lvl) == v else None) for lvl, v in up.items()
@@ -765,7 +788,7 @@ class BloomIndex:
 
     def unpersist(self) -> None:
         """Release cached manifest memory (e.g. before dropping the handle)."""
-        for attr in ("_blocks_df", "_files_df"):
+        for attr in ("_blocks_df", "_files_df", "_dvs_df"):
             df = getattr(self, attr, None)
             if df is not None:
                 df.unpersist()
@@ -776,6 +799,57 @@ class BloomIndex:
 
     def lineage(self) -> DataFrame:
         return self._read_table("lineage", LINEAGE_SCHEMA)
+
+    def dvs_refs(self) -> list[str]:
+        """Segment refs of the OPTIONAL ``dvs`` manifest table (deletion
+        vectors).  Empty for versions without merge-on-read deletes —
+        including every pre-DV manifest (``table_refs``'s pre-segment
+        fallback never lists it)."""
+        t = self.meta().get("tables")
+        return list((t or {}).get("dvs") or [])
+
+    def dvs(self, cache: bool = True) -> DataFrame | None:
+        """Raw deletion-vector delta rows (DVS_SCHEMA) across this
+        version's ``dvs`` segments, or None when the version has none.
+        Deltas are disjoint; the live mask of a block = union of its
+        rows' positions."""
+        refs = self.dvs_refs()
+        if not refs:
+            return None
+        df = getattr(self, "_dvs_df", None)
+        if df is None:
+            mdir = _manifest_dir(self.root)
+            df = self.spark.read.schema(DVS_SCHEMA).parquet(
+                *[fsx.join(mdir, rel) for rel in refs]
+            )
+            if cache:
+                df = df.cache()
+                self._dvs_df = df
+        return df
+
+    def dv_positions(self) -> DataFrame | None:
+        """Exploded deletion-vector positions ``(block_id, data_path,
+        _bs_pos)`` — the anti-join side every Spark scan masks with — or
+        None when the version has no DVs (the common case: zero overhead).
+        Row count = deleted-and-not-yet-compacted rows, so Catalyst
+        auto-broadcasts it under the usual threshold."""
+        dvs = self.dvs()
+        if dvs is None:
+            return None
+        return dvs.select(
+            "block_id", "data_path", F.explode("positions").alias("_bs_pos")
+        )
+
+    def dv_agg(self) -> DataFrame | None:
+        """Per-block union of deletion-vector positions ``(data_path,
+        dv_positions array<long>)`` — the arrow-side mask input for
+        maintenance rewrites (compact) — or None when no DVs."""
+        dvs = self.dvs()
+        if dvs is None:
+            return None
+        return dvs.groupBy("data_path").agg(
+            F.flatten(F.collect_list("positions")).alias("dv_positions")
+        )
 
     def meta(self) -> dict:
         m = getattr(self, "_meta", None)

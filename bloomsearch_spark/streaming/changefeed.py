@@ -119,17 +119,21 @@ def _ocur(off: dict) -> int:
     return int(off.get("cursor", -1))
 
 
-def _segment_path_slice(table_uri: str, start: int, stop: int) -> list[str]:
-    """``data_path`` values of rows [start, stop) of one blocks-segment
-    table (a directory of immutable parquet part files, walked in sorted
-    name order — the same canonical order the planner's footer row counts
-    use).  Row-group skipping: only groups overlapping the range decode,
-    so a task over a slice of a huge folded segment reads ~its slice."""
+def _segment_rows_slice(
+    table_uri: str, columns: list[str], start: int, stop: int
+):
+    """Rows [start, stop) of one manifest-segment table (a directory of
+    immutable parquet part files, walked in sorted name order — the same
+    canonical order the planner's footer row counts use), column-pruned,
+    as a pyarrow Table.  Row-group skipping: only groups overlapping the
+    range decode, so a task over a slice of a huge folded segment reads
+    ~its slice."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     from ..sources import fs as fsx
 
-    out: list[str] = []
+    out = []
     pos = 0
     for f in fsx.list_parquet_files(table_uri):
         fs, local = fsx.resolve(f)
@@ -142,19 +146,29 @@ def _segment_path_slice(table_uri: str, start: int, stop: int) -> list[str]:
             continue
         for rg in range(pf.metadata.num_row_groups):
             if pos >= stop:
-                return out
+                break
             rn = pf.metadata.row_group(rg).num_rows
             if pos + rn > start:
-                col = pf.read_row_group(rg, columns=["data_path"]).column(
-                    "data_path"
-                )
-                out.extend(
-                    col.to_pylist()[max(0, start - pos): min(rn, stop - pos)]
+                t = pf.read_row_group(rg, columns=columns)
+                out.append(
+                    t.slice(max(0, start - pos), min(rn, stop - pos) - max(0, start - pos))
                 )
             pos += rn
         if pos >= stop:
             break
-    return out
+    if not out:
+        return pa.table({c: [] for c in columns})
+    return pa.concat_tables(out)
+
+
+def _segment_path_slice(table_uri: str, start: int, stop: int) -> list[str]:
+    """``data_path`` values of rows [start, stop) of one blocks-segment
+    table — see :func:`_segment_rows_slice`."""
+    return (
+        _segment_rows_slice(table_uri, ["data_path"], start, stop)
+        .column("data_path")
+        .to_pylist()
+    )
 
 
 def _segment_paths(table_uri: str) -> set[str]:
@@ -189,6 +203,13 @@ class _ChangeChunk(InputPartition):
     ts_us: int = 0
     kind: str = "insert"
     sub_refs: tuple = ()
+    # deletion-vector segment refs whose positions must be MASKED out of
+    # this chunk's block reads: the reading-side version's dvs table
+    # (version n for inserts, n-1 for deletes) — without it a replayed
+    # restore/overwrite would emit rows that were DV-deleted at that
+    # instant.  "dvdel" chunks instead slice a dvs DELTA segment directly
+    # (ref points at it) and emit the newly-deleted positions as deletes.
+    dv_refs: tuple = ()
 
 
 def _opt_bool(options: dict, key: str) -> bool:
@@ -397,16 +418,21 @@ class BloomSearchStreamReader(DataSourceStreamReader):
         v = _vname(n)
         meta = self._meta(v)
         refs = self._blocks_refs(meta, v)
+        prev_meta = self._meta(_vname(n - 1)) if n > 1 else {"tables": {}}
         prev_refs = (
-            self._blocks_refs(self._meta(_vname(n - 1)), _vname(n - 1))
-            if n > 1
-            else []
+            self._blocks_refs(prev_meta, _vname(n - 1)) if n > 1 else []
         )
         prev_set = set(prev_refs)
         ts_us = int(float(meta.get("created_at") or 0.0) * 1e6)
         added = tuple(r for r in refs if r not in prev_set)
         removed = sorted(prev_set - set(refs))
-        units: list[tuple[str, str, int, tuple]] = []
+        # deletion-vector context: rows read at version n mask with n's
+        # dvs refs (inserts), rows read at n-1 with n-1's (deletes) — a
+        # replayed restore/overwrite must not emit rows that were
+        # DV-deleted at the instant being replayed
+        dvs_n = tuple((meta.get("tables") or {}).get("dvs") or ())
+        dvs_p = tuple((prev_meta.get("tables") or {}).get("dvs") or ())
+        units: list[tuple[str, str, int, tuple, tuple]] = []
         if meta.get("parent_version") is None:
             # BUILD commit: its delta = the segments it added
             if removed and n - 1 != self._initial:
@@ -438,9 +464,59 @@ class BloomSearchStreamReader(DataSourceStreamReader):
                         "table as the first batch"
                     )
                 units += [
-                    ("delete", r, self._ref_rows(r), added) for r in removed
+                    ("delete", r, self._ref_rows(r), added, dvs_p)
+                    for r in removed
                 ]
-            units += [("insert", r, self._ref_rows(r), ()) for r in added]
+            units += [
+                ("insert", r, self._ref_rows(r), (), dvs_n) for r in added
+            ]
+        elif str(meta.get("source_desc") or "").startswith("delete_dv"):
+            # merge-on-read DELETE: blocks/files unchanged, ONE dvs delta
+            # segment added — its (block, positions) rows ARE the deleted
+            # rows.  Plain feeds refuse (rows disappear with no event to
+            # carry it), same contract as every row-deleting commit.
+            if not self.with_events:
+                raise RuntimeError(
+                    f"manifest version v{n:08d} is a DELETE (deletion-"
+                    "vector) commit — it deletes rows, and the plain "
+                    "changefeed has no delete events to carry that; a "
+                    "replica fed past it would silently keep the deleted "
+                    "rows.  Either read CDC events "
+                    "(.option('change_events', 'true')), or re-seed "
+                    "downstream from a snapshot and restart the feed "
+                    f"with .option('starting_version', {n}) and a fresh "
+                    "checkpoint"
+                )
+            dv_added = [r for r in dvs_n if r not in set(dvs_p)]
+            units += [
+                ("dvdel", r, self._ref_rows(r), (), ()) for r in dv_added
+            ]
+        elif str(meta.get("source_desc") or "").startswith("upsert_dv"):
+            # dv-mode MERGE: append-shaped commit (no segments removed) —
+            # dv delta rows = the replaced keys' old rows (emit as
+            # deletes), added segments = the inserts.  A pure-insert dv
+            # upsert (no key matched, no dv delta) passes plain feeds
+            # like any append; one that deleted rows requires events.
+            # MUST precede the generic "upsert" prefix match below.
+            dv_added = [r for r in dvs_n if r not in set(dvs_p)]
+            if dv_added and not self.with_events:
+                raise RuntimeError(
+                    f"manifest version v{n:08d} is an UPSERT (deletion-"
+                    "vector) commit — it deletes the replaced keys' old "
+                    "rows, and the plain changefeed has no delete events "
+                    "to carry that; a replica fed past it would keep "
+                    "both versions of every replaced key.  Either read "
+                    "CDC events (.option('change_events', 'true')), or "
+                    "re-seed downstream from a snapshot and restart the "
+                    f"feed with .option('starting_version', {n}) and a "
+                    "fresh checkpoint"
+                )
+            units += [
+                ("dvdel", r, self._ref_rows(r), (), ()) for r in dv_added
+            ]
+            units += [
+                ("insert", r, self._ref_rows(r), (), dvs_n) for r in added
+            ]
         elif str(meta.get("source_desc") or "").startswith("expire"):
             # expire is the ONE maintenance op that DELETES rows —
             # skipping it silently (like merge/compact/fold, which
@@ -465,7 +541,8 @@ class BloomSearchStreamReader(DataSourceStreamReader):
                     "checkpoint"
                 )
             units += [
-                ("delete", r, self._ref_rows(r), added) for r in removed
+                ("delete", r, self._ref_rows(r), added, dvs_p)
+                for r in removed
             ]
         elif str(meta.get("source_desc") or "").startswith(
             ("delete", "restore", "upsert")
@@ -497,10 +574,11 @@ class BloomSearchStreamReader(DataSourceStreamReader):
                     "checkpoint"
                 )
             units += [
-                ("delete", r, self._ref_rows(r), added) for r in removed
+                ("delete", r, self._ref_rows(r), added, dvs_p)
+                for r in removed
             ]
             units += [
-                ("insert", r, self._ref_rows(r), tuple(removed))
+                ("insert", r, self._ref_rows(r), tuple(removed), dvs_n)
                 for r in added
             ]
         # other maintenance commits emit nothing (rows merely
@@ -528,7 +606,7 @@ class BloomSearchStreamReader(DataSourceStreamReader):
             lo_slot = lo_c if (n == lo_v and lo_c != -1) else 0
             hi_slot = hi_c if (n == hi_v and hi_c != -1) else info["total"]
             pos = 0
-            for kind, ref, nrows, sub in info["units"]:
+            for kind, ref, nrows, sub, dvr in info["units"]:
                 u_lo, u_hi = max(lo_slot, pos), min(hi_slot, pos + nrows)
                 s = u_lo
                 while s < u_hi:
@@ -542,6 +620,7 @@ class BloomSearchStreamReader(DataSourceStreamReader):
                             ts_us=info["ts_us"],
                             kind=kind,
                             sub_refs=tuple(sub),
+                            dv_refs=tuple(dvr),
                         )
                     )
                     s = e
@@ -566,6 +645,83 @@ class BloomSearchStreamReader(DataSourceStreamReader):
         arrow_schema = to_arrow_schema(self.out_schema)
         data_dir = fsx.join(self.root, "data")
         mdir = fsx.join(self.root, "manifest")
+        change_type = "delete" if partition.kind == "dvdel" else partition.kind
+
+        def _emit(tbl):
+            # project arrow-side — an old commit written under a
+            # narrower schema gets null columns rather than KeyError.
+            # No pandas round-trip: ``Table.from_pandas`` would
+            # corrupt every stored float NaN to NULL (pandas null
+            # sentinel), changing the rows the feed emits.
+            out = pa.Table.from_arrays(
+                [
+                    tbl[n]
+                    if n in tbl.column_names
+                    else pa.nulls(len(tbl), arrow_schema.field(n).type)
+                    for n in data_names
+                ],
+                names=data_names,
+            )
+            if self.with_meta:
+                out = out.append_column(
+                    "_commit_version",
+                    pa.array([partition.version] * len(out), pa.int64()),
+                ).append_column(
+                    "_commit_timestamp",
+                    # epoch-us ints labelled UTC: the final cast to the
+                    # session-tz arrow type relabels the same instant
+                    pa.array(
+                        [partition.ts_us] * len(out),
+                        pa.timestamp("us", tz="UTC"),
+                    ),
+                )
+            if self.with_events:
+                out = out.append_column(
+                    "_change_type",
+                    pa.array([change_type] * len(out), pa.string()),
+                )
+            yield from out.cast(arrow_schema).to_batches()
+
+        def _read_rel(rel: str):
+            try:
+                return fsx.read_parquet_dir(fsx.join(data_dir, rel))
+            except Exception as e:
+                # historical sources (an old version's inserts, a deleting
+                # commit's removed dirs) disappear under the DATA vacuum;
+                # surface the lag/retention diagnosis instead of a bare
+                # FileNotFound (the original error stays chained)
+                raise RuntimeError(
+                    f"changefeed {change_type} source {rel!r} (version "
+                    f"v{partition.version:08d}) is unreadable — most "
+                    "likely vacuumed while this consumer lagged.  "
+                    "Historical rows live in block dirs only until "
+                    "vacuum; size vacuum's retain_versions/retain_time "
+                    "to cover consumer lag, or re-seed downstream from a "
+                    "snapshot and restart the feed past this version"
+                ) from e
+
+        if partition.kind == "dvdel":
+            # merge-on-read delete commit: this chunk slices the dvs
+            # DELTA segment itself — each row names a block and the
+            # positions that commit newly deleted; the deltas are
+            # disjoint, so no prior-mask subtraction is needed
+            rows = _segment_rows_slice(
+                fsx.join(mdir, partition.ref),
+                ["data_path", "positions"],
+                partition.row_start,
+                partition.row_stop,
+            )
+            for rel, pos in zip(
+                rows.column("data_path").to_pylist(),
+                rows.column("positions").to_pylist(),
+            ):
+                if not pos:
+                    continue
+                tbl = _read_rel(rel).take(pa.array(pos, pa.int64()))
+                if len(tbl):
+                    yield from _emit(tbl)
+            return
+
         rels = _segment_path_slice(
             fsx.join(mdir, partition.ref),
             partition.row_start,
@@ -585,54 +741,31 @@ class BloomSearchStreamReader(DataSourceStreamReader):
             for ref in partition.sub_refs:
                 keep |= _segment_paths(fsx.join(mdir, ref))
             rels = [p for p in rels if p not in keep]
-        for rel in rels:
-            try:
-                tbl = fsx.read_parquet_dir(fsx.join(data_dir, rel))
-            except Exception as e:
-                # historical sources (an old version's inserts, a deleting
-                # commit's removed dirs) disappear under the DATA vacuum;
-                # surface the lag/retention diagnosis instead of a bare
-                # FileNotFound (the original error stays chained)
-                raise RuntimeError(
-                    f"changefeed {partition.kind} source {rel!r} (version "
-                    f"v{partition.version:08d}) is unreadable — most "
-                    "likely vacuumed while this consumer lagged.  "
-                    "Historical rows live in block dirs only until "
-                    "vacuum; size vacuum's retain_versions/retain_time "
-                    "to cover consumer lag, or re-seed downstream from a "
-                    "snapshot and restart the feed past this version"
-                ) from e
-            if len(tbl):
-                # project arrow-side — an old commit written under a
-                # narrower schema gets null columns rather than KeyError.
-                # No pandas round-trip: ``Table.from_pandas`` would
-                # corrupt every stored float NaN to NULL (pandas null
-                # sentinel), changing the rows the feed emits.
-                out = pa.Table.from_arrays(
-                    [
-                        tbl[n]
-                        if n in tbl.column_names
-                        else pa.nulls(len(tbl), arrow_schema.field(n).type)
-                        for n in data_names
-                    ],
-                    names=data_names,
+        # deletion-vector mask at the replayed instant: positions for THIS
+        # chunk's blocks, unioned across the reading-side version's dvs
+        # segments (insert: version n; delete: n-1).  One column-pruned
+        # read per (task x dvs segment), bytes bounded by deleted rows.
+        dv_pos: dict[str, list] = {}
+        if partition.dv_refs and rels:
+            rset = set(rels)
+            for ref in partition.dv_refs:
+                t = fsx.read_parquet_dir(
+                    fsx.join(mdir, ref), columns=["data_path", "positions"]
                 )
-                if self.with_meta:
-                    out = out.append_column(
-                        "_commit_version",
-                        pa.array([partition.version] * len(out), pa.int64()),
-                    ).append_column(
-                        "_commit_timestamp",
-                        # epoch-us ints labelled UTC: the final cast to the
-                        # session-tz arrow type relabels the same instant
-                        pa.array(
-                            [partition.ts_us] * len(out),
-                            pa.timestamp("us", tz="UTC"),
-                        ),
-                    )
-                if self.with_events:
-                    out = out.append_column(
-                        "_change_type",
-                        pa.array([partition.kind] * len(out), pa.string()),
-                    )
-                yield from out.cast(arrow_schema).to_batches()
+                for p, pos in zip(
+                    t.column("data_path").to_pylist(),
+                    t.column("positions").to_pylist(),
+                ):
+                    if p in rset:
+                        dv_pos.setdefault(p, []).extend(pos)
+        for rel in rels:
+            tbl = _read_rel(rel)
+            pos = dv_pos.get(rel)
+            if pos:
+                import numpy as np
+
+                mask = np.ones(len(tbl), dtype=bool)
+                mask[np.asarray(pos, dtype=np.int64)] = False
+                tbl = tbl.filter(pa.array(mask))
+            if len(tbl):
+                yield from _emit(tbl)

@@ -166,6 +166,7 @@ def stream_apply_changes(
     order_col: str | None = "_commit_version",
     conflict_retries: int = 3,
     max_pruned_keys: int = 256,
+    use_deletion_vectors: bool = False,
 ):
     """CDC replication sink (the ``APPLY CHANGES INTO`` analog): apply a
     change-event stream — e.g. another index's changefeed read with
@@ -208,6 +209,7 @@ def stream_apply_changes(
                 conflict_retries=conflict_retries,
                 max_pruned_keys=max_pruned_keys,
                 meta_extra={"last_stream_batch": batch_id},
+                use_deletion_vectors=use_deletion_vectors,
             )
         else:
             inserts, _dels = resolve_changes(df, key_field, change_col, order_col)
