@@ -561,10 +561,14 @@ def _index(spark: SparkSession, sf_dir: str, flavor: str) -> BloomIndex:
                     new_query().field_token("lang", lang).build(),
                     use_deletion_vectors=True,
                 )
-        elif flavor == "upserted":
+        elif flavor in ("upserted", "dv_upserted"):
             # one-commit key upsert (r06): replace docs 0..19 with new
-            # text + insert 5 brand-new docs, keyed on doc_id
-            from bloomsearch_spark import upsert_keys
+            # text + insert 5 brand-new docs, keyed on doc_id.
+            # "dv_upserted" runs the SAME merge with deletion vectors
+            # (append-shaped commit, old rows masked not rewritten), then
+            # purge_deletion_vectors (REORG APPLY PURGE) rewrites only
+            # the masked blocks — the final rows must be identical
+            from bloomsearch_spark import purge_deletion_vectors, upsert_keys
 
             built = build_index(
                 spark, df, root, cfg, source_desc=f"documents@{sf_dir}"
@@ -580,8 +584,11 @@ def _index(spark: SparkSession, sf_dir: str, flavor: str) -> BloomIndex:
                 F.lit(0).cast("long").alias("n_chars"),
             )
             idx, _stats = upsert_keys(
-                spark, built, updated.unionByName(fresh), key_field="doc_id"
+                spark, built, updated.unionByName(fresh), key_field="doc_id",
+                use_deletion_vectors=(flavor == "dv_upserted"),
             )
+            if flavor == "dv_upserted":
+                idx, _stats = purge_deletion_vectors(spark, idx)
         elif flavor == "restored":
             # RESTORE (r06): append the odd docs, then roll back to the
             # even-docs version as a new zero-copy commit
@@ -685,6 +692,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # replaced + inserted rows, the old versions of the keys are gone
         "bs_upsert": _bs(
             "upserted", lambda: new_query().token("upserted").build()
+        ),
+        # the SAME merge with deletion vectors + a REORG PURGE rewrite of
+        # only the masked blocks: rows must be identical to bs_upsert
+        "bs_dv_upsert": _bs(
+            "dv_upserted", lambda: new_query().token("upserted").build()
         ),
         # full CDC replication loop (r06): query the REPLICA fed only by
         # the source's change_events feed through stream_apply_changes
@@ -1392,6 +1404,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bs_zorder": f"{sel} WHERE {_any_field_tok('vector')}",
         "bs_clone": f"{sel} WHERE {_any_field_tok('vector')}",
+        "bs_dv_upsert": (
+            "SELECT doc_id, 'upserted doc ' || CAST(doc_id AS VARCHAR) AS text, "
+            "lang, source, n_chars FROM documents WHERE doc_id < 20 "
+            "UNION ALL "
+            "SELECT 1000000 + i AS doc_id, "
+            "'upserted fresh ' || CAST(i AS VARCHAR) AS text, "
+            "'xx' AS lang, 'srcnew' AS source, CAST(0 AS BIGINT) AS n_chars "
+            "FROM range(5) t(i)"
+        ),
         "bs_upsert": (
             "SELECT doc_id, 'upserted doc ' || CAST(doc_id AS VARCHAR) AS text, "
             "lang, source, n_chars FROM documents WHERE doc_id < 20 "

@@ -2169,6 +2169,7 @@ def maintain(
     max_files_per_merge: int = 10,
     compact_rows: int | None = None,
     zorder_by: list[str] | None = None,
+    purge_dvs: bool = False,
     fold_threshold: int = 8,
     run_vacuum: bool = False,
     retain_versions: int = 0,
@@ -2195,6 +2196,13 @@ def maintain(
     of the pass (the ``OPTIMIZE ... ZORDER BY`` spelling) — it rewrites
     every block, so ``compact_rows`` is redundant with it; skipped on
     external/shallow-clone roots like compact.
+
+    ``purge_dvs`` runs :func:`purge_deletion_vectors` (the ``REORG ...
+    APPLY (PURGE)`` spelling) — rewrite only the deletion-vector-masked
+    blocks so reads drop the mask anti-join; redundant after
+    ``zorder_by`` (which already rebuilt everything).  Skipped on
+    shallow clones (their block dirs belong to the source) — the one
+    root where DV masks can accumulate without a local purge path.
 
     Returns a stats dict: ``files_merged``, ``blocks_rewritten``,
     ``compact_skipped`` (True when ``compact_rows`` was requested on a
@@ -2236,6 +2244,15 @@ def maintain(
             )
             out["zordered"] = True
             out["blocks_rewritten"] += zstats.blocks_rewritten
+    if purge_dvs:
+        if idx.meta().get("data_dir_override"):
+            out["purge_skipped"] = True  # shallow clone: dirs not ours
+        else:
+            idx, pstats = purge_deletion_vectors(
+                spark, idx, conflict_retries=conflict_retries
+            )
+            out["dv_purged_rows"] = pstats.rows_deleted
+            out["blocks_rewritten"] += pstats.blocks_rewritten
     idx = BloomIndex.load(spark, root)  # racing commits may have landed
     if len(idx.table_refs()["blocks"]) > fold_threshold:
         fold_manifest(spark, idx, conflict_retries=conflict_retries)

@@ -949,6 +949,18 @@ class BloomIndex:
                     )
                     rows_w += pc.sum(t.column("row_count")).as_py() or 0
                     bytes_w += pc.sum(t.column("byte_size")).as_py() or 0
+                # deletion-vector deltas SUBTRACT (numDeletedRows analog):
+                # a dv delete nets negative, a dv upsert nets inserts
+                # minus replaced — zero added bytes either way
+                for r in [
+                    x
+                    for x in tables.get("dvs", ())
+                    if x not in set(prev_tables.get("dvs", ()))
+                ]:
+                    t = fsx.read_parquet_dir(
+                        fsx.join(mdir, r), columns=["dv_count"]
+                    )
+                    rows_w -= pc.sum(t.column("dv_count")).as_py() or 0
             desc = m.get("source_desc") or ""
             sb = m.get("last_stream_batch")
             refs = m.get("tables") or {}

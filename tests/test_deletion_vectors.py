@@ -341,6 +341,27 @@ def test_dv_purge_rewrites_only_masked_blocks(spark, tmp_root):
     assert n_purge_events == 0
 
 
+def test_dv_maintain_purge_and_history(spark, tmp_root):
+    from bloomsearch_spark import maintain
+
+    idx = build_index(spark, generate_df(spark, 400), tmp_root, CFG)
+    pdf = generate_pdf(400)
+    hit = _hit(pdf, "needle_alpha")
+    delete_where(spark, idx, ALPHA(), use_deletion_vectors=True)
+
+    out = maintain(spark, tmp_root, purge_dvs=True)
+    assert out["dv_purged_rows"] == int(hit.sum())
+    cur = BloomIndex.load(spark, tmp_root)
+    assert not cur.dvs_refs()
+    assert search(spark, cur, ALL()).count() == int((~hit).sum())
+    # DESCRIBE HISTORY surfaces both commits with their ops + row deltas
+    h = cur.history().toPandas()
+    ops = set(h["operation"])
+    assert "delete_dv" in ops and "purge_dv" in ops
+    dv_row = h[h["operation"] == "delete_dv"].iloc[0]
+    assert int(dv_row["rows_written"]) == -int(hit.sum())
+
+
 def test_dv_purge_drops_fully_masked_blocks(spark, tmp_root):
     from bloomsearch_spark import purge_deletion_vectors
 
