@@ -926,34 +926,127 @@ def _delete_where_dv(
     stats.dv_blocks = stats.candidate_blocks = nb
     if nd == 0:
         return index, stats
-    meta = index.meta()
-    refs = index.table_refs()
-    prev_dvs = index.dvs_refs()
 
-    def finalize(prev_version: str | None) -> str:
-        version = mf.version_after(prev_version)
-        tables = {
-            "blocks": list(refs["blocks"]),
-            "files": list(refs["files"]),
-            "lineage": list(refs["lineage"])
-            + [mf.segment_ref(seg_name, "lineage")],
-            "dvs": prev_dvs + [mf.segment_ref(seg_name, "dvs")],
-        }
-        mf.write_meta(
-            fsx.join(index.root, "manifest", version),
-            index.config,
-            extra={
-                "build_id": version,
-                "source_desc": f"delete_dv of {index.version}",
-                "parent_version": index.version,
-                "tables": tables,
-                **mf.carried_meta(meta),
-            },
+    # commit-with-REBASE loop: a dv delta is pure metadata, so most races
+    # don't require the full CommitConflict re-plan (re-prune + re-scan) —
+    # see _rebase_dv_delta for the soundness rule.  An un-rebasable race
+    # (a rewrite moved our rows) re-raises for the caller's
+    # conflict_retries re-plan.
+    base, cur_seg = index, seg_name
+    for _ in range(6):
+        meta = base.meta()
+        refs = base.table_refs()
+        prev_dvs = base.dvs_refs()
+
+        def finalize(
+            prev_version: str | None,
+            _refs=refs, _dvs=prev_dvs, _meta=meta, _seg=cur_seg, _base=base,
+        ) -> str:
+            version = mf.version_after(prev_version)
+            tables = {
+                "blocks": list(_refs["blocks"]),
+                "files": list(_refs["files"]),
+                "lineage": list(_refs["lineage"])
+                + [mf.segment_ref(_seg, "lineage")],
+                "dvs": list(_dvs) + [mf.segment_ref(_seg, "dvs")],
+            }
+            mf.write_meta(
+                fsx.join(index.root, "manifest", version),
+                index.config,
+                extra={
+                    "build_id": version,
+                    "source_desc": f"delete_dv of {_base.version}",
+                    "parent_version": _base.version,
+                    "tables": tables,
+                    **mf.carried_meta(_meta),
+                },
+            )
+            return version
+
+        try:
+            v = mf.publish_commit(
+                index.root, finalize, expected=base.version
+            )
+            return mf.BloomIndex(spark, index.root, v), stats
+        except mf.CommitConflict:
+            fresh = mf.BloomIndex.load(spark, index.root)
+            rb = _rebase_dv_delta(spark, base, fresh, cur_seg)
+            if rb is None:
+                raise  # un-rebasable: outer conflict_retries re-plans
+            cur_seg, nd2, nb2 = rb
+            stats.rows_deleted, stats.dv_blocks = nd2, nb2
+            stats.candidate_blocks = nb2
+            if nd2 == 0:
+                # every position we matched was deleted by the racers:
+                # our delete's effect is already present
+                return fresh, stats
+            base = fresh
+    raise mf.CommitConflict(
+        f"dv delete at {index.root} lost {6} consecutive commit races; "
+        "re-plan from CURRENT (conflict_retries) or reduce writer fan-in"
+    )
+
+
+def _rebase_dv_delta(
+    spark: SparkSession, base: BloomIndex, fresh: BloomIndex, seg_name: str
+):
+    """Re-target an already-minted dv delta (planned against ``base``) at
+    ``fresh`` after losing a commit race — WITHOUT re-scanning data.
+
+    Sound iff every masked block is still live in ``fresh`` under the
+    SAME data dir: then the matched rows still sit at the same
+    file-relative positions, and the race was an append / a disjoint or
+    overlapping dv delete / a metadata-only merge.  Overlap with dvs
+    segments the racers added is SUBTRACTED (serializing our delete
+    after theirs), preserving the disjoint-deltas invariant.  Any
+    rewrite/expire/restore/fold that touched our blocks (dir moved, ref
+    list rewritten) returns None — positions may have been remapped, the
+    caller must re-plan from scratch.  This is snapshot-isolation
+    serialization: rows appended by the racers are NOT re-matched (our
+    delete serializes before the append), exactly the rewrite path's
+    re-plan-free contract under Delta-style WriteSerializable.
+
+    Returns ``(new_seg_name, rows_deleted, dv_blocks)`` with a fresh
+    segment written (the old one becomes vacuum-reclaimable garbage), or
+    None when un-rebasable."""
+    base_dvs = set(base.dvs_refs())
+    fresh_dvs = fresh.dvs_refs()
+    if base_dvs - set(fresh_dvs):
+        return None  # fold/restore rewrote the dvs ref list wholesale
+    mdir = fsx.join(base.root, "manifest")
+    delta = spark.read.schema(mf.DVS_SCHEMA).parquet(
+        fsx.join(mf.segment_dir(base.root, seg_name), "dvs.parquet")
+    )
+    live = fresh.blocks().select("block_id", F.col("data_path").alias("_dp"))
+    moved = (
+        delta.join(live, "block_id", "left")
+        .filter(F.col("_dp").isNull() | (F.col("_dp") != F.col("data_path")))
+        .limit(1)
+        .count()
+    )
+    if moved:
+        return None
+    added = [r for r in fresh_dvs if r not in base_dvs]
+    mine = delta.select(
+        "block_id", "data_path", F.explode("positions").alias("_bs_pos")
+    )
+    if added:
+        theirs = (
+            spark.read.schema(mf.DVS_SCHEMA)
+            .parquet(*[fsx.join(mdir, r) for r in added])
+            .select("block_id", F.explode("positions").alias("_bs_pos"))
         )
-        return version
-
-    v = mf.publish_commit(index.root, finalize, expected=index.version)
-    return mf.BloomIndex(spark, index.root, v), stats
+        mine = mine.join(theirs, ["block_id", "_bs_pos"], "left_anti")
+    matched = mine.select(
+        "block_id", "_bs_pos", F.lit(None).cast("string").alias("_bs_fname")
+    )
+    version_guess, _ = mf.next_version_dir(base.root)
+    new_seg = f"{version_guess}-delete_dv-{uuid.uuid4().hex[:8]}"
+    nd, nb = _mint_dv_delta(
+        fresh, matched, version_guess,
+        mf.segment_dir(base.root, new_seg), op="delete_dv",
+    )
+    return new_seg, nd, nb
 
 
 def _mint_dv_delta(

@@ -405,6 +405,99 @@ def test_dv_delete_on_shallow_clone(spark, tmp_root, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# commit races: the dv delta REBASES instead of re-planning when sound
+
+
+def test_dv_delete_rebases_over_racing_dv_delete(spark, tmp_root):
+    """Two dv deletes planned from the SAME snapshot: the loser rebases —
+    overlapping positions are subtracted (serialized after the winner),
+    disjointness holds, no re-scan, no conflict_retries needed."""
+    idx = build_index(spark, generate_df(spark, 600), tmp_root, CFG)
+    pdf = generate_pdf(600)
+    a, b = _hit(pdf, "needle_alpha"), _hit(pdf, "needle_beta")
+    stale = BloomIndex.load(spark, tmp_root)  # pinned at v1
+
+    _, s1 = delete_where(
+        spark, stale, new_query().token("needle_beta").build(),
+        use_deletion_vectors=True,
+    )
+    # second delete from the SAME (now stale) handle: expected=v1 loses
+    # the race, rebases onto v2 (conflict_retries=0 — no re-plan allowed)
+    out, s2 = delete_where(
+        spark, stale, ALPHA(), use_deletion_vectors=True,
+    )
+    assert s1.rows_deleted == int(b.sum())
+    assert s2.rows_deleted == int((a & ~b).sum())  # overlap subtracted
+    expl = out.dv_positions().toPandas()
+    assert not expl.duplicated(["block_id", "_bs_pos"]).any()
+    got = search(spark, out, ALL()).toPandas()
+    assert sorted(got["commit"]) == sorted(pdf[~a & ~b]["commit"])
+
+
+def test_dv_delete_rebases_over_racing_append(spark, tmp_root):
+    """A dv delete losing to an APPEND rebases (blocks untouched) and
+    serializes BEFORE it: concurrently appended rows matching the
+    predicate are NOT deleted (snapshot isolation), same as Delta
+    WriteSerializable."""
+    idx = build_index(spark, generate_df(spark, 300), tmp_root, CFG)
+    pdf = generate_pdf(300)
+    hit = _hit(pdf, "needle_alpha")
+    stale = BloomIndex.load(spark, tmp_root)
+
+    build_index(
+        spark, generate_df(spark, 80, seed=5), tmp_root, CFG, mode="append"
+    )
+    pdf2 = generate_pdf(80, seed=5)
+    hit2 = _hit(pdf2, "needle_alpha")
+    out, st = delete_where(spark, stale, ALPHA(), use_deletion_vectors=True)
+    assert st.rows_deleted == int(hit.sum())  # base rows only
+    cur = BloomIndex.load(spark, tmp_root)
+    # the appended alpha rows survive (delete serialized before append)
+    assert search(spark, cur, ALPHA()).count() == int(hit2.sum())
+    assert (
+        search(spark, cur, ALL()).count()
+        == 300 - int(hit.sum()) + 80
+    )
+
+
+def test_dv_delete_unrebasable_race_replans(spark, tmp_root):
+    """A racing REWRITE moved every block our delta references (it
+    rewrote the SAME match surface): the rebase refuses — positions may
+    be remapped — CommitConflict with retries=0; with retries=1 the full
+    re-plan runs and finds the rows already gone (no empty commit)."""
+    idx = build_index(spark, generate_df(spark, 400), tmp_root, CFG)
+    pdf = generate_pdf(400)
+    a = _hit(pdf, "needle_alpha")
+    stale = BloomIndex.load(spark, tmp_root)
+
+    winner, s1 = delete_where(spark, stale, ALPHA())  # block REWRITE
+    assert s1.rows_deleted == int(a.sum())
+    with pytest.raises(mf.CommitConflict):
+        delete_where(
+            spark, stale, ALPHA(), use_deletion_vectors=True,
+        )
+    out, st = delete_where(
+        spark, stale, ALPHA(), use_deletion_vectors=True, conflict_retries=1
+    )
+    assert st.rows_deleted == 0  # re-plan: the rows are already deleted
+    assert out.version == winner.version
+    got = search(spark, out, ALL()).toPandas()
+    assert sorted(got["commit"]) == sorted(pdf[~a]["commit"])
+
+
+def test_dv_delete_race_fully_absorbed(spark, tmp_root):
+    """The racer deleted our ENTIRE surface: the rebase nets zero
+    positions and commits nothing — the delete's effect is present."""
+    idx = build_index(spark, generate_df(spark, 300), tmp_root, CFG)
+    stale = BloomIndex.load(spark, tmp_root)
+    winner, s1 = delete_where(spark, stale, ALPHA(), use_deletion_vectors=True)
+    out, s2 = delete_where(spark, stale, ALPHA(), use_deletion_vectors=True)
+    assert s1.rows_deleted > 0 and s2.rows_deleted == 0
+    assert out.version == winner.version  # no empty commit
+    assert mf.current_version(tmp_root) == winner.version
+
+
+# ---------------------------------------------------------------------------
 # dv-mode upsert (MERGE with deletion vectors): append-shaped commits
 
 
@@ -624,6 +717,83 @@ def test_dv_changefeed_cdc_and_plain_refusal(spark, tmp_root):
     ):
         (state.discard if r._change_type == "delete" else state.add)(r.commit)
     assert state == set(pdf[~hit]["commit"])
+
+
+def test_dv_model_random_op_sequence(spark, tmp_root):
+    """Seeded randomized MODEL test: a 12-op sequence mixing dv deletes,
+    rewrite deletes, appends, dv upserts, compact/purge reorganizations
+    and restores, checked row-exactly against a pandas model after EVERY
+    commit, then time-travel spot-checked against two historical models.
+    The single highest-assurance test for mask/rewrite/travel interplay."""
+    import numpy as np
+
+    from bloomsearch_spark import purge_deletion_vectors
+
+    rng = np.random.RandomState(7)
+    idx = build_index(spark, generate_df(spark, 400), tmp_root, CFG)
+    model = generate_pdf(400)
+    history = [(idx.version, model.copy())]  # (version, snapshot)
+
+    def check(ix, m):
+        got = search(spark, ix, ALL()).toPandas()
+        assert sorted(got["commit"]) == sorted(m["commit"]), (
+            f"mismatch at v={ix.version}: got {len(got)} want {len(m)}"
+        )
+
+    langs = ["go", "py", "js", "rs", "java", "md"]
+    seed = 100
+    for step in range(12):
+        op = rng.choice(
+            ["dv_del", "rw_del", "append", "dv_upsert", "compact", "purge",
+             "restore"]
+        )
+        if op in ("dv_del", "rw_del"):
+            lang = langs[rng.randint(len(langs))]
+            q = new_query().field_token("lang", lang).build()
+            idx, _ = delete_where(
+                spark, idx, q, use_deletion_vectors=(op == "dv_del")
+            )
+            model = model[model["lang"] != lang].copy()
+        elif op == "append":
+            seed += 1
+            n = int(rng.randint(30, 80))
+            idx = build_index(
+                spark, generate_df(spark, n, seed=seed), tmp_root, CFG,
+                mode="append",
+            )
+            model = pd.concat(
+                [model, generate_pdf(n, seed=seed)], ignore_index=True
+            )
+        elif op == "dv_upsert":
+            if len(model) == 0:
+                continue
+            k = min(len(model), int(rng.randint(3, 12)))
+            upd = model.sample(n=k, random_state=rng).copy()
+            upd["content"] = f"model upserted step{step}"
+            idx, _ = upsert_keys(
+                spark, idx, spark.createDataFrame(upd), key_field="path",
+                use_deletion_vectors=True,
+            )
+            model = model[~model["path"].isin(set(upd["path"]))]
+            model = pd.concat([model, upd], ignore_index=True)
+        elif op == "compact":
+            idx, _ = compact_blocks(spark, idx, max_block_rows=100_000)
+        elif op == "purge":
+            idx, _ = purge_deletion_vectors(spark, idx)
+        elif op == "restore":
+            j = int(rng.randint(len(history)))
+            v, snap = history[j]
+            idx = restore(spark, idx, version=v)
+            model = snap.copy()
+        cur = mf.current_version(tmp_root)
+        if cur != history[-1][0]:  # a commit landed
+            history.append((cur, model.copy()))
+        check(idx, model)
+
+    # time travel: two random historical versions still answer exactly
+    for j in (int(rng.randint(len(history))), len(history) - 1):
+        v, snap = history[j]
+        check(BloomIndex.load(spark, tmp_root, version=v), snap)
 
 
 def test_dv_changefeed_replay_masks_at_the_instant(spark, tmp_root):
