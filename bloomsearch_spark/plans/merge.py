@@ -416,17 +416,24 @@ def compact_blocks(
     index: BloomIndex,
     max_block_rows: int | None = None,
     conflict_retries: int = 0,
+    where=None,
 ) -> tuple[BloomIndex, MergeStats]:
     """Rewrite undersized sibling blocks into consolidated block dirs.
 
     Block blooms OR together (M4) and minmax maps widen (M5) — no
     re-tokenization; only the affected blocks' row data is read/written.
     File-level rows are unchanged (their blooms already cover the union).
+
+    ``where`` (a :class:`PrefilterExpr` — Partition/MinMax trees, the
+    same objects queries prune with) SCOPES the candidate set (the
+    ``OPTIMIZE ... WHERE`` analog): only matching blocks may join a
+    merge group, everything else passes through verbatim — at 100 TB
+    maintenance targets the hot partitions, never the whole table.
     """
     if conflict_retries:
         return _retry_conflicts(
             spark, index, conflict_retries,
-            lambda ix: compact_blocks(spark, ix, max_block_rows, 0),
+            lambda ix: compact_blocks(spark, ix, max_block_rows, 0, where),
         )
     cfg = index.config
     if index.meta().get("external", False):
@@ -441,10 +448,15 @@ def compact_blocks(
     stats.blocks_before = blocks.count()
     stats.files_before = stats.files_after = index.files().count()
 
+    cand = blocks
+    if where is not None:
+        from ..query import compile_prefilter
+
+        cand = blocks.filter(compile_prefilter(where))
     # plan per (file, partition, params) group on executors — driver never
     # holds the block manifest (bounded at any block count)
     map_df = _plan_mapping_df(
-        blocks.select(
+        cand.select(
             "file_id", "block_id", "partition_id", "row_count",
             "expected_items", "fpr",
         ),
@@ -601,6 +613,7 @@ def optimize_zorder(
     cols: list[str],
     bits: int = 8,
     conflict_retries: int = 0,
+    where=None,
 ) -> tuple[BloomIndex, DeleteStats]:
     """Rewrite the index's physical layout Z-ORDERED by ``cols`` (the
     ``OPTIMIZE ... ZORDER BY`` analog): same rows, new blocks whose zone
@@ -622,11 +635,22 @@ def optimize_zorder(
     queries are bit-identical before and after (hash-proven by the
     ``bs_zorder`` oracle).  ``cols`` should be (a subset of) the
     config's ``minmax_fields`` — tightening zone maps nobody probes
-    buys nothing."""
+    buys nothing.
+
+    ``where`` (a :class:`PrefilterExpr`) SCOPES the rewrite (the
+    ``OPTIMIZE ... WHERE ... ZORDER BY`` analog): only matching blocks
+    are re-clustered — their rows shuffle, everything else passes
+    through verbatim with zero writes.  At 100 TB re-clustering runs
+    per hot partition on a schedule, never the whole table; the
+    z-boundaries are computed from the SCOPED rows, so each partition
+    gets its own tight bucketing.  Scoped rewrites CARRY the
+    deletion-vector refs (untouched blocks may be masked; the rewritten
+    blocks' refs orphan harmlessly) — only the full rewrite drops them.
+    """
     if conflict_retries:
         return _retry_conflicts(
             spark, index, conflict_retries,
-            lambda ix: optimize_zorder(spark, ix, cols, bits, 0),
+            lambda ix: optimize_zorder(spark, ix, cols, bits, 0, where),
         )
     if index.meta().get("external", False):
         raise ValueError("optimize_zorder rewrites block data; external "
@@ -641,10 +665,24 @@ def optimize_zorder(
     stats.blocks_before = blocks.count()
     stats.files_before = index.files().count()
 
+    scoped, untouched = blocks, None
+    if where is not None:
+        from ..query import compile_prefilter
+
+        scoped = blocks.filter(compile_prefilter(where)).persist()
+        n_scoped = scoped.count()
+        if n_scoped == 0:  # nothing in scope: no empty commit
+            scoped.unpersist()
+            stats.blocks_after = stats.blocks_before
+            stats.files_after = stats.files_before
+            return index, stats
+        untouched = blocks.join(
+            scoped.select("block_id"), "block_id", "left_anti"
+        )
     source_columns = index.meta().get("source_columns") or []
-    rows = scan_blocks(index, blocks).select(*source_columns)
+    rows = scan_blocks(index, scoped).select(*source_columns)
     n_rows = int(
-        blocks.agg(F.sum("row_count").alias("n")).collect()[0]["n"] or 0
+        scoped.agg(F.sum("row_count").alias("n")).collect()[0]["n"] or 0
     )
     per_task = max(1, cfg.max_block_rows * cfg.blocks_per_file)
     n_parts = max(1, -(-n_rows // per_task))
@@ -691,14 +729,30 @@ def optimize_zorder(
         F.col("file_token_bloom").alias("token_bloom"),
         F.col("file_fieldtoken_bloom").alias("fieldtoken_bloom"),
     )
-    stats.blocks_rewritten = stats.blocks_before
-    # every block is rebuilt from a DV-MASKED scan: deleted rows are
-    # physically gone from the output, so the DV refs must NOT carry (they
-    # index positions of the dead layout)
+    if untouched is not None:
+        # scoped rewrite: out-of-scope blocks pass through verbatim; a
+        # file row survives while ANY of its blocks does (its bloom
+        # over-covers the rewritten-away blocks — conservative, sound)
+        cols14 = [f.name for f in new_blocks.schema.fields]
+        new_blocks = new_blocks.unionByName(untouched.select(*cols14))
+        live_files = untouched.select("file_id").distinct()
+        new_files = new_files.unionByName(
+            index.files().join(F.broadcast(live_files), "file_id", "left_semi")
+        )
+        stats.blocks_rewritten = n_scoped
+    else:
+        stats.blocks_rewritten = stats.blocks_before
+    # a FULL rewrite rebuilds every block from a DV-MASKED scan: deleted
+    # rows are physically gone, so the DV refs must NOT carry (they index
+    # positions of the dead layout).  A SCOPED rewrite keeps out-of-scope
+    # blocks alive — their masks must carry (the rewritten blocks' refs
+    # orphan harmlessly; fold cleans them).
     out = _commit(
         spark, index, new_blocks, new_files, op="zorder", stats=stats,
-        carry_dvs=False,
+        carry_dvs=untouched is not None,
     )
+    if untouched is not None:
+        scoped.unpersist()
     fsx.delete_dir(scratch)
     return out
 
@@ -2262,6 +2316,7 @@ def maintain(
     max_files_per_merge: int = 10,
     compact_rows: int | None = None,
     zorder_by: list[str] | None = None,
+    where=None,
     purge_dvs: bool = False,
     fold_threshold: int = 8,
     run_vacuum: bool = False,
@@ -2289,6 +2344,10 @@ def maintain(
     of the pass (the ``OPTIMIZE ... ZORDER BY`` spelling) — it rewrites
     every block, so ``compact_rows`` is redundant with it; skipped on
     external/shallow-clone roots like compact.
+
+    ``where`` (a :class:`PrefilterExpr`) scopes ``compact_rows`` and
+    ``zorder_by`` to the matching blocks (``OPTIMIZE ... WHERE``) —
+    schedule per-partition maintenance instead of whole-table rewrites.
 
     ``purge_dvs`` runs :func:`purge_deletion_vectors` (the ``REORG ...
     APPLY (PURGE)`` spelling) — rewrite only the deletion-vector-masked
@@ -2325,7 +2384,8 @@ def maintain(
             out["compact_skipped"] = True
         else:
             idx, cstats = compact_blocks(
-                spark, idx, compact_rows, conflict_retries=conflict_retries
+                spark, idx, compact_rows, conflict_retries=conflict_retries,
+                where=where,
             )
             out["blocks_rewritten"] = cstats.blocks_rewritten
     if zorder_by:
@@ -2333,7 +2393,8 @@ def maintain(
             out["compact_skipped"] = True  # nothing engine-owned to rewrite
         else:
             idx, zstats = optimize_zorder(
-                spark, idx, list(zorder_by), conflict_retries=conflict_retries
+                spark, idx, list(zorder_by), conflict_retries=conflict_retries,
+                where=where,
             )
             out["zordered"] = True
             out["blocks_rewritten"] += zstats.blocks_rewritten

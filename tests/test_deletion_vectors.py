@@ -250,6 +250,46 @@ def test_dv_zorder_purges_and_drops_refs(spark, tmp_root):
     assert z.blocks().agg(F.sum("row_count")).collect()[0][0] == n_live
 
 
+def test_dv_scoped_zorder_carries_out_of_scope_masks(spark, tmp_root):
+    """OPTIMIZE WHERE x DVs: a partition-scoped zorder purges the scoped
+    partition's masked rows physically but CARRIES the dv refs — the
+    untouched partitions' masks must keep applying."""
+    from bloomsearch_spark import Eq, Partition, optimize_zorder
+
+    n = 3000
+    df = (
+        spark.range(n).select(
+            ((F.col("id") * 7919) % n).alias("a"),
+            (F.col("id") % 3).cast("string").alias("grp"),
+            F.concat(F.lit("tok"), (F.col("id") % 50)).alias("text"),
+        )
+    )
+    cfg = IndexConfig(
+        indexed_fields=("text", "grp"), partition_expr="grp",
+        minmax_fields=("a",), max_block_rows=200, blocks_per_file=4,
+    )
+    idx = build_index(spark, df, tmp_root, cfg)
+    # dv-delete tok7 rows (they live in EVERY partition)
+    q = new_query().field_token("text", "tok7").build()
+    out, st = delete_where(spark, idx, q, use_deletion_vectors=True)
+    assert st.rows_deleted == n // 50
+
+    z, zs = optimize_zorder(
+        spark, out, ["a"], bits=8, where=Partition(Eq("1"))
+    )
+    assert z.dvs_refs()  # carried (out-of-scope partitions still masked)
+    assert zs.blocks_rewritten < zs.blocks_before
+    # deleted rows stay gone everywhere: purged in grp=1, masked elsewhere
+    assert search(spark, z, q).count() == 0
+    assert (
+        search(spark, z, new_query().field("text").build()).count()
+        == n - n // 50
+    )
+    # physical purge happened in the scoped partition only
+    g1 = z.blocks().filter(F.col("partition_id") == "1")
+    assert g1.agg(F.sum("row_count")).collect()[0][0] == n // 3 - n // 150
+
+
 def test_dv_upsert_does_not_resurrect(spark, tmp_root):
     cfg = IndexConfig(
         indexed_fields=("repo", "path", "lang", "content"),

@@ -442,3 +442,110 @@ def test_maintain_zorder_by(spark, tmp_root):
     assert (
         search(spark, idx, new_query().field("text").build()).count() == n
     )
+
+
+# ---------------------------------------------------------------------------
+# scoped maintenance: OPTIMIZE ... WHERE (r06)
+
+
+def test_optimize_zorder_where_scopes_the_rewrite(spark, tmp_root):
+    """Partition-scoped ZORDER: only the matching partition's blocks are
+    re-clustered (tight zone maps there), every other block passes
+    through verbatim (identical dirs), and the row set is unchanged."""
+    from bloomsearch_spark import BloomIndex, Eq, Partition, optimize_zorder
+
+    n = 12_000
+    df = spark.range(n).select(
+        ((F.col("id") * 7919) % n).alias("a"),
+        ((F.col("id") * 104729) % n).alias("b"),
+        (F.col("id") % 3).cast("string").alias("grp"),
+        F.concat(F.lit("tok"), (F.col("id") % 97)).alias("text"),
+    )
+    cfg = IndexConfig(
+        indexed_fields=("text",), partition_expr="grp",
+        minmax_fields=("a", "b"), max_block_rows=400, blocks_per_file=4,
+    )
+    idx = build_index(spark, df, tmp_root, cfg)
+    before = {
+        r.block_id: r.data_path
+        for r in idx.blocks().select("block_id", "data_path").collect()
+    }
+    in_scope = {
+        r.block_id
+        for r in idx.blocks().filter(F.col("partition_id") == "1")
+        .select("block_id").collect()
+    }
+
+    out, st = optimize_zorder(
+        spark, idx, ["a", "b"], bits=8, where=Partition(Eq("1"))
+    )
+    assert st.blocks_rewritten == len(in_scope) < st.blocks_before
+    after = {
+        r.block_id: r.data_path
+        for r in out.blocks().select("block_id", "data_path").collect()
+    }
+    # out-of-scope blocks keep their dirs; scoped blocks are all replaced
+    for b, p in before.items():
+        if b in in_scope:
+            assert b not in after
+        else:
+            assert after[b] == p
+    # rows identical
+    assert search(spark, out, new_query().field("text").build()).count() == n
+    got = search(
+        spark, out,
+        new_query().match_prefilter(Partition(Eq("1"))).field("text").build(),
+    ).toPandas()
+    assert len(got) == n // 3
+    # zone maps TIGHT inside the scoped partition: a range prefilter
+    # prunes most of its blocks (pre-rewrite layout is random)
+    def blocks_admitted(ix, part):
+        from bloomsearch_spark import PrefilterAnd
+
+        q = new_query().match_prefilter(
+            PrefilterAnd(Partition(Eq(part)), MinMax("a", Between(100, 400)))
+        ).build()
+        _, s = search(spark, ix, q, with_stats=True)
+        s.finish()
+        return s.blocks_after_prefilter
+
+    n_part_blocks = len(in_scope)
+    assert blocks_admitted(out, "1") <= n_part_blocks * 0.4
+    assert blocks_admitted(out, "0") > n_part_blocks * 0.6  # untouched: loose
+
+
+def test_compact_where_scopes_candidates(spark, tmp_root):
+    from bloomsearch_spark import Eq, Partition
+
+    idx = build_index(spark, generate_df(spark, N_ROWS), tmp_root, CFG)
+    pdf = generate_pdf(N_ROWS)
+    lang = pdf["lang"].iloc[0]
+    before = {
+        r.block_id: (r.partition_id, r.data_path)
+        for r in idx.blocks().select(
+            "block_id", "partition_id", "data_path"
+        ).collect()
+    }
+    out, st = compact_blocks(
+        spark, idx, max_block_rows=100_000, where=Partition(Eq(lang))
+    )
+    assert st.blocks_rewritten > 0
+    after_ids = {
+        r.block_id for r in out.blocks().select("block_id").collect()
+    }
+    # every out-of-scope block survives untouched; exactly the planner's
+    # in-scope merge members disappeared into consolidated blocks
+    for b, (part, _p) in before.items():
+        if part != lang:
+            assert b in after_ids
+    in_scope_before = {b for b, (p, _) in before.items() if p == lang}
+    assert len(in_scope_before - after_ids) == st.blocks_rewritten
+    # row identity
+    assert (
+        search(spark, out, new_query().field("content").build()).count()
+        == N_ROWS
+    )
+    got = search(
+        spark, out, new_query().field_token("lang", lang).build()
+    ).count()
+    assert got == int((pdf["lang"] == lang).sum())
