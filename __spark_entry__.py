@@ -522,17 +522,23 @@ def _index(spark: SparkSession, sf_dir: str, flavor: str) -> BloomIndex:
                 spark, df, root, cfg, source_desc=f"documents@{sf_dir}"
             )
             idx = clone(spark, src, root + "-clone")
-        elif flavor == "zordered":
+        elif flavor in ("zordered", "zorder_where"):
             # OPTIMIZE ZORDER (r06): layout rewrite z-ordered on the two
             # minmax columns; queries must be bit-identical to the plain
-            # index (blooms + rows rebuilt from the rows themselves)
-            from bloomsearch_spark import optimize_zorder
+            # index (blooms + rows rebuilt from the rows themselves).
+            # "zorder_where" scopes the rewrite to the French partition
+            # (OPTIMIZE ... WHERE): mixed rewritten + pass-through layout,
+            # rows still bit-identical
+            from bloomsearch_spark import Eq, Partition, optimize_zorder
 
             built = build_index(
                 spark, df, root, cfg, source_desc=f"documents@{sf_dir}"
             )
             idx, _stats = optimize_zorder(
-                spark, built, ["n_chars", "doc_id"], bits=8
+                spark, built, ["n_chars", "doc_id"], bits=8,
+                where=(
+                    Partition(Eq("fr")) if flavor == "zorder_where" else None
+                ),
             )
         elif flavor == "deleted":
             # row-level predicate DELETE (r06): drop every French doc,
@@ -544,6 +550,25 @@ def _index(spark: SparkSession, sf_dir: str, flavor: str) -> BloomIndex:
             )
             idx, _stats = delete_where(
                 spark, built, new_query().field_token("lang", "fr").build()
+            )
+        elif flavor == "constrained":
+            # CHECK constraints (r06): poison the source with rows that
+            # WOULD match the query, gated by a drop-action constraint —
+            # the committed index must hold exactly the clean rows
+            poison = spark.range(7).select(
+                (F.col("id") + 10_000_000).alias("doc_id"),
+                F.concat(F.lit("vector poison "), F.col("id")).alias("text"),
+                F.lit("bad").alias("lang"),
+                F.lit("srcbad").alias("source"),
+                F.lit(-1).cast("long").alias("n_chars"),
+            )
+            idx = build_index(
+                spark, df.unionByName(poison), root, cfg,
+                source_desc=f"documents@{sf_dir}",
+                constraints={
+                    "lang_known": {"expr": "lang <> 'bad'", "action": "drop"},
+                    "chars_nonneg": {"expr": "n_chars >= 0", "action": "drop"},
+                },
             )
         elif flavor == "dv_deleted":
             # merge-on-read DELETE (r06, deletion vectors): two cumulative
@@ -677,6 +702,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bs_delete_where": _bs(
             "deleted", lambda: new_query().token("vector").build()
         ),
+        # CHECK constraints (r06): the poisoned matching rows were gated
+        # out by the drop-action constraints at write time
+        "bs_constraints": _bs(
+            "constrained", lambda: new_query().token("vector").build()
+        ),
         # merge-on-read DELETE via deletion vectors (r06): fr then es
         # dv-deleted as inline position masks — zero data rewrite; a token
         # query sees every surviving row and none of the masked ones
@@ -704,6 +734,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # OPTIMIZE ZORDER (r06): same rows through a re-clustered layout
         "bs_zorder": _bs(
             "zordered", lambda: new_query().token("vector").build()
+        ),
+        # scoped OPTIMIZE ... WHERE (r06): only the French partition was
+        # re-clustered, every other block passed through — rows identical
+        "bs_zorder_where": _bs(
+            "zorder_where", lambda: new_query().token("vector").build()
         ),
         # shallow CLONE (r06): exact reads through the zero-copy fork
         "bs_clone": _bs(
@@ -1392,6 +1427,7 @@ def oracle_sql() -> dict[str, str]:
         "bs_delete_where": (
             f"{sel} WHERE {_any_field_tok('vector')} AND lang <> 'fr'"
         ),
+        "bs_constraints": f"{sel} WHERE {_any_field_tok('vector')}",
         "bs_dv_delete": (
             f"{sel} WHERE {_any_field_tok('vector')} "
             "AND lang NOT IN ('fr', 'es')"
@@ -1403,6 +1439,7 @@ def oracle_sql() -> dict[str, str]:
             f"{sel} WHERE {_any_field_tok('vector')} AND lang <> 'fr'"
         ),
         "bs_zorder": f"{sel} WHERE {_any_field_tok('vector')}",
+        "bs_zorder_where": f"{sel} WHERE {_any_field_tok('vector')}",
         "bs_clone": f"{sel} WHERE {_any_field_tok('vector')}",
         "bs_dv_upsert": (
             "SELECT doc_id, 'upserted doc ' || CAST(doc_id AS VARCHAR) AS text, "

@@ -39,10 +39,13 @@ from .query import (
 )
 from .plans.build import build_index
 from .plans.external import build_external_index
+from .operators.constraints import ConstraintViolation
 from .plans.merge import (
     DeleteStats,
+    add_constraint,
     apply_changes_batch,
     clone,
+    drop_constraint,
     MergeStats,
     compact_blocks,
     expire_blocks,
@@ -75,6 +78,7 @@ __all__ = [
     "QueryStats", "RegexAnd", "RegexOr", "Token", "Tokenizer",
     "apply_changes_batch", "build_external_index", "clone", "build_index", "compact_blocks", "delete_where", "expire_blocks",
     "get_tokenizer", "merge_files", "new_query", "optimize_zorder", "register_tokenizer", "restore",
+    "ConstraintViolation", "add_constraint", "drop_constraint",
     "purge_deletion_vectors", "search", "sizing", "upsert_keys", "vacuum",
     "verify_integrity",
     "enable_read_checksum_verification",

@@ -446,6 +446,7 @@ def build_index(
     mode: str = "overwrite",
     meta_extra: dict | None = None,
     merge_schema: bool = False,
+    constraints: dict | None = None,
 ) -> mf.BloomIndex:
     """Build (or append to) a bloom index over ``df`` and commit it.
 
@@ -459,10 +460,49 @@ def build_index(
     that need commit-coupled metadata (e.g. the streaming batch watermark)
     must pass it here rather than stamping after commit, or a crash between
     commit and stamp breaks their invariant.
+
+    ``constraints`` (table creation only — appends INHERIT and enforce
+    the table's stored constraints automatically; use
+    :func:`add_constraint` to evolve them): ``{name: "sql expr"}`` or
+    ``{name: {"expr": ..., "action": "fail"|"drop"|"warn"}}`` CHECK
+    constraints, evaluated against every ingested row in the SAME pass
+    that stages it (an ``Observation`` — zero extra scans).  ``fail``
+    aborts the whole build before commit on any violation; ``drop``
+    filters violating rows and records counts in the commit's meta;
+    ``warn`` records counts only.  See ``operators/constraints.py``.
     Returns a handle to the committed version.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(mode)
+    from ..operators.constraints import (
+        ConstraintViolation,
+        collect_violations,
+        enforce_constraints,
+        normalize_constraints,
+        raise_on_failures,
+    )
+
+    cons = normalize_constraints(constraints)
+    if mode == "append":
+        if constraints:
+            raise ValueError(
+                "constraints are table-level: set them at creation "
+                "(mode='overwrite') or evolve them with add_constraint()"
+            )
+        cur = mf.current_version(root)
+        if cur is not None:
+            import json as _json
+
+            cons = normalize_constraints(
+                _json.loads(
+                    fsx.read_bytes(
+                        fsx.join(root, "manifest", cur, "meta.json")
+                    )
+                ).get("constraints")
+            )
+    raw_df, cons_obs = df, None
+    if cons:
+        df, cons_obs = enforce_constraints(df, cons)
     # build_id: the attempt tag baked into file/block ids, staging and
     # segment paths.  Deterministic for a fixed (root state, source) so a
     # crashed build resumes its own staging; the hash of (mode,
@@ -481,6 +521,7 @@ def build_index(
 
     scratch = mf.staging_root(root, attempt)
     staging = fsx.join(scratch, "staging.parquet")
+    ran_staging = not _stage_done(staging)
     if cfg.block_expr is not None:
         # clustered path: user-controlled block assignment, one data shuffle
         assigned = assign_blocks(df, cfg, build_tag=build_id)
@@ -521,7 +562,10 @@ def build_index(
             # (scaling-rule requirement).
             import math
 
-            n_rows = _estimate_rows(spark, df)
+            # RAW source: footer counts are filter-agnostic anyway, and the
+            # non-parquet count() fallback must not consume the constraint
+            # Observation with a pre-staging action
+            n_rows = _estimate_rows(spark, raw_df)
             per_task = cfg.max_block_rows * cfg.blocks_per_file
             want = max(1, math.ceil(n_rows / per_task))
             max_tasks = max(1, math.ceil(n_rows / cfg.max_block_rows))
@@ -536,6 +580,22 @@ def build_index(
                 .write.mode("overwrite")
                 .parquet(staging)
             )
+
+    if cons and ran_staging:
+        # violation counters rode the staging job (zero extra scans);
+        # fail-action violations abort BEFORE commit — nothing visible.
+        # A crash-RESUMED staging skips the check: the surviving scratch
+        # was produced by an enforced (filtered) run of this same build.
+        viol = collect_violations(cons_obs, cons)
+        try:
+            raise_on_failures(viol, cons)
+        except ConstraintViolation:
+            fsx.delete_dir(scratch)
+            raise
+        if viol:
+            meta_extra = {**(meta_extra or {}), "constraint_violations": viol}
+    if cons and mode == "overwrite":
+        meta_extra = {**(meta_extra or {}), "constraints": cons}
 
     st = spark.read.parquet(staging)
 

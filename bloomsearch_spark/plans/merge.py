@@ -1171,6 +1171,130 @@ def _mint_dv_delta(
         plan.unpersist()
 
 
+def _commit_table_property(
+    spark: SparkSession, index: BloomIndex, updates: dict, op: str
+) -> BloomIndex:
+    """Metadata-only table-property commit: every parent segment is
+    referenced verbatim (zero data/manifest-row bytes), only the named
+    meta keys change.  A falsy update value REMOVES the key."""
+    meta = index.meta()
+    refs = index.table_refs()
+
+    def finalize(prev_version: str | None) -> str:
+        version = mf.version_after(prev_version)
+        extra = {
+            "build_id": version,
+            "source_desc": f"{op} of {index.version}",
+            "parent_version": index.version,
+            "tables": {t: list(rs) for t, rs in refs.items()},
+            **{
+                k: meta[k]
+                for k in (
+                    "source_columns", "source_schema", "uniform_params",
+                    "external", "data_dir_override",
+                )
+                if meta.get(k) is not None
+            },
+            **mf.carried_meta(meta, for_append=True),
+        }
+        for k, v in updates.items():
+            if v:
+                extra[k] = v
+            else:
+                extra.pop(k, None)
+        mf.write_meta(
+            fsx.join(index.root, "manifest", version), index.config,
+            extra=extra,
+        )
+        return version
+
+    v = mf.publish_commit(index.root, finalize, expected=index.version)
+    return mf.BloomIndex(spark, index.root, v)
+
+
+def add_constraint(
+    spark: SparkSession,
+    index: BloomIndex,
+    name: str,
+    expr: str,
+    action: str = "fail",
+    validate: bool = True,
+    conflict_retries: int = 0,
+) -> BloomIndex:
+    """Add a CHECK constraint (``ALTER TABLE ADD CONSTRAINT`` analog —
+    see ``operators/constraints.py`` for semantics/actions).  Every later
+    ingest (append, upsert, CDC apply, streaming) enforces it in the
+    staging pass.  ``validate=True`` (fail-action only, the Delta
+    contract) first proves the EXISTING rows satisfy the expression —
+    one bounded scan (``limit(1)`` on violations; Catalyst stops early) —
+    so a committed fail constraint is a table-wide invariant, not just a
+    forward gate.  Metadata-only commit; works on shallow clones."""
+    from ..operators.constraints import (
+        ConstraintViolation,
+        normalize_constraints,
+        violation_pred,
+    )
+
+    if conflict_retries:
+        return _retry_conflicts(
+            spark, index, conflict_retries,
+            lambda ix: add_constraint(spark, ix, name, expr, action,
+                                      validate, 0),
+        )
+    cons = dict(normalize_constraints(index.meta().get("constraints")))
+    if name in cons:
+        raise ValueError(
+            f"constraint {name!r} already exists (CHECK "
+            f"{cons[name]['expr']!r}); drop_constraint first"
+        )
+    new = normalize_constraints({name: {"expr": expr, "action": action}})
+    if validate and new[name]["action"] == "fail":
+        from .search import scan_blocks
+
+        bad = (
+            scan_blocks(index, index.blocks())
+            .filter(violation_pred(expr))
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ConstraintViolation(
+                f"cannot add CHECK constraint {name!r}: existing rows "
+                f"violate {expr!r} — delete/fix them first, or add it "
+                "with action='drop'/'warn' (forward-only gate)"
+            )
+    cons.update(new)
+    return _commit_table_property(
+        spark, index, {"constraints": cons}, f"add_constraint {name}"
+    )
+
+
+def drop_constraint(
+    spark: SparkSession,
+    index: BloomIndex,
+    name: str,
+    conflict_retries: int = 0,
+) -> BloomIndex:
+    """Remove a CHECK constraint (``ALTER TABLE DROP CONSTRAINT``
+    analog).  Metadata-only commit."""
+    from ..operators.constraints import normalize_constraints
+
+    if conflict_retries:
+        return _retry_conflicts(
+            spark, index, conflict_retries,
+            lambda ix: drop_constraint(spark, ix, name, 0),
+        )
+    cons = dict(normalize_constraints(index.meta().get("constraints")))
+    if name not in cons:
+        raise ValueError(
+            f"no constraint named {name!r}; have {sorted(cons)}"
+        )
+    cons.pop(name)
+    return _commit_table_property(
+        spark, index, {"constraints": cons}, f"drop_constraint {name}"
+    )
+
+
 def purge_deletion_vectors(
     spark: SparkSession,
     index: BloomIndex,
@@ -1411,15 +1535,34 @@ def upsert_keys(
         )
     if key_field not in src_cols:
         raise ValueError(f"key field {key_field!r} not in source columns")
+    from ..operators.constraints import (
+        ConstraintViolation,
+        collect_violations,
+        enforce_constraints,
+        normalize_constraints,
+        raise_on_failures,
+    )
     from .build import STAGING_SCHEMA, _make_map_build_fn
     from .search import prune_blocks, scan_blocks
+
+    # the table's CHECK constraints gate the inserts; a drop-action
+    # violating row also loses its DELETE (its key comes from the
+    # filtered frame — a garbage row must not take out the good row it
+    # would have replaced).  The keys branch is filter-only: its bounded
+    # collect must not consume the staging job's Observation.
+    cons = normalize_constraints(index.meta().get("constraints"))
+    cons_obs = None
+    keys_src = source_df
+    if cons:
+        keys_src, _ = enforce_constraints(source_df, cons, observe=False)
+        source_df, cons_obs = enforce_constraints(source_df, cons)
 
     stats = DeleteStats()
     blocks = index.blocks()
     stats.blocks_before = blocks.count()
     stats.files_before = index.files().count()
 
-    keys = source_df.select(F.col(key_field).alias("_bs_key"))
+    keys = keys_src.select(F.col(key_field).alias("_bs_key"))
     if delete_keys_df is not None:
         if list(delete_keys_df.columns) != [key_field]:
             raise ValueError(
@@ -1499,6 +1642,19 @@ def upsert_keys(
         .write.mode("overwrite")
         .parquet(staging)
     )
+    if cons:
+        # counters rode the staging job; fail-action violations abort
+        # BEFORE commit (scratch + any minted dv segment stay unreachable)
+        viol = collect_violations(cons_obs, cons)
+        try:
+            raise_on_failures(viol, cons)
+        except ConstraintViolation:
+            if plan is not None:
+                plan.unpersist()
+            fsx.delete_dir(scratch)
+            raise
+        if viol:
+            meta_extra = {**(meta_extra or {}), "constraint_violations": viol}
     st = spark.read.parquet(staging)
     staged_blocks = st.filter(F.col("block_id").isNotNull()).select(
         "file_id", "block_id", "partition_id", "data_path", "row_count",
@@ -1804,6 +1960,12 @@ def restore(
             # CURRENT's replay watermark only — never rewound
             **mf.carried_meta(cur_meta, for_append=True),
         }
+        # CHECK constraints are table identity too: the TARGET's travel
+        # back (a restore to a pre-constraint version drops the gate) —
+        # carried_meta above would otherwise keep CURRENT's
+        extra.pop("constraints", None)
+        if "constraints" in t_meta:
+            extra["constraints"] = t_meta["constraints"]
         mf.write_meta(fsx.join(root, "manifest", v), target.config, extra=extra)
         return v
 
@@ -1918,7 +2080,7 @@ def clone(
                 k: t_meta[k]
                 for k in (
                     "source_columns", "source_schema", "uniform_params",
-                    "external", "last_stream_batch",
+                    "external", "last_stream_batch", "constraints",
                 )
                 if k in t_meta
             },

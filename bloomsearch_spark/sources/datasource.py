@@ -1828,6 +1828,29 @@ class BloomSearchArrowWriter(DataSourceArrowWriter):
         self.overwrite = overwrite
         self.cfg = _cfg_from_options(options, self.root, overwrite)
         self.schema = schema
+        # CHECK constraints gate every engine ingest path in the staging
+        # pass; this writer stages arrow-side where SQL expressions don't
+        # evaluate — refuse APPENDS to a constrained table loudly rather
+        # than silently skipping the gate (overwrite REPLACES the table,
+        # constraints included, like build_index overwrite)
+        if not overwrite:
+            cur = mf.current_version(self.root)
+            if cur is not None:
+                import json as _json
+
+                m = _json.loads(
+                    fsx.read_bytes(
+                        fsx.join(self.root, "manifest", cur, "meta.json")
+                    )
+                )
+                if m.get("constraints"):
+                    raise ValueError(
+                        "this index has CHECK constraints, which the DSv2 "
+                        "writer does not enforce — append through "
+                        "build_index()/stream_build()/upsert_keys() (they "
+                        "gate rows in the staging pass), or "
+                        "drop_constraint() first"
+                    )
         names = [f.name for f in schema.fields]
         if self.cfg.sha_col:
             if self.cfg.sha_col not in names:

@@ -575,6 +575,11 @@ def carried_meta(parent_meta: dict, for_append: bool = False) -> dict:
     out: dict = {}
     if "last_stream_batch" in parent_meta:
         out["last_stream_batch"] = parent_meta["last_stream_batch"]
+    if parent_meta.get("constraints"):
+        # CHECK constraints are table-level and survive EVERY commit —
+        # dropping them here would silently disable the quality gate on
+        # the next append
+        out["constraints"] = parent_meta["constraints"]
     if not for_append:
         out["source_columns"] = parent_meta.get("source_columns")
         out["uniform_params"] = parent_meta.get("uniform_params")
