@@ -23,6 +23,11 @@ job — ZERO extra scans of the source at any size.  Constraints live in
 the manifest meta (``constraints`` key) and are carried by every commit;
 appends inherit and enforce them automatically.
 
+Zero-copy EXTERNAL indexes are not gated: their rows are pre-existing
+source files the engine never writes — ``add_constraint`` still works
+(and validates) there, but it documents an invariant rather than
+enforcing new ingest (external overlays have no engine ingest path).
+
 Reference analog: none (the Go engine ingests whatever it is handed);
 this is the Delta-shaped quality gate its pipeline users expect.
 """
