@@ -40,7 +40,9 @@ from bloomsearch_spark import (
     build_index,
     compact_blocks,
     merge_files,
+    metadata_count,
     new_query,
+    partition_stats,
     search,
     vacuum,
 )
@@ -713,6 +715,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bs_dv_delete": _bs(
             "dv_deleted", lambda: new_query().token("vector").build()
         ),
+        # metadata-only COUNT (r06): exact count from the manifest alone,
+        # zero data bytes read — over the dv-deleted index, so the answer
+        # is only right if stale block row_counts are netted against the
+        # deletion-vector totals (merge-on-read)
+        "bs_count_meta": lambda spark, sf: metadata_count(
+            _index(spark, sf, "dv_deleted")
+        ),
+        # SHOW PARTITIONS with exact live row counts, manifest-only
+        # (n_blocks is layout-dependent, so the oracle checks n_rows)
+        "bs_partition_stats": lambda spark, sf: partition_stats(
+            _index(spark, sf, "main")
+        ).select("partition_id", "n_rows"),
         # RESTORE (r06): rolled back to the even-docs version (zero-copy
         # forward commit); the odd docs are gone again
         "bs_restore": _bs(
@@ -1431,6 +1445,14 @@ def oracle_sql() -> dict[str, str]:
         "bs_dv_delete": (
             f"{sel} WHERE {_any_field_tok('vector')} "
             "AND lang NOT IN ('fr', 'es')"
+        ),
+        "bs_count_meta": (
+            "SELECT CAST(count(*) AS BIGINT) AS cnt FROM documents "
+            "WHERE lang NOT IN ('fr', 'es')"
+        ),
+        "bs_partition_stats": (
+            "SELECT lang AS partition_id, CAST(count(*) AS BIGINT) AS n_rows "
+            "FROM documents GROUP BY lang"
         ),
         "bs_restore": (
             f"{sel} WHERE {_any_field_tok('vector')} AND doc_id % 2 = 0"

@@ -60,6 +60,7 @@ from .plans.merge import (
     vacuum,
     vacuum_manifest,
 )
+from .plans.metaquery import metadata_count, partition_stats
 from .plans.search import (
     QueryStats,
     enable_read_checksum_verification,
@@ -83,5 +84,5 @@ __all__ = [
     "verify_integrity",
     "enable_read_checksum_verification",
     "CommitConflict", "fold_manifest", "maintain", "vacuum_manifest",
-    "BloomSearchDataSource",
+    "BloomSearchDataSource", "metadata_count", "partition_stats",
 ]

@@ -1,0 +1,116 @@
+"""Metadata-only aggregation — answer COUNT-shaped queries from the
+manifest alone, ZERO data bytes read (the Delta Lake "metadata-only
+query" analog; no reference counterpart — bloomsearch always scans the
+surviving blocks, query.go only prunes).
+
+Exactness model
+---------------
+A block-manifest row carries the block's EXACT ``row_count`` and its
+EXACT ``partition_id`` (every row in the block has that partition value
+by construction, plans/build.py W2).  A prefilter tree made only of
+PARTITION conditions therefore decides every block *exactly*: either all
+of its rows satisfy the partition predicate or none do.  Summing
+``row_count`` over the surviving blocks — minus each block's
+deletion-vector count (DV deltas are disjoint by construction,
+sources/manifest.py DVS_SCHEMA, so the live deleted total per block is a
+plain SUM) — is the exact answer to
+
+    SELECT count(*) FROM <source> WHERE <partition predicate>
+
+MINMAX conditions are *conservative* (zone-map overlap, Q4): a block can
+overlap the range while holding zero matching rows, so they can prune
+but never count.  ``metadata_count`` REFUSES trees containing a MINMAX
+node rather than returning an upper bound that looks exact.  Bloom
+conditions never appear in prefilter trees at all.
+
+Strictness caveat (documented, matches search): a block with an empty
+``partition_id`` (index built without ``partition_expr``) fails every
+partition condition — the count equals what :func:`plans.search.search`
+with the same prefilter would return, which for an unpartitioned index
+under a partition predicate is zero.
+
+100 TB shape: both functions are one pass over the (cached,
+column-pruned) block manifest — O(blocks) manifest rows, never a data
+byte; the DV join is manifest-sized on both sides.  At 10^7 blocks that
+is a few hundred MB of manifest vs ~100 TB of data: the whole point.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..query import PrefilterExpr, compile_prefilter
+from ..sources.manifest import BloomIndex
+
+
+def _refuse_inexact(expr: Optional[PrefilterExpr]) -> None:
+    """MINMAX nodes are conservative (overlap, not membership) — a count
+    through one would silently be an upper bound.  Refuse loudly."""
+    if expr is None:
+        return
+    if expr.kind == "MINMAX":
+        raise ValueError(
+            f"metadata_count is exact only for PARTITION prefilters; the "
+            f"tree contains a MINMAX condition on {expr.field!r} — zone "
+            "maps are conservative (a block can overlap the range with "
+            "zero matching rows), so a metadata-only count through one "
+            "would be an upper bound, not an answer.  Run search() and "
+            "count the result, or drop the MINMAX condition"
+        )
+    for ch in expr.children:
+        _refuse_inexact(ch)
+
+
+def _net_rows(index: BloomIndex, blocks: DataFrame) -> DataFrame:
+    """(block rows) -> per-block live row counts, netting DV deletions."""
+    live = blocks.select("block_id", "row_count")
+    dvs = index.dvs()
+    if dvs is None:
+        return live.select("block_id", F.col("row_count").alias("live_rows"))
+    per_block = dvs.groupBy("block_id").agg(F.sum("dv_count").alias("_dv"))
+    return live.join(per_block, "block_id", "left").select(
+        "block_id",
+        (F.col("row_count") - F.coalesce(F.col("_dv"), F.lit(0))).alias(
+            "live_rows"
+        ),
+    )
+
+
+def metadata_count(
+    index: BloomIndex, prefilter: Optional[PrefilterExpr] = None
+) -> DataFrame:
+    """Exact ``SELECT count(*) WHERE <partition predicate>`` from the
+    manifest alone — one row ``(cnt long)``, zero data reads.
+
+    ``prefilter=None`` counts the whole index (net of deletion vectors) —
+    the ``SELECT count(*) FROM t`` fast path.
+    """
+    _refuse_inexact(prefilter)
+    surviving = index.blocks().filter(compile_prefilter(prefilter))
+    return _net_rows(index, surviving).agg(
+        F.coalesce(F.sum("live_rows"), F.lit(0)).cast("long").alias("cnt")
+    )
+
+
+def partition_stats(
+    index: BloomIndex, prefilter: Optional[PrefilterExpr] = None
+) -> DataFrame:
+    """``SHOW PARTITIONS`` with teeth: per-partition exact live row count
+    and block count, from the manifest alone — ``(partition_id string,
+    n_blocks long, n_rows long)``.  Same exactness rules as
+    :func:`metadata_count` (PARTITION-only prefilter, DV-netted)."""
+    _refuse_inexact(prefilter)
+    surviving = index.blocks().filter(compile_prefilter(prefilter))
+    net = _net_rows(index, surviving)
+    return (
+        surviving.select("block_id", "partition_id")
+        .join(net, "block_id")
+        .groupBy("partition_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum("live_rows").cast("long").alias("n_rows"),
+        )
+    )

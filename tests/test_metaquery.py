@@ -1,0 +1,134 @@
+"""Metadata-only COUNT / partition stats (r06) — exact answers from the
+manifest alone, zero data reads.
+
+Exactness ground truth is the generator pandas frame; DV-netting is
+proven by running a deletion-vector delete first (the manifest row_count
+is then stale by design — merge-on-read — and only the DV subtraction
+makes the count right).
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bloomsearch_spark import (
+    Between,
+    Eq,
+    In,
+    IndexConfig,
+    MinMax,
+    Ne,
+    Partition,
+    PrefilterAnd,
+    PrefilterOr,
+    build_index,
+    delete_where,
+    metadata_count,
+    new_query,
+    partition_stats,
+)
+from bloomsearch_spark.sources.synthetic import generate_df, generate_pdf
+
+CFG = IndexConfig(
+    indexed_fields=("repo", "path", "lang", "content"),
+    partition_expr="lang",
+    max_block_rows=100,
+    blocks_per_file=4,
+    sha_col="content",
+)
+
+
+def _cnt(df) -> int:
+    rows = df.collect()
+    assert len(rows) == 1 and df.columns == ["cnt"]
+    return rows[0].cnt
+
+
+def test_metadata_count_partition_exact(spark, tmp_root):
+    idx = build_index(spark, generate_df(spark, 900), tmp_root, CFG)
+    pdf = generate_pdf(900)
+
+    assert _cnt(metadata_count(idx)) == 900
+    for expr, mask in [
+        (Partition(Eq("go")), pdf["lang"] == "go"),
+        (Partition(In("go", "rust")), pdf["lang"].isin(["go", "rust"])),
+        (Partition(Ne("go")), pdf["lang"] != "go"),
+        (
+            PrefilterOr(Partition(Eq("go")), Partition(Eq("zzz"))),
+            pdf["lang"] == "go",
+        ),
+        (PrefilterAnd(Partition(Eq("go")), Partition(Ne("go"))), pdf["lang"] != pdf["lang"]),
+    ]:
+        assert _cnt(metadata_count(idx, expr)) == int(mask.sum())
+
+
+def test_metadata_count_refuses_minmax(spark, tmp_root):
+    idx = build_index(spark, generate_df(spark, 200), tmp_root, CFG)
+    with pytest.raises(ValueError, match="MINMAX"):
+        metadata_count(idx, MinMax("size", Between(0, 10)))
+    with pytest.raises(ValueError, match="MINMAX"):
+        partition_stats(
+            idx, PrefilterAnd(Partition(Eq("go")), MinMax("size", Eq(3)))
+        )
+
+
+def test_metadata_count_nets_deletion_vectors(spark, tmp_root):
+    idx = build_index(spark, generate_df(spark, 800), tmp_root, CFG)
+    pdf = generate_pdf(800)
+    hit = (
+        pdf["content"].str.lower().str.split().map(lambda t: "needle_alpha" in t)
+    )
+    out, stats = delete_where(
+        spark,
+        idx,
+        new_query().token("needle_alpha").build(),
+        use_deletion_vectors=True,
+    )
+    assert stats.rows_deleted == int(hit.sum()) > 0
+    # manifest row_count is unchanged (merge-on-read) — only DV netting
+    # makes the metadata count exact
+    assert _cnt(metadata_count(out)) == 800 - int(hit.sum())
+    langs = pdf[~hit].groupby("lang").size()
+    for lang, n in langs.items():
+        assert _cnt(metadata_count(out, Partition(Eq(lang)))) == int(n)
+    # the pre-delete snapshot still counts 800 (counts travel)
+    assert _cnt(metadata_count(idx)) == 800
+
+
+def test_metadata_count_after_rewrite_delete(spark, tmp_root):
+    idx = build_index(spark, generate_df(spark, 600), tmp_root, CFG)
+    pdf = generate_pdf(600)
+    hit = (
+        pdf["content"].str.lower().str.split().map(lambda t: "needle_alpha" in t)
+    )
+    out, _ = delete_where(spark, idx, new_query().token("needle_alpha").build())
+    assert _cnt(metadata_count(out)) == 600 - int(hit.sum())
+
+
+def test_partition_stats_matches_groupby(spark, tmp_root):
+    idx = build_index(spark, generate_df(spark, 900), tmp_root, CFG)
+    pdf = generate_pdf(900)
+    got = partition_stats(idx).toPandas().set_index("partition_id")
+    exp = pdf.groupby("lang").size()
+    assert sorted(got.index) == sorted(exp.index)
+    for lang, n in exp.items():
+        assert int(got.loc[lang, "n_rows"]) == int(n)
+    assert int(got["n_blocks"].sum()) == idx.n_blocks()
+    # prefiltered variant
+    one = partition_stats(idx, Partition(Eq("go"))).toPandas()
+    assert list(one["partition_id"]) == ["go"]
+    assert int(one["n_rows"][0]) == int(exp["go"])
+
+
+def test_unpartitioned_index_strict_semantics(spark, tmp_root):
+    cfg = IndexConfig(
+        indexed_fields=("repo", "content"),
+        max_block_rows=100,
+        sha_col="content",
+    )
+    idx = build_index(spark, generate_df(spark, 200), tmp_root, cfg)
+    assert _cnt(metadata_count(idx)) == 200
+    # strict partition eval: empty partition_id fails every condition —
+    # same rows search() would return
+    assert _cnt(metadata_count(idx, Partition(Eq("go")))) == 0
+    assert _cnt(metadata_count(idx, Partition(Ne("go")))) == 0
