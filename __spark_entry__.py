@@ -44,6 +44,7 @@ from bloomsearch_spark import (
     new_query,
     partition_stats,
     search,
+    search_needles,
     vacuum,
 )
 from bloomsearch_spark.functions.dedup import (
@@ -727,6 +728,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bs_partition_stats": lambda spark, sf: partition_stats(
             _index(spark, sf, "main")
         ).select("partition_id", "n_rows"),
+        # batched needle search (r06, the decontamination shape): N tokens
+        # through ONE probe pass + ONE data scan; verify is an exact
+        # explode+broadcast-join against the needle list
+        "bs_needles": lambda spark, sf: search_needles(
+            spark,
+            _index(spark, sf, "main"),
+            ["spark", "vector", "qqqzzz_absent_token"],
+        ).select("needle", F.col("doc_id").cast("long").alias("doc_id")),
         # RESTORE (r06): rolled back to the even-docs version (zero-copy
         # forward commit); the odd docs are gone again
         "bs_restore": _bs(
@@ -1453,6 +1462,18 @@ def oracle_sql() -> dict[str, str]:
         "bs_partition_stats": (
             "SELECT lang AS partition_id, CAST(count(*) AS BIGINT) AS n_rows "
             "FROM documents GROUP BY lang"
+        ),
+        "bs_needles": (
+            "SELECT n.needle, CAST(d.doc_id AS BIGINT) AS doc_id "
+            "FROM (VALUES ('spark'), ('vector'), ('qqqzzz_absent_token')) "
+            "AS n(needle) JOIN documents d ON ("
+            + " OR ".join(
+                "list_contains(string_split_regex(lower(d."
+                + c
+                + "), '\\s+'), n.needle)"
+                for c in ("text", "lang", "source")
+            )
+            + ")"
         ),
         "bs_restore": (
             f"{sel} WHERE {_any_field_tok('vector')} AND doc_id % 2 = 0"

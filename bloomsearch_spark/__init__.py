@@ -61,6 +61,7 @@ from .plans.merge import (
     vacuum_manifest,
 )
 from .plans.metaquery import metadata_count, partition_stats
+from .plans.needles import search_needles
 from .plans.search import (
     QueryStats,
     enable_read_checksum_verification,
@@ -85,4 +86,5 @@ __all__ = [
     "enable_read_checksum_verification",
     "CommitConflict", "fold_manifest", "maintain", "vacuum_manifest",
     "BloomSearchDataSource", "metadata_count", "partition_stats",
+    "search_needles",
 ]
