@@ -48,6 +48,7 @@ from bloomsearch_spark import (
     vacuum,
 )
 from bloomsearch_spark.functions.dedup import (
+    dedupe_corpus,
     duplicate_clusters,
     exact_duplicates,
     minhash_lsh_pairs,
@@ -868,6 +869,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("doc_id").cast("long").alias("doc_id"),
             F.col("cluster_id").cast("long").alias("cluster_id"),
         ),
+        # the dedup pipeline's END: materialize the deduped corpus — keep
+        # one canonical doc per near-dup cluster (min id), drop the rest,
+        # pass singletons through (oracle = recursive-CTE closure + NOT IN)
+        "dd_dedupe": lambda spark, sf: dedupe_corpus(
+            _docs(spark, sf),
+            minhash_lsh_pairs(_docs(spark, sf), "text", "doc_id", threshold=0.8, n=3),
+        ).select(F.col("doc_id").cast("long").alias("doc_id")),
         # --- similarity family ---
         "sim_topk": lambda spark, sf: brute_force_topk(
             _embs(spark, sf), _embs(spark, sf).filter(F.col("vec_id") < 5), k=10
@@ -1642,6 +1650,22 @@ def oracle_sql() -> dict[str, str]:
             "final AS (SELECT u, min(v) AS c FROM reach GROUP BY u)\n"
             "SELECT CAST(u AS BIGINT) AS doc_id, CAST(c AS BIGINT) AS cluster_id "
             "FROM final"
+        ),
+        "dd_dedupe": (
+            f"WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),\n"
+            "edges AS (\n"
+            "  SELECT doc_a AS u, doc_b AS v FROM pairs\n"
+            "  UNION\n"
+            "  SELECT doc_b, doc_a FROM pairs\n"
+            "),\n"
+            "reach(u, v) AS (\n"
+            "  SELECT u, u FROM (SELECT DISTINCT u FROM edges)\n"
+            "  UNION\n"
+            "  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u\n"
+            "),\n"
+            "final AS (SELECT u, min(v) AS c FROM reach GROUP BY u)\n"
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents "
+            "WHERE doc_id NOT IN (SELECT u FROM final WHERE u <> c)"
         ),
         "sim_topk": _TOPK_ORACLE,
         "sim_neardup": _NEARDUP_ORACLE,

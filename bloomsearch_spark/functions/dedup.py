@@ -493,3 +493,36 @@ def duplicate_clusters(
         )
     finally:
         edges.unpersist()
+
+
+def dedupe_corpus(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Materialize the DEDUPED corpus: the end of the dedup pipeline.
+
+    pair finding (any of the four families above) -> connected components
+    (:func:`duplicate_clusters`) -> keep ONE canonical representative per
+    cluster (the minimum id, the cluster label itself) -> anti-join the
+    losers out of the corpus.  Docs that appear in no pair survive
+    untouched (they are not vertices of the pair graph at all).
+
+    100 TB shape: the loser frame is vertex-sized (bounded by docs that
+    appear in some near-dup pair, typically a small fraction of the
+    corpus); the anti-join shuffles on the id — one corpus-sized shuffle,
+    unavoidable for a row-level subtraction, and AQE broadcast-converts it
+    when the loser side is small.  No reference analog (bloomsearch stops
+    at search); this is the standard CC-dedup shape (Kiveris et al.,
+    SoCC'14).
+    """
+    clusters = duplicate_clusters(
+        pairs, id_a=id_a, id_b=id_b, max_iterations=max_iterations
+    )
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

@@ -207,3 +207,19 @@ def test_duplicate_clusters_components_and_chain(spark):
 
     with _pytest.raises(RuntimeError, match="did not converge"):
         duplicate_clusters(pairs, max_iterations=1)
+
+
+def test_dedupe_corpus_keeps_canonical_and_singletons(spark):
+    from bloomsearch_spark.functions.dedup import dedupe_corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    got = sorted(r.doc_id for r in dedupe_corpus(docs, pairs).collect())
+    # clusters {1,2,3} -> keep 1, {5,6} -> keep 5; 0/4/7 never paired
+    assert got == [0, 1, 4, 5, 7]
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dedupe_corpus(docs, empty).count() == 8
