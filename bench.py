@@ -39,7 +39,13 @@ import time
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from bloomsearch_spark import IndexConfig, build_index, new_query, search
+from bloomsearch_spark import (
+    IndexConfig,
+    build_index,
+    new_query,
+    search,
+    search_needles,
+)
 from bloomsearch_spark.functions.dedup import exact_duplicates, minhash_lsh_pairs
 from bloomsearch_spark.functions.similarity import brute_force_topk, ivf_topk, lsh_topk
 from bloomsearch_spark.functions.text import text_stats
@@ -94,6 +100,7 @@ def main() -> None:
         "sim_neardup_lsh", "sim_neardup_oracle",
         "sk_hll", "sk_cms", "sk_tdigest", "sk_kll",
         "bs_datasource", "ref_scale_token", "ref_scale_miss",
+        "code_needles64", "ref_scale_needles64",
     }
     repeat: list[tuple[str, object]] = []
 
@@ -235,6 +242,26 @@ def main() -> None:
             return len(ratios)
 
         timed("prune_funnel", prune_funnel)
+
+        # batched needle search (r06): 64 needles (60 rare path tokens +
+        # 4 misses) through ONE probe pass + ONE scan — the
+        # decontamination shape.  Fixture prep (token pick) outside the
+        # timed stage.
+        needle_toks = [
+            r.path.lower()
+            for r in code.select("path")
+            .distinct()
+            .orderBy(F.xxhash64("path"))
+            .limit(60)
+            .collect()
+        ] + ["zz_nm1", "zz_nm2", "zz_nm3", "zz_nm4"]
+
+        def needles64():
+            return search_needles(
+                spark, code_idx, needle_toks, field="path"
+            ).count()
+
+        extras["code_needles64_hits"] = timed("code_needles64", needles64)
 
         # ---- 2c. row-set mutations (r06) -----------------------------------
         # one-shot stages on the code index: a bloom-pruned point DELETE,
@@ -489,6 +516,23 @@ def main() -> None:
                 "ref_scale_miss",
                 lambda: search(
                     spark, ref_idx, new_query().token("zz_absent_ref").build()
+                ).count(),
+            )
+            # 64 needles at reference scale, one pass — amortizes the
+            # probe + scan across the whole needle batch (vs 64 repeats
+            # of ref_scale_token's single-query wall)
+            ref_needle_toks = [
+                r.path.lower()
+                for r in ref.select("path")
+                .distinct()
+                .orderBy(F.xxhash64("path"))
+                .limit(64)
+                .collect()
+            ]
+            timed(
+                "ref_scale_needles64",
+                lambda: search_needles(
+                    spark, ref_idx, ref_needle_toks, field="path"
                 ).count(),
             )
 
