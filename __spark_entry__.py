@@ -574,6 +574,16 @@ def _index(spark: SparkSession, sf_dir: str, flavor: str) -> BloomIndex:
                     "chars_nonneg": {"expr": "n_chars >= 0", "action": "drop"},
                 },
             )
+        elif flavor == "renamed":
+            # column mapping (r06): metadata-only RENAME — physical names
+            # (parquet columns, bloom keys) frozen; queries and results
+            # speak the new logical name across ALL historical blocks
+            from bloomsearch_spark import rename_column
+
+            built = build_index(
+                spark, df, root, cfg, source_desc=f"documents@{sf_dir}"
+            )
+            idx = rename_column(spark, built, "text", "body")
         elif flavor == "dv_deleted":
             # merge-on-read DELETE (r06, deletion vectors): two cumulative
             # DV deletes (fr, then es) — ZERO data bytes move; every read
@@ -729,6 +739,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bs_partition_stats": lambda spark, sf: partition_stats(
             _index(spark, sf, "main")
         ).select("partition_id", "n_rows"),
+        # column mapping (r06): the query names the RENAMED column; the
+        # result frame carries it too — all from blocks written under the
+        # old physical name (zero data rewrite)
+        "bs_column_mapping": _bs(
+            "renamed", lambda: new_query().field_token("body", "vector").build()
+        ),
         # batched needle search (r06, the decontamination shape): N tokens
         # through ONE probe pass + ONE data scan; verify is an exact
         # explode+broadcast-join against the needle list
@@ -1470,6 +1486,10 @@ def oracle_sql() -> dict[str, str]:
         "bs_partition_stats": (
             "SELECT lang AS partition_id, CAST(count(*) AS BIGINT) AS n_rows "
             "FROM documents GROUP BY lang"
+        ),
+        "bs_column_mapping": (
+            "SELECT doc_id, text AS body, lang, source, n_chars "
+            f"FROM documents WHERE {_tok('text', 'vector')}"
         ),
         "bs_needles": (
             "SELECT n.needle, CAST(d.doc_id AS BIGINT) AS doc_id "

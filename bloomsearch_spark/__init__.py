@@ -60,6 +60,7 @@ from .plans.merge import (
     vacuum,
     vacuum_manifest,
 )
+from .plans.colmap import drop_column, rename_column
 from .plans.metaquery import metadata_count, partition_stats
 from .plans.needles import search_needles
 from .plans.search import (
@@ -86,5 +87,5 @@ __all__ = [
     "enable_read_checksum_verification",
     "CommitConflict", "fold_manifest", "maintain", "vacuum_manifest",
     "BloomSearchDataSource", "metadata_count", "partition_stats",
-    "search_needles",
+    "search_needles", "rename_column", "drop_column",
 ]

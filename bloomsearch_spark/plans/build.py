@@ -483,6 +483,7 @@ def build_index(
     )
 
     cons = normalize_constraints(constraints)
+    prev_meta: dict = {}
     if mode == "append":
         if constraints:
             raise ValueError(
@@ -493,16 +494,65 @@ def build_index(
         if cur is not None:
             import json as _json
 
-            cons = normalize_constraints(
-                _json.loads(
-                    fsx.read_bytes(
-                        fsx.join(root, "manifest", cur, "meta.json")
-                    )
-                ).get("constraints")
+            prev_meta = _json.loads(
+                fsx.read_bytes(fsx.join(root, "manifest", cur, "meta.json"))
             )
+            cons = normalize_constraints(prev_meta.get("constraints"))
     raw_df, cons_obs = df, None
     if cons:
+        # constraint exprs reference physical names; rename/drop of a
+        # constrained column is refused (plans/colmap.py), so for every
+        # constrained column logical == physical and the logical-named
+        # input frame evaluates them correctly
         df, cons_obs = enforce_constraints(df, cons)
+    mapping_extra: dict = {}
+    if mode == "append" and prev_meta.get("column_mapping"):
+        # column mapping (r06): the input arrives with LOGICAL names;
+        # everything staged/written is PHYSICAL.  Rename here, once, so
+        # tokenization, zone maps, sha and the parquet columns all land
+        # under the frozen physical names.  Columns NOT in the mapping
+        # are new (merge_schema widening — or drift, refused at commit):
+        # they keep their name unless it collides with a live or RETIRED
+        # physical (a dropped-then-re-added column must never resurrect
+        # the old blocks' values), in which case a fresh deterministic
+        # physical name is minted.
+        import hashlib as _hashlib
+
+        pmap = dict(prev_meta["column_mapping"])
+        # fail FAST with mapping-aware guidance: the commit-time column-set
+        # check would catch both cases, but only after staging ran (and a
+        # config expr over a missing physical column fails confusingly
+        # earlier still)
+        unknown = sorted(c for c in df.columns if c not in pmap)
+        absent = sorted(l for l in pmap if l not in df.columns)
+        if unknown and not merge_schema:
+            raise ValueError(
+                f"append columns {unknown} are not logical columns of the "
+                f"index (logical schema: {sorted(pmap)}) — renamed columns "
+                "must be supplied under their CURRENT logical names; pass "
+                "merge_schema=True to add genuinely new columns"
+            )
+        if absent:
+            raise ValueError(
+                f"append is missing logical columns {absent} (logical "
+                f"schema: {sorted(pmap)}) — supply them (nulls are fine) "
+                "or rebuild with mode='overwrite'"
+            )
+        taken = set(pmap.values()) | set(prev_meta.get("retired_columns") or [])
+        sel, extended = [], dict(pmap)
+        for c in df.columns:
+            if c in pmap:
+                phys = pmap[c]
+            else:
+                phys = c
+                if phys in taken:
+                    phys = f"{c}__m{_hashlib.sha1(f'{c}|{cur}'.encode()).hexdigest()[:6]}"
+                extended[c] = phys
+                taken.add(phys)
+            sel.append(F.col(c).alias(phys) if phys != c else F.col(c))
+        if extended != pmap:
+            mapping_extra["column_mapping"] = extended
+        df = df.select(*sel)
     # build_id: the attempt tag baked into file/block ids, staging and
     # segment paths.  Deterministic for a fixed (root state, source) so a
     # crashed build resumes its own staging; the hash of (mode,
@@ -676,7 +726,8 @@ def build_index(
         mf.build_commit_finalize(
             root, cfg, mode, seg_name, source_desc, list(df.columns),
             build_id,
-            {"source_schema": df.schema.json(), **(meta_extra or {})},
+            {"source_schema": df.schema.json(), **(meta_extra or {}),
+             **mapping_extra},
             merge_schema=merge_schema,
         ),
     )

@@ -451,7 +451,10 @@ def compact_blocks(
     cand = blocks
     if where is not None:
         from ..query import compile_prefilter
+        from .colmap import _map_prefilter
 
+        if index.column_mapping():
+            where = _map_prefilter(where, index.to_physical)
         cand = blocks.filter(compile_prefilter(where))
     # plan per (file, partition, params) group on executors — driver never
     # holds the block manifest (bounded at any block count)
@@ -657,7 +660,12 @@ def optimize_zorder(
                          "indexes are zero-copy — rebuild instead")
     _refuse_shallow_clone(index, "optimize_zorder")
     from .build import STAGING_SCHEMA, _make_map_build_fn
+    from .colmap import _map_prefilter
     from .search import scan_blocks
+
+    if index.column_mapping():
+        cols = [index.to_physical(c) for c in cols]
+        where = _map_prefilter(where, index.to_physical)
 
     cfg = index.config
     stats = DeleteStats()
@@ -888,6 +896,9 @@ def delete_where(
             "zero-copy external index (the source files are not ours to "
             "rewrite); use expire_blocks for block-granular expiry"
         )
+    from .colmap import translate_query
+
+    query = translate_query(index, query)  # logical -> physical names
     if use_deletion_vectors:
         return _delete_where_dv(spark, index, query)
     _refuse_shallow_clone(index, "delete_where")
@@ -1523,6 +1534,34 @@ def upsert_keys(
         )
     _refuse_shallow_clone(index, "upsert_keys")
     cfg = index.config
+    mapping = index.column_mapping()
+    if mapping:
+        # MERGE sources speak LOGICAL names; everything staged/compared is
+        # physical.  Same discipline as append (plans/build.py): whole-row
+        # replacement means the logical sets must match exactly, so
+        # unknown logicals get the append's guidance message.
+        unknown = sorted(c for c in source_df.columns if c not in mapping)
+        absent = sorted(l for l in mapping if l not in source_df.columns)
+        if unknown or absent:
+            raise ValueError(
+                "upsert source columns do not match the index's logical "
+                f"schema {sorted(mapping)} (missing: {absent}, unknown: "
+                f"{unknown}) — renamed columns must use their CURRENT "
+                "logical names; upsert replaces whole rows"
+            )
+        source_df = source_df.select(
+            *[F.col(c).alias(mapping[c]) for c in source_df.columns]
+        )
+        if key_field not in mapping:
+            raise ValueError(
+                f"key field {key_field!r} is not a logical column; have "
+                f"{sorted(mapping)}"
+            )
+        if delete_keys_df is not None:
+            delete_keys_df = delete_keys_df.select(
+                F.col(key_field).alias(mapping[key_field])
+            )
+        key_field = mapping[key_field]
     src_cols = list(source_df.columns)
     idx_cols = index.meta().get("source_columns")
     if idx_cols is not None and set(idx_cols) != set(src_cols):
@@ -1966,6 +2005,14 @@ def restore(
         extra.pop("constraints", None)
         if "constraints" in t_meta:
             extra["constraints"] = t_meta["constraints"]
+        # column mapping identity travels with the target the same way: a
+        # restore to a pre-rename version answers with the old logical
+        # names, and a pre-drop restore re-activates the column (the
+        # physical bytes never left)
+        for k in ("column_mapping", "retired_columns"):
+            extra.pop(k, None)
+            if k in t_meta:
+                extra[k] = t_meta[k]
         mf.write_meta(fsx.join(root, "manifest", v), target.config, extra=extra)
         return v
 
@@ -2081,6 +2128,7 @@ def clone(
                 for k in (
                     "source_columns", "source_schema", "uniform_params",
                     "external", "last_stream_batch", "constraints",
+                    "column_mapping", "retired_columns",
                 )
                 if k in t_meta
             },

@@ -191,7 +191,7 @@ def _project(index: BloomIndex, out: DataFrame) -> DataFrame:
     if source_columns:
         keep = ["needle"] + [c for c in source_columns if c in out.columns]
         out = out.select(*keep)
-    return out
+    return index.rename_to_logical(out)
 
 
 def search_needles(
@@ -208,10 +208,14 @@ def search_needles(
     (needle, matching row) pair; a row matching 3 needles appears 3
     times, each tagged.  Rows are exact (bloom FPs verified away)."""
     cfg = index.config
+    if field is not None and index.column_mapping():
+        # logical -> physical (unknown logicals become the reserved
+        # never-existing physical name -> deterministically empty)
+        field = index.to_physical(field)
     keys = _needle_list(needles, max_needles)
     if not keys:
         return _empty_result(index)
-    src_cols = index.meta().get("source_columns") or ()
+    src_cols = index.logical_columns() or ()
     if "needle" in src_cols:
         raise ValueError(
             "the source schema already has a column named 'needle' — "

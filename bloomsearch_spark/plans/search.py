@@ -550,6 +550,11 @@ def search(
     only), optionally with a QueryStats prune funnel.
     """
     cfg = index.config
+    # column mapping (r06): queries arrive in LOGICAL names; everything
+    # stored (bloom keys, zone maps, parquet columns) is physical
+    from .colmap import translate_query
+
+    query = translate_query(index, query)
     stats = QueryStats() if with_stats else None
     surviving = prune_blocks(index, query, stats)
     data = scan_blocks(index, surviving, stats)
@@ -603,6 +608,8 @@ def search(
     source_columns = index.meta().get("source_columns")
     if source_columns:
         out = out.select(*[c for c in source_columns if c in out.columns])
+    # physical -> logical names at the edge (identity when unmapped)
+    out = index.rename_to_logical(out)
 
     if with_stats:
         return out, stats

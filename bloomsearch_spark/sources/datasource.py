@@ -637,8 +637,20 @@ class BloomSearchReader(DataSourceReader):
         # the common no-DV case; the executor-side mask loads lazily once
         # per task from these immutable manifest segments
         self.dv_refs = tuple((meta.get("tables") or {}).get("dvs") or ())
+        # column mapping (r06): Spark-facing names are LOGICAL; everything
+        # stored (parquet columns, bloom keys, zone maps, IndexConfig) is
+        # physical.  Option queries and pushed filters translate
+        # logical -> physical at plan time; the one batch-emit point
+        # (_verify_batches) renames physical -> logical.
+        self.colmap = dict(meta.get("column_mapping") or {})
+        self._colmap_inv = {p: l for l, p in self.colmap.items()}
         self._bloom = self._parse_bloom_options(options)
         self._regex = self._parse_regex_options(options)
+        if self.colmap:
+            from ..plans.colmap import _map_bloom, _map_regex
+
+            self._bloom = _map_bloom(self._bloom, self._to_phys)
+            self._regex = _map_regex(self._regex, self._to_phys)
         self._pushed_prefilter: list[PrefilterExpr] = []
         self._pushed_bloom: list[BloomExpr] = []
         # (column, pyarrow Expression) conjuncts applied to the BLOCK scan
@@ -730,11 +742,35 @@ class BloomSearchReader(DataSourceReader):
             return "true" if v else "false"
         return str(v)
 
+    def _to_phys(self, name: str) -> str:
+        """Logical -> physical under the column mapping (identity without
+        one).  Unknown logicals get a reserved never-existing name, so a
+        harvested filter on them can only over-prune nothing (it is never
+        harvested: the physical matches no config field) and an exact
+        pushdown on them is skipped."""
+        if not self.colmap:
+            return name
+        return self.colmap.get(name, f"__bs_dropped__{name}")
+
+    def _phys_schema(self):
+        """out_schema with physical field names — dtype steering for the
+        pandas verify twins, which see pre-rename (physical) frames."""
+        if not self.colmap:
+            return self.out_schema
+        from pyspark.sql.types import StructField, StructType
+
+        return StructType(
+            [
+                StructField(self._to_phys(f.name), f.dataType, f.nullable)
+                for f in self.out_schema.fields
+            ]
+        )
+
     def _prefilter_of(self, f: "Filter") -> PrefilterExpr | None:
         attr = getattr(f, "attribute", None)
         if not attr or len(attr) != 1:
             return None
-        col = attr[0]
+        col = self._to_phys(attr[0])
         if col == self.partition_src:
             # the library's prefilter is STRICT: empty partition_id fails
             # every condition.  A WHERE clause genuinely matching ''
@@ -792,7 +828,7 @@ class BloomSearchReader(DataSourceReader):
         attr = getattr(f, "attribute", None)
         if not attr or len(attr) != 1:
             return None
-        col = attr[0]
+        col = self._to_phys(attr[0])
         if col not in self.indexed_fields:
             return None
         if isinstance(f, IsNotNull):
@@ -871,11 +907,13 @@ class BloomSearchReader(DataSourceReader):
         attr = getattr(f, "attribute", None)
         if not attr or len(attr) != 1:
             return None
-        col = attr[0]
+        col = attr[0]  # LOGICAL: Spark's WHERE speaks the user schema
         names = {fd.name for fd in self.out_schema.fields}
         if col not in names:
             return None
         dt = self.out_schema[col].dataType
+        # the expression runs against the PHYSICAL parquet read
+        col = self._to_phys(col)
         fld = pc.field(col)
         if isinstance(f, IsNull):
             return col, fld.is_null()
@@ -1079,10 +1117,18 @@ class BloomSearchReader(DataSourceReader):
                 )
             if self._regex is not None:
                 mask &= np.asarray(
-                    regex_verify_pdf(self._regex, pdf, self.out_schema),
+                    regex_verify_pdf(self._regex, pdf, self._phys_schema()),
                     dtype=bool,
                 )
             tbl = tbl.filter(pa.array(mask))
+        if len(tbl) and self.colmap:
+            # ONE rename at the emit edge: everything upstream (parquet
+            # read, DV mask, exact filters, verify) ran physical-named;
+            # everything downstream (null-fill, cast, Spark) is logical
+            inv = self._colmap_inv
+            tbl = tbl.rename_columns(
+                [inv.get(c, c) for c in tbl.column_names]
+            )
         if len(tbl):
             # null-fill columns a narrower historical block predates
             # (merge_schema widening): the committed union schema is the
@@ -1102,7 +1148,7 @@ class BloomSearchReader(DataSourceReader):
         internal columns (content_sha, partition_id) always, and unselected
         source columns under the ``columns`` option — is pruned at the
         parquet column-chunk level and never leaves the scan."""
-        names = [f.name for f in self.out_schema.fields]
+        names = [self._to_phys(f.name) for f in self.out_schema.fields]
         extra: list[str] = []
         if self._bloom is not None:
             jc = self._meta()["config"].get("json_col")
@@ -1587,9 +1633,23 @@ class BloomSearchDataSource(DataSource):
         if sj:
             full = StructType.fromJson(json.loads(sj))
             keep = meta.get("source_columns") or [f.name for f in full.fields]
-            return _with_meta_cols(
-                _user_columns(StructType([f for f in full.fields if f.name in keep]))
-            )
+            st = StructType([f for f in full.fields if f.name in keep])
+            cmap = meta.get("column_mapping")
+            if cmap:
+                # the Spark-facing schema speaks LOGICAL names (r06 column
+                # mapping); retired physicals were already pruned from
+                # source_columns/source_schema by drop_column
+                from pyspark.sql.types import StructField
+
+                inv = {p: l for l, p in cmap.items()}
+                st = StructType(
+                    [
+                        StructField(inv[f.name], f.dataType, f.nullable)
+                        for f in st.fields
+                        if f.name in inv
+                    ]
+                )
+            return _with_meta_cols(_user_columns(st))
         # pre-r04 manifest: one block's parquet schema gives the stored
         # dtypes; project to the meta's source_columns (order preserved).
         # Scan segments until a block row is found — a zero-row segment
@@ -1850,6 +1910,13 @@ class BloomSearchArrowWriter(DataSourceArrowWriter):
                         "build_index()/stream_build()/upsert_keys() (they "
                         "gate rows in the staging pass), or "
                         "drop_constraint() first"
+                    )
+                if m.get("column_mapping"):
+                    raise ValueError(
+                        "this index has a column mapping (renamed/dropped "
+                        "columns), which the DSv2 writer does not "
+                        "translate — append through build_index() (it "
+                        "renames logical to physical in the staging pass)"
                     )
         names = [f.name for f in schema.fields]
         if self.cfg.sha_col:

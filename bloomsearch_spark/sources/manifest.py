@@ -416,6 +416,7 @@ def build_commit_finalize(
     starts clean".  Runs inside the commit lock: O(meta.json) work only."""
 
     def finalize(prev_version: str | None) -> str:
+        me = dict(meta_extra or {})
         version = version_after(prev_version)
         vdir = fsx.join(_manifest_dir(root), version)
         seg_tables = {t: [segment_ref(seg_name, t)] for t in TABLES}
@@ -508,7 +509,7 @@ def build_commit_finalize(
             # merge_schema; compared on the Catalyst type json, so
             # nested struct/array drift is caught too
             prev_sj = prev_meta.get("source_schema")
-            new_sj = (meta_extra or {}).get("source_schema")
+            new_sj = me.get("source_schema")
             if prev_sj and new_sj:
                 pt = {
                     f["name"]: f["type"] for f in json.loads(prev_sj)["fields"]
@@ -538,6 +539,33 @@ def build_commit_finalize(
                 lvl: (v if prev_up.get(lvl) == v else None) for lvl, v in up.items()
             }
             carry = carried_meta(prev_meta, for_append=True)
+            # column-mapping races: this append staged parquet under
+            # physical names derived from ITS planning version's mapping.
+            # A concurrent RENAME is harmless (physical names are stable
+            # across renames; the fresh mapping wins below).  A concurrent
+            # DROP retires a physical this append may have staged —
+            # re-referencing it would resurrect the dropped column, so
+            # refuse loudly (the re-run replans against the new mapping).
+            retired_now = set(prev_meta.get("retired_columns") or ())
+            clash = sorted(retired_now & set(source_columns))
+            if clash:
+                raise CommitConflict(
+                    f"append staged columns {clash} that a concurrent "
+                    "drop_column retired — re-run the append (it will "
+                    "replan against the current column mapping)"
+                )
+            if me.get("column_mapping"):
+                # this append EXTENDED the mapping (merge_schema new
+                # columns).  Merge over the FRESH predecessor's mapping by
+                # physical identity, so a concurrent rename's logical keys
+                # win and only genuinely-new entries land
+                fresh = prev_meta.get("column_mapping") or {}
+                taken = set(fresh.values())
+                merged = dict(fresh)
+                for ln, pn in me["column_mapping"].items():
+                    if ln not in merged and pn not in taken:
+                        merged[ln] = pn
+                me["column_mapping"] = merged
         write_meta(
             vdir,
             cfg,
@@ -548,7 +576,7 @@ def build_commit_finalize(
                 "uniform_params": up,
                 "tables": tables,
                 **carry,
-                **(meta_extra or {}),
+                **me,
             },
         )
         return version
@@ -580,6 +608,17 @@ def carried_meta(parent_meta: dict, for_append: bool = False) -> dict:
         # dropping them here would silently disable the quality gate on
         # the next append
         out["constraints"] = parent_meta["constraints"]
+    if parent_meta.get("column_mapping"):
+        # column mapping (logical -> frozen physical name) is table-level
+        # identity exactly like constraints: a commit that drops it makes
+        # every read path fall back to physical names — renamed columns
+        # silently revert and dropped columns resurrect
+        out["column_mapping"] = parent_meta["column_mapping"]
+    if parent_meta.get("retired_columns"):
+        # physical names ever dropped: a later merge_schema re-add of the
+        # same logical name must mint a FRESH physical name or the old
+        # blocks' values resurrect under the new column
+        out["retired_columns"] = parent_meta["retired_columns"]
     if not for_append:
         out["source_columns"] = parent_meta.get("source_columns")
         out["uniform_params"] = parent_meta.get("uniform_params")
@@ -855,6 +894,65 @@ class BloomIndex:
         return dvs.groupBy("data_path").agg(
             F.flatten(F.collect_list("positions")).alias("dv_positions")
         )
+
+    # -- column mapping (logical -> frozen physical names, r06) ----------
+    # Parquet columns, bloom field keys, zone-map keys and every
+    # IndexConfig field reference PHYSICAL names, frozen at first write;
+    # rename/drop are metadata-only commits that edit the logical->physical
+    # map (plans/colmap.py).  An absent/empty mapping means identity —
+    # the universal pre-mapping back-compat case.
+
+    def column_mapping(self) -> dict:
+        """logical -> physical column names; {} = identity (no renames or
+        drops ever committed)."""
+        return dict(self.meta().get("column_mapping") or {})
+
+    def retired_columns(self) -> list:
+        """Physical names of dropped columns (still present in old block
+        files; excluded from every logical read)."""
+        return list(self.meta().get("retired_columns") or [])
+
+    def to_physical(self, name: str) -> str:
+        """Logical column name -> physical.  Unknown logical names under
+        an active mapping translate to a reserved never-existing physical
+        name, so queries on them deterministically match nothing (the
+        same 'not indexed means cannot match' rule as verify.py)."""
+        m = self.meta().get("column_mapping")
+        if not m:
+            return name
+        return m.get(name, f"__bs_dropped__{name}")
+
+    def logical_columns(self) -> list | None:
+        """Logical source columns in stored physical order (the user-facing
+        schema), or None when the meta records no source_columns."""
+        cols = self.meta().get("source_columns")
+        if cols is None:
+            return None
+        m = self.meta().get("column_mapping")
+        if not m:
+            return list(cols)
+        inv = {p: l for l, p in m.items()}
+        return [inv[p] for p in cols if p in inv]
+
+    def rename_to_logical(self, df: DataFrame) -> DataFrame:
+        """Physical-named frame -> logical-named projection: mapped
+        columns alias to their logical name, retired (dropped) physicals
+        are excluded, anything else (internal columns) passes through.
+        Identity no-op when the table has no mapping."""
+        m = self.meta().get("column_mapping")
+        if not m:
+            return df
+        inv = {p: l for l, p in m.items()}
+        retired = set(self.meta().get("retired_columns") or [])
+        cols = []
+        for c in df.columns:
+            if c in inv:
+                cols.append(F.col(c).alias(inv[c]))
+            elif c in retired:
+                continue
+            else:
+                cols.append(F.col(c))
+        return df.select(*cols)
 
     def meta(self) -> dict:
         m = getattr(self, "_meta", None)

@@ -227,6 +227,22 @@ class BloomSearchStreamReader(DataSourceStreamReader):
         self.blocks_per_task = int(options.get("blocks_per_task", "16"))
         self.with_meta = _opt_bool(options, "commit_metadata")
         self.with_events = _opt_bool(options, "change_events")
+        # column mapping (r06): block files are PHYSICAL-named; the feed's
+        # schema (pinned at source start) speaks LOGICAL names.  Pin the
+        # physical->logical inverse alongside: physical names are stable
+        # across renames, so historical AND future rows render under the
+        # pinned logical names — the same fixed-schema contract as any
+        # mid-feed widening (restart the feed to pick up newer mappings).
+        self.colmap_inv: dict = {}
+        cur = mf.current_version(self.root)
+        if cur is not None:
+            import json as _json
+
+            _m = _json.loads(
+                fsx.read_bytes(fsx.join(self.root, "manifest", cur, "meta.json"))
+            ).get("column_mapping")
+            if _m:
+                self.colmap_inv = {p: l for l, p in _m.items()}
         mvpt = options.get("max_versions_per_trigger")
         self.max_versions = int(mvpt) if mvpt is not None else None
         if self.max_versions is not None and self.max_versions < 1:
@@ -653,6 +669,11 @@ class BloomSearchStreamReader(DataSourceStreamReader):
             # No pandas round-trip: ``Table.from_pandas`` would
             # corrupt every stored float NaN to NULL (pandas null
             # sentinel), changing the rows the feed emits.
+            if self.colmap_inv:
+                inv = self.colmap_inv
+                tbl = tbl.rename_columns(
+                    [inv.get(c, c) for c in tbl.column_names]
+                )
             out = pa.Table.from_arrays(
                 [
                     tbl[n]
