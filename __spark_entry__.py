@@ -68,6 +68,12 @@ from bloomsearch_spark.functions.multimodal import (
     sample_frames,
     with_media_metadata,
 )
+from bloomsearch_spark.functions.sample import (
+    det_sample,
+    sample_sql,
+    split_corpus,
+    split_sql,
+)
 from bloomsearch_spark.functions.text import text_stats
 from bloomsearch_spark.sketches.countmin import cms_sketch
 from bloomsearch_spark.sketches.hll import approx_distinct
@@ -644,6 +650,25 @@ def _index(spark: SparkSession, sf_dir: str, flavor: str) -> BloomIndex:
                 root, cfg, source_desc=f"documents-odd@{sf_dir}", mode="append",
             )
             idx = restore(spark, v2, version=v1.version)
+        elif flavor == "widened":
+            # TYPE WIDENING (r06 late): even docs committed with n_chars
+            # as int32, odd docs appended as bigint under merge_schema —
+            # the committed union schema carries long and every read
+            # casts the narrow historical blocks up (token + zone-map
+            # identity across widths)
+            build_index(
+                spark,
+                df.filter(F.col("doc_id") % 2 == 0).withColumn(
+                    "n_chars", F.col("n_chars").cast("int")
+                ),
+                root, cfg, source_desc=f"documents-even@{sf_dir}",
+            )
+            idx = build_index(
+                spark,
+                df.filter(F.col("doc_id") % 2 == 1),
+                root, cfg, source_desc=f"documents-odd@{sf_dir}",
+                mode="append", merge_schema=True,
+            )
         elif flavor == "evolved":
             # two-schema index: base commit, then a merge_schema widening
             # append that adds the (indexed) tag column
@@ -686,6 +711,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
+
+
+# deterministic split weights (pp_split): tuple-of-pairs so the literal is
+# immutable; insertion order fixes the md5 hex intervals forever
+_PP_WEIGHTS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
 
 
 def _bs(flavor: str, qbuilder) -> Callable[[SparkSession, str], DataFrame]:
@@ -912,8 +942,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk_cms_counts": _sk_cms_counts,
         "sk_tdigest_q": _sk_quantile_query(td_sketch, "l_extendedprice", "lineitem", 0.01),
         "sk_kll_q": _sk_quantile_query(kll_sketch, "value", "events", 0.015),
+        # --- type widening (r06 late): int32 blocks + bigint blocks under
+        #     ONE committed long schema; values exact through the up-cast ---
+        "bs_type_widening": _bs(
+            "widened", lambda: new_query().token("vector").build()
+        ),
         # --- text analysis family ---
         "txt_stats": lambda spark, sf: text_stats(_docs(spark, sf), "text"),
+        # --- deterministic split/sample (r06 late): membership is a pure
+        #     function of (salt, key) via md5 hex intervals — reproducible
+        #     across runs, partitionings and ENGINES (DuckDB recomputes
+        #     the exact same assignment) ---
+        "pp_split": lambda spark, sf: split_corpus(
+            _docs(spark, sf).select("doc_id"),
+            "doc_id",
+            dict(_PP_WEIGHTS),
+            salt="r06",
+        ),
+        "pp_sample": lambda spark, sf: det_sample(
+            _docs(spark, sf).select("doc_id", "lang"),
+            "doc_id",
+            0.5,
+            salt="r06",
+            stratify_by="lang",
+        ),
         # --- multimodal family (deterministic FAKE1 codec; real binary
         #     column plumbing: metadata from magic bytes + Arrow-batched
         #     decode / 1->N frame sampling) ---
@@ -1690,6 +1742,20 @@ def oracle_sql() -> dict[str, str]:
         "sim_topk": _TOPK_ORACLE,
         "sim_neardup": _NEARDUP_ORACLE,
         "txt_stats": _TXT_STATS_ORACLE,
+        # type widening: the Spark result reads int32 historical blocks
+        # under the committed long schema; documents.n_chars is already
+        # BIGINT in DuckDB, so plain equality proves the up-cast is exact
+        "bs_type_widening": f"{sel} WHERE {_any_field_tok('vector')}",
+        # deterministic split/sample: DuckDB recomputes the EXACT same
+        # md5-interval membership (the whole point — engine-portable)
+        "pp_split": (
+            f"SELECT doc_id, {split_sql('doc_id', dict(_PP_WEIGHTS), salt='r06')} "
+            "AS split FROM documents"
+        ),
+        "pp_sample": (
+            "SELECT doc_id, lang FROM documents WHERE "
+            + sample_sql("doc_id", 0.5, salt="r06", stratify_sql="lang")
+        ),
         # FAKE1 codec is deliberately SQL-expressible: header fields derive
         # from (n_chars, doc_id); mean_luma = (seed*31+7)%256
         "mm_decode": (

@@ -397,6 +397,25 @@ def travel_retained(
     return sorted(keep)
 
 
+# lossless type-promotion chains for merge_schema TYPE WIDENING (Delta
+# type-widening analog).  Catalyst json primitive names; rank order =
+# widening direction.  Cross-chain promotions (int→double) are refused:
+# lossy past 2^53, and token identity under Go %v would not survive.
+_WIDEN_CHAINS = (
+    {"byte": 0, "short": 1, "integer": 2, "long": 3},
+    {"float": 0, "double": 1},
+)
+
+
+def _widen_type(a, b):
+    """The wider of two Catalyst json types when both sit on one widening
+    chain, else None (not widenable)."""
+    for chain in _WIDEN_CHAINS:
+        if isinstance(a, str) and isinstance(b, str) and a in chain and b in chain:
+            return a if chain[a] >= chain[b] else b
+    return None
+
+
 def build_commit_finalize(
     root: str,
     cfg,
@@ -505,28 +524,60 @@ def build_commit_finalize(
                         "mode='overwrite'"
                     )
             # type drift on a shared column corrupts the null-filled
-            # union read (and the zone maps) — refuse it regardless of
-            # merge_schema; compared on the Catalyst type json, so
-            # nested struct/array drift is caught too
+            # union read (and the zone maps) — refuse it by default;
+            # compared on the Catalyst type json, so nested struct/array
+            # drift is caught too.  ``merge_schema=True`` additionally
+            # opts into TYPE WIDENING (Delta type-widening analog) along
+            # the lossless promotion chains byte→short→int→long and
+            # float→double: the committed union schema carries the WIDEST
+            # type ever seen per column and every read path casts up
+            # (Spark 4's parquet reader reads int32 under a bigint
+            # read-schema natively; the arrow faces end in .cast()).
+            # Token identity holds across the chain — the tokenizer
+            # already renders every integer width identically and treats
+            # all floats as float64 (float32→float64 is value-exact), so
+            # blooms written under the narrow type verify under the wide
+            # one.  int→double stays refused (lossy past 2^53, and the
+            # Go-%v token of 5 vs 5.0 only coincides below 1e21).
             prev_sj = prev_meta.get("source_schema")
             new_sj = me.get("source_schema")
             if prev_sj and new_sj:
-                pt = {
-                    f["name"]: f["type"] for f in json.loads(prev_sj)["fields"]
-                }
-                nt = {
-                    f["name"]: f["type"] for f in json.loads(new_sj)["fields"]
-                }
+                pj, nj = json.loads(prev_sj), json.loads(new_sj)
+                pt = {f["name"]: f["type"] for f in pj["fields"]}
+                nt = {f["name"]: f["type"] for f in nj["fields"]}
                 drift = sorted(
                     c for c in pt.keys() & nt.keys() if pt[c] != nt[c]
                 )
-                if drift:
+                if drift and not merge_schema:
                     raise ValueError(
                         f"append changes the type of columns {drift} — "
                         "column types are immutable: cast the DataFrame "
-                        "to the index's types or rebuild with "
-                        "mode='overwrite'"
+                        "to the index's types, pass merge_schema=True to "
+                        "widen along byte→short→int→long / float→double, "
+                        "or rebuild with mode='overwrite'"
                     )
+                if drift:
+                    bad = [
+                        c
+                        for c in drift
+                        if _widen_type(pt[c], nt[c]) is None
+                    ]
+                    if bad:
+                        pairs = {c: (pt[c], nt[c]) for c in bad}
+                        raise ValueError(
+                            "merge_schema only widens types along "
+                            "byte→short→int→long and float→double; "
+                            f"columns {pairs} drift outside the chains — "
+                            "cast the DataFrame or rebuild with "
+                            "mode='overwrite'"
+                        )
+                    # commit the per-column WIDEST type: the read
+                    # contract must cover every block ever written,
+                    # including this append's if it is the wide side
+                    for f in nj["fields"]:
+                        if f["name"] in drift:
+                            f["type"] = _widen_type(pt[f["name"]], f["type"])
+                    me["source_schema"] = json.dumps(nj)
             tables = {t: prev.table_refs()[t] + seg_tables[t] for t in TABLES}
             # deletion vectors survive appends unchanged — dropping the
             # refs here would silently RESURRECT every DV-deleted row on
