@@ -242,6 +242,74 @@ def _sk_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "tok string, n_exact long, cms_ok boolean")
 
 
+def _sk_bloom_member(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom as a first-class sketch-family UDAF (north rule: HLL /
+    count-min / t-digest / KLL / BLOOM), through the same partials->merge
+    pipeline and the same bound-check oracle pattern: per lang, build a
+    merged bloom over the distinct tokens, then assert (a) ZERO false
+    negatives — every present token probes maybe-present (the bloom hard
+    guarantee, end to end through Spark) and (b) the observed FP rate on
+    guaranteed-absent probes (suffixed tokens anti-joined against the real
+    set) within the realized-fill bound fill**k with 4 sigma binomial
+    slack.  The SQL oracle recomputes the exact distinct count and asserts
+    TRUE, so any violation hash-mismatches."""
+    from bloomsearch_spark.sketches.bloomsketch import (
+        BloomSketch,
+        bloom_contains,
+        bloom_merged,
+        bloom_partials,
+    )
+
+    toks = _doc_tokens(spark, sf_dir).distinct().cache()
+    merged = bloom_merged(
+        bloom_partials(toks, "tok", ("lang",), expected_items=1 << 14, fpr=0.01),
+        ("lang",),
+    ).cache()
+
+    pres = (
+        bloom_contains(toks, "tok", merged, ("lang",))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.sum(F.col("maybe_present").cast("long")).alias("n_hit"),
+        )
+    )
+    absent = toks.select(
+        "lang", F.concat("tok", F.lit("#zz_absent")).alias("tok")
+    ).join(toks, ["lang", "tok"], "left_anti")
+    fps = (
+        bloom_contains(absent, "tok", merged, ("lang",))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_abs"),
+            F.sum(F.col("maybe_present").cast("long")).alias("n_fp"),
+        )
+    )
+    # per-lang expected FP probability from the realized merged bitset
+    bounds = spark.createDataFrame(
+        [
+            (r.lang, BloomSketch.from_bytes(bytes(r.sketch)).fp_rate_bound())
+            for r in merged.collect()
+        ],
+        "lang string, p double",
+    )
+    return (
+        pres.join(fps, "lang")
+        .join(bounds, "lang")
+        .select(
+            "lang",
+            "n_exact",
+            (F.col("n_hit") == F.col("n_exact")).alias("bloom_no_fn"),
+            (
+                F.col("n_fp")
+                <= F.col("n_abs") * F.col("p")
+                + 4.0 * F.sqrt(F.col("n_abs") * F.col("p") * (1.0 - F.col("p")))
+                + 1.0
+            ).alias("bloom_fp_ok"),
+        )
+    )
+
+
 def _strm_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator, driver-gated with the sketch
     bound-check oracle pattern: replay the ``events`` table as a multi-file
@@ -940,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- mergeable sketch family (HLL / CMS / t-digest / KLL) ---
         "sk_hll_distinct": _sk_hll_distinct,
         "sk_cms_counts": _sk_cms_counts,
+        "sk_bloom_member": _sk_bloom_member,
         "sk_tdigest_q": _sk_quantile_query(td_sketch, "l_extendedprice", "lineitem", 0.01),
         "sk_kll_q": _sk_quantile_query(kll_sketch, "value", "events", 0.015),
         # --- type widening (r06 late): int32 blocks + bigint blocks under
@@ -1638,6 +1707,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT w.tok, CAST(coalesce(n, 0) AS BIGINT) AS n_exact, "
             "TRUE AS cms_ok FROM wanted w LEFT JOIN "
             "(SELECT tok, count(*) AS n FROM toks GROUP BY tok) c ON w.tok = c.tok"
+        ),
+        "sk_bloom_member": (
+            "SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS n_exact, "
+            "TRUE AS bloom_no_fn, TRUE AS bloom_fp_ok FROM ("
+            "  SELECT lang, unnest(list_filter(string_split_regex(lower(text), "
+            "'\\s+'), t -> t <> '')) AS tok FROM documents) GROUP BY lang"
         ),
         "sk_tdigest_q": (
             "SELECT CAST(q AS DOUBLE) AS q, TRUE AS rank_ok FROM (VALUES "

@@ -2,9 +2,11 @@
 KLL / Bloom family) — built from scratch as numpy-kernel states with
 associative merges, serialized partials, and the shared two-stage Spark
 pipeline in ``pipeline.py`` (map-side partials -> manifest-sized merge).
-The Bloom member of the family is the engine itself (``bloomsearch_spark.
-bloom`` + the index build plans)."""
+The Bloom member of the family is both the engine itself (``bloomsearch_
+spark.bloom`` + the index build plans) and a first-class sketch UDAF
+(``bloomsketch.BloomSketch`` through the same pipeline)."""
 
+from .bloomsketch import BloomSketch
 from .countmin import CountMin
 from .hll import HLL
 from .kll import KLL
@@ -13,6 +15,7 @@ from .tdigest import TDigest
 
 __all__ = [
     "HLL",
+    "BloomSketch",
     "CountMin",
     "KLL",
     "TDigest",

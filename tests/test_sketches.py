@@ -254,3 +254,94 @@ def test_spark_group_quantiles(spark):
             )
             rank = np.searchsorted(vals, r.value) / len(vals)
             assert abs(rank - r.q) <= max(bound, 3.0 / len(vals)), r
+
+
+# ---------------------------------------------------------------------------
+# Bloom as a sketch-family UDAF (bloomsketch.py)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_sketch_guarantees():
+    """No false negatives EVER; observed FP rate on absent probes within the
+    realized-fill bound fill**k (4 sigma binomial slack); cardinality
+    estimate within 5% (deterministic hashing => fixed property)."""
+    from bloomsearch_spark.sketches import BloomSketch
+
+    n = 20_000
+    sk = BloomSketch(expected_items=1 << 15, fpr=0.01)
+    present = _tokens(n)
+    sk.add_values(present)
+    assert sk.contains(present).all()  # bloom hard guarantee
+
+    absent = _tokens(n, offset=10_000_000)
+    fp = int(sk.contains(absent).sum())
+    p = sk.fp_rate_bound()
+    assert fp <= n * p + 4 * (n * p * (1 - p)) ** 0.5 + 1, (fp, p)
+    assert abs(sk.approx_items() - n) <= 0.05 * n
+
+
+def test_bloom_sketch_merge_algebra():
+    """OR-merge is associative/commutative/idempotent BITWISE; param
+    mismatch refuses (same rule as the index bitsets, M4)."""
+    from bloomsearch_spark.sketches import BloomSketch
+
+    vals = _tokens(30_000)
+    single = BloomSketch(1 << 14, 0.01)
+    single.add_values(vals)
+    parts = []
+    for chunk in np.array_split(vals, 11):
+        p = BloomSketch(1 << 14, 0.01)
+        p.add_values(chunk)
+        parts.append(p)
+    random.seed(3)
+    random.shuffle(parts)
+    acc = BloomSketch(1 << 14, 0.01)
+    for p in parts:
+        acc.merge(p)
+    acc.merge(parts[5]).merge(parts[5])
+    assert np.array_equal(acc.bitset, single.bitset)
+    blob = acc.to_bytes()
+    assert BloomSketch.from_bytes(blob).to_bytes() == blob
+    with pytest.raises(ValueError, match="different params"):
+        BloomSketch(1 << 14, 0.01).merge(BloomSketch(1 << 14, 0.02))
+
+
+def test_spark_bloom_membership(spark, doc_tokens, tmp_path):
+    """Spark pipeline: per-lang merged blooms admit every present token
+    (no false negatives through the full partials->merge->probe path),
+    bound the FP rate on guaranteed-absent probes, and partials persisted
+    to parquet re-merge BITWISE identically (checkpoint-resume)."""
+    from bloomsearch_spark.sketches.bloomsketch import (
+        bloom_contains,
+        bloom_merged,
+        bloom_partials,
+    )
+
+    toks = doc_tokens.distinct()
+    partials = bloom_partials(toks, "tok", ("lang",), expected_items=1 << 14, fpr=0.01)
+    ckpt = str(tmp_path / "bloom_partials.parquet")
+    partials.write.mode("overwrite").parquet(ckpt)
+    merged = bloom_merged(spark.read.parquet(ckpt), ("lang",))
+    direct = {r.lang: bytes(r.sketch) for r in bloom_merged(partials, ("lang",)).collect()}
+    resumed = {r.lang: bytes(r.sketch) for r in merged.collect()}
+    assert direct == resumed
+
+    present = bloom_contains(toks, "tok", merged, ("lang",))
+    n_present, n_hit = present.agg(
+        F.count("*"), F.sum(F.col("maybe_present").cast("long"))
+    ).first()
+    assert n_present > 0 and n_hit == n_present  # zero false negatives
+
+    # guaranteed-absent probes: suffix every token, anti-join the real set
+    absent = (
+        toks.select("lang", F.concat("tok", F.lit("#zz_absent")).alias("tok"))
+        .join(toks, ["lang", "tok"], "left_anti")
+    )
+    probed = bloom_contains(absent, "tok", merged, ("lang",))
+    n_abs, n_fp = probed.agg(
+        F.count("*"), F.sum(F.col("maybe_present").cast("long"))
+    ).first()
+    from bloomsearch_spark.sketches import BloomSketch
+
+    p = max(BloomSketch.from_bytes(b).fp_rate_bound() for b in resumed.values())
+    assert n_fp <= n_abs * p + 4 * (n_abs * p * (1 - p)) ** 0.5 + 1, (n_fp, n_abs, p)
