@@ -310,6 +310,47 @@ def _sk_bloom_member(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bs_analyze_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE column statistics (r06 late): approx-distinct + exact
+    null/row counts answered from the MANIFEST ALONE (zero data bytes) —
+    per-block HLL blobs committed by analyze() merge associatively, the
+    same discipline as the bloom bitsets.  Bound-check oracle: the Spark
+    side recomputes the exact answers from the raw table and asserts the
+    4σ HLL bound, full block coverage, and exact null/row counts; the SQL
+    oracle recomputes the exact columns and asserts TRUE."""
+    from bloomsearch_spark import approx_distinct_meta
+
+    idx = _index(spark, sf_dir, "analyzed")
+    est = {r.column: r for r in approx_distinct_meta(spark, idx.root).collect()}
+    docs = _docs(spark, sf_dir)
+    n_rows = docs.count()
+    rows = []
+    for c in ("doc_id", "lang", "source"):
+        n_exact, n_null = docs.agg(
+            F.countDistinct(c), F.sum(F.col(c).isNull().cast("long"))
+        ).first()
+        r = est[c]
+        rows.append(
+            (
+                c,
+                int(n_exact),
+                int(n_null or 0),
+                int(n_rows),
+                bool(
+                    abs(r.n_distinct - n_exact) <= 4.0 * r.rse * max(n_exact, 1)
+                    and r.null_count == (n_null or 0)
+                    and r.row_count == n_rows
+                ),
+                bool(r.blocks_covered == r.blocks_live),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "col_name string, n_exact long, null_count long, row_count long, "
+        "hll_ok boolean, coverage_ok boolean",
+    )
+
+
 def _strm_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator, driver-gated with the sketch
     bound-check oracle pattern: replay the ``events`` table as a multi-file
@@ -737,6 +778,14 @@ def _index(spark: SparkSession, sf_dir: str, flavor: str) -> BloomIndex:
                 root, cfg, source_desc=f"documents-odd@{sf_dir}",
                 mode="append", merge_schema=True,
             )
+        elif flavor == "analyzed":
+            # ANALYZE (r06 late): build, then commit per-(block, column)
+            # HLL + null/row-count stats as the colstats manifest table —
+            # bs_analyze_distinct answers from the manifest alone
+            from bloomsearch_spark import analyze
+
+            build_index(spark, df, root, cfg, source_desc=f"documents@{sf_dir}")
+            idx = analyze(spark, root, ["doc_id", "lang", "source"])
         elif flavor == "evolved":
             # two-schema index: base commit, then a merge_schema widening
             # append that adds the (indexed) tag column
@@ -1009,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk_hll_distinct": _sk_hll_distinct,
         "sk_cms_counts": _sk_cms_counts,
         "sk_bloom_member": _sk_bloom_member,
+        "bs_analyze_distinct": _bs_analyze_distinct,
         "sk_tdigest_q": _sk_quantile_query(td_sketch, "l_extendedprice", "lineitem", 0.01),
         "sk_kll_q": _sk_quantile_query(kll_sketch, "value", "events", 0.015),
         # --- type widening (r06 late): int32 blocks + bigint blocks under
@@ -1707,6 +1757,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT w.tok, CAST(coalesce(n, 0) AS BIGINT) AS n_exact, "
             "TRUE AS cms_ok FROM wanted w LEFT JOIN "
             "(SELECT tok, count(*) AS n FROM toks GROUP BY tok) c ON w.tok = c.tok"
+        ),
+        "bs_analyze_distinct": (
+            " UNION ALL ".join(
+                f"SELECT '{c}' AS col_name, "
+                f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_exact, "
+                f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+                " AS null_count, "
+                "CAST(count(*) AS BIGINT) AS row_count, "
+                "TRUE AS hll_ok, TRUE AS coverage_ok FROM documents"
+                for c in ("doc_id", "lang", "source")
+            )
         ),
         "sk_bloom_member": (
             "SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS n_exact, "

@@ -1015,6 +1015,8 @@ def _delete_where_dv(
                 + [mf.segment_ref(_seg, "lineage")],
                 "dvs": list(_dvs) + [mf.segment_ref(_seg, "dvs")],
             }
+            if _base.colstats_refs():
+                tables["colstats"] = _base.colstats_refs()
             mf.write_meta(
                 fsx.join(index.root, "manifest", version),
                 index.config,
@@ -1762,6 +1764,8 @@ def upsert_keys(
                 tables["dvs"] = list(prev_dvs) + (
                     [mf.segment_ref(seg_name, "dvs")] if nd else []
                 )
+            if index.colstats_refs():
+                tables["colstats"] = index.colstats_refs()
             mf.write_meta(
                 fsx.join(index.root, "manifest", version),
                 index.config,
@@ -1985,6 +1989,12 @@ def restore(
                 **(
                     {"dvs": list(t_refs["dvs"])} if t_refs.get("dvs") else {}
                 ),
+                # the TARGET's ANALYZE stats travel back with its block set
+                **(
+                    {"colstats": list(t_refs["colstats"])}
+                    if t_refs.get("colstats")
+                    else {}
+                ),
             },
             # target identity: the restored state answers queries exactly
             # as the target version did
@@ -2121,7 +2131,11 @@ def clone(
             "cloned_from": {"root": index.root, "version": target.version},
             "tables": {
                 t: list(refs[t])
-                for t in (*mf.TABLES, *(["dvs"] if refs.get("dvs") else []))
+                for t in (
+                    *mf.TABLES,
+                    *(["dvs"] if refs.get("dvs") else []),
+                    *(["colstats"] if refs.get("colstats") else []),
+                )
             },
             **{
                 k: t_meta[k]
@@ -2221,6 +2235,11 @@ def _commit(
         }
         if carry_dvs and index.dvs_refs():
             tables["dvs"] = index.dvs_refs()
+        # ANALYZE stats carry like DVs: rows key by (block_id, data_path),
+        # so survivors stay covered; rows for rewritten blocks are
+        # orphan-but-harmless (they join nothing) and fold prunes them
+        if index.colstats_refs():
+            tables["colstats"] = index.colstats_refs()
         mf.write_meta(
             vdir,
             index.config,
@@ -2407,6 +2426,21 @@ def fold_manifest(
             .parquet(fsx.join(seg_dir, "dvs.parquet"))
         )
         fold_dvs = fsx.parquet_dir_rows(fsx.join(seg_dir, "dvs.parquet")) > 0
+    # ANALYZE column stats fold the same way: rows for live (block_id,
+    # data_path) pairs re-segment; orphans from rewritten blocks drop.
+    fold_cs = False
+    cs = index.colstats(cache=False)
+    if cs is not None:
+        (
+            cs.join(
+                index.blocks(cache=False).select("block_id", "data_path"),
+                ["block_id", "data_path"],
+                "left_semi",
+            )
+            .write.mode("overwrite")
+            .parquet(fsx.join(seg_dir, "colstats.parquet"))
+        )
+        fold_cs = fsx.parquet_dir_rows(fsx.join(seg_dir, "colstats.parquet")) > 0
     meta = index.meta()
 
     def finalize(prev_version: str | None) -> str:
@@ -2414,6 +2448,8 @@ def fold_manifest(
         tables = {t: [mf.segment_ref(seg_name, t)] for t in mf.TABLES}
         if fold_dvs:
             tables["dvs"] = [mf.segment_ref(seg_name, "dvs")]
+        if fold_cs:
+            tables["colstats"] = [mf.segment_ref(seg_name, "colstats")]
         mf.write_meta(
             fsx.join(root, "manifest", version),
             index.config,

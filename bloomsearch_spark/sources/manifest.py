@@ -100,6 +100,28 @@ DVS_SCHEMA = (
     "block_id string, data_path string, positions array<long>, dv_count long"
 )
 
+# Column statistics (ANALYZE TABLE ... COMPUTE STATISTICS analog): one row
+# per (block, column) holding a serialized HLL sketch of the column's
+# values plus exact null/row counts — written by ``plans/analyze.py`` as an
+# OPTIONAL fifth manifest table.  The sketch blobs merge associatively
+# (elementwise register max), so a table-level approx-distinct is answered
+# from the MANIFEST ALONE (zero data scan) by folding the live blocks'
+# blobs — the same partials→merge discipline as the bloom bitsets and the
+# sketch library; the manifest segments double as the sketch checkpoint
+# store (per-partition lineage + metrics, the north-rule shape).  ``column``
+# holds the PHYSICAL name (frozen under column mapping, like bloom field
+# keys); readers translate logical→physical at plan time and rename back at
+# the emit edge.  Rows are keyed by (block_id, data_path): any block
+# rewrite changes at least one, so stale stats can never silently attach to
+# different data — they just drop out of coverage.  ``dv_count_seen`` is the
+# block's deletion-vector position count AT analyze time: DV deltas are
+# append-only per block (purges rewrite the block under a fresh id), so any
+# difference from the current count marks the stats DV-stale.
+COLSTATS_SCHEMA = (
+    "block_id string, data_path string, column string, "
+    "hll binary, null_count long, row_count long, dv_count_seen long"
+)
+
 
 TABLES = ("blocks", "files", "lineage")
 
@@ -585,6 +607,13 @@ def build_commit_finalize(
             prev_dvs = prev.table_refs().get("dvs")
             if prev_dvs:
                 tables["dvs"] = list(prev_dvs)
+            # ANALYZE column stats survive appends too: stats rows key by
+            # (block_id, data_path), so existing blocks stay covered and the
+            # new blocks simply read as not-yet-analyzed (coverage drops,
+            # never goes wrong)
+            prev_cs = prev.table_refs().get("colstats")
+            if prev_cs:
+                tables["colstats"] = list(prev_cs)
             prev_up = prev_meta.get("uniform_params") or {}
             up = {
                 lvl: (v if prev_up.get(lvl) == v else None) for lvl, v in up.items()
@@ -883,7 +912,7 @@ class BloomIndex:
 
     def unpersist(self) -> None:
         """Release cached manifest memory (e.g. before dropping the handle)."""
-        for attr in ("_blocks_df", "_files_df", "_dvs_df"):
+        for attr in ("_blocks_df", "_files_df", "_dvs_df", "_colstats_df"):
             df = getattr(self, attr, None)
             if df is not None:
                 df.unpersist()
@@ -920,6 +949,29 @@ class BloomIndex:
             if cache:
                 df = df.cache()
                 self._dvs_df = df
+        return df
+
+    def colstats_refs(self) -> list[str]:
+        """Segment refs of the OPTIONAL ``colstats`` manifest table (ANALYZE
+        column statistics).  Empty for never-analyzed versions."""
+        t = self.meta().get("tables")
+        return list((t or {}).get("colstats") or [])
+
+    def colstats(self, cache: bool = True) -> DataFrame | None:
+        """Per-(block, column) statistics rows (COLSTATS_SCHEMA) across this
+        version's ``colstats`` segments, or None when never analyzed."""
+        refs = self.colstats_refs()
+        if not refs:
+            return None
+        df = getattr(self, "_colstats_df", None)
+        if df is None:
+            mdir = _manifest_dir(self.root)
+            df = self.spark.read.schema(COLSTATS_SCHEMA).parquet(
+                *[fsx.join(mdir, rel) for rel in refs]
+            )
+            if cache:
+                df = df.cache()
+                self._colstats_df = df
         return df
 
     def dv_positions(self) -> DataFrame | None:
