@@ -778,6 +778,25 @@ def _index(spark: SparkSession, sf_dir: str, flavor: str) -> BloomIndex:
                 root, cfg, source_desc=f"documents-odd@{sf_dir}",
                 mode="append", merge_schema=True,
             )
+        elif flavor == "hidden":
+            # hidden partitioning (r06 late, partition.py): bucket(8)
+            # transform on source — the write side derives partition_expr,
+            # the read side derives partition pruning from WHERE equality
+            # on source without the query ever naming a partition
+            hp_cfg = IndexConfig(
+                indexed_fields=("text", "lang", "source"),
+                partition_transform="bucket:8:source",
+                minmax_fields=("n_chars", "doc_id"),
+                max_block_rows=64,
+                blocks_per_file=4,
+                block_fpr=0.01,
+                file_fpr=0.01,
+                file_expected_items=50_000,
+                sha_col="text",
+            )
+            idx = build_index(
+                spark, df, root, hp_cfg, source_desc=f"documents@{sf_dir}"
+            )
         elif flavor == "analyzed":
             # ANALYZE (r06 late): build, then commit per-(block, column)
             # HLL + null/row-count stats as the colstats manifest table —
@@ -1059,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk_cms_counts": _sk_cms_counts,
         "sk_bloom_member": _sk_bloom_member,
         "bs_analyze_distinct": _bs_analyze_distinct,
+        "bs_hidden_partition": _bs_hidden_partition,
         "sk_tdigest_q": _sk_quantile_query(td_sketch, "l_extendedprice", "lineitem", 0.01),
         "sk_kll_q": _sk_quantile_query(kll_sketch, "value", "events", 0.015),
         # --- type widening (r06 late): int32 blocks + bigint blocks under
@@ -1145,6 +1165,28 @@ def _bs_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         df.filter(F.col("lang").isin("de", "es") & F.col("source").isin(srcs))
         .select(*[c.strip() for c in DOC_COLS.split(",")])
+    )
+
+
+def _bs_hidden_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden partitioning (r06 late, partition.py — the Iceberg transform
+    analog): the index is laid out by bucket(8, source); a plain WHERE
+    source IN (...) through the DataSource prunes to those buckets via the
+    python twin of the write-side transform — the query never names a
+    partition — and stays hash-exact vs the raw table."""
+    from bloomsearch_spark.sources.datasource import BloomSearchDataSource
+
+    idx = _index(spark, sf_dir, "hidden")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(BloomSearchDataSource)
+    df = (
+        spark.read.format("bloomsearch")
+        .option("root", idx.root)
+        .option("token", "vector")
+        .load()
+    )
+    return df.filter(F.col("source").isin("src1", "src5", "src9")).select(
+        *[c.strip() for c in DOC_COLS.split(",")]
     )
 
 
@@ -1802,6 +1844,12 @@ def oracle_sql() -> dict[str, str]:
             f"{sel} WHERE {_any_field_tok('stream')} AND lang IN ('de', 'es') "
             "AND source IN ('src0','src2','src4','src6','src8','src10',"
             "'src12','src14','src16','src18')"
+        ),
+        # hidden partitioning: the bucket(8, source) layout prunes from the
+        # plain WHERE; rows must equal the raw-table answer exactly
+        "bs_hidden_partition": (
+            f"{sel} WHERE {_any_field_tok('vector')} "
+            "AND source IN ('src1','src5','src9')"
         ),
         "bs_regex_datasource": (
             f"{sel} WHERE regexp_matches(text, 'vector (fast|slow)')"

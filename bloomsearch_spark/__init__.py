@@ -60,6 +60,7 @@ from .plans.merge import (
     vacuum,
     vacuum_manifest,
 )
+from .partition import partition_value
 from .plans.analyze import analyze, approx_distinct_meta
 from .plans.colmap import drop_column, rename_column
 from .plans.metaquery import metadata_count, partition_stats
@@ -89,5 +90,5 @@ __all__ = [
     "CommitConflict", "fold_manifest", "maintain", "vacuum_manifest",
     "BloomSearchDataSource", "metadata_count", "partition_stats",
     "search_needles", "rename_column", "drop_column",
-    "analyze", "approx_distinct_meta",
+    "analyze", "approx_distinct_meta", "partition_value",
 ]

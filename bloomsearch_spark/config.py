@@ -82,8 +82,25 @@ class IndexConfig:
     # on how the input is clustered (ideal when the source table is already
     # partitioned by the same key, e.g. an Iceberg table partitioned by lang).
     cluster_input: bool = False
+    # Hidden partitioning (Iceberg transform analog, partition.py): a
+    # declared transform spec — "identity:<col>", "bucket:<N>:<col>",
+    # "truncate:<W>:<col>", "years|months|days|hours:<col>".  Setting it
+    # DERIVES partition_expr (leave partition_expr default) and lets read
+    # paths (DataSource pushdown, partition_value helper) prune partitions
+    # from ordinary predicates on the source column.
+    partition_transform: str | None = None
 
     def __post_init__(self):
+        if self.partition_transform:
+            from .partition import transform_sql
+
+            derived = transform_sql(self.partition_transform)
+            if self.partition_expr not in ("''", derived):
+                raise ValueError(
+                    "partition_transform derives partition_expr — set one "
+                    "or the other, not both"
+                )
+            object.__setattr__(self, "partition_expr", derived)
         if self.compression not in ("none", "snappy", "zstd"):
             raise ValueError(
                 f"compression must be none|snappy|zstd, got {self.compression!r}"
@@ -134,6 +151,7 @@ class IndexConfig:
             "sha_col": self.sha_col,
             "external_data": self.external_data,
             "cluster_input": self.cluster_input,
+            "partition_transform": self.partition_transform,
         }
 
     @classmethod
@@ -156,4 +174,5 @@ class IndexConfig:
             sha_col=d.get("sha_col"),
             external_data=d.get("external_data", False),
             cluster_input=d.get("cluster_input", False),
+            partition_transform=d.get("partition_transform"),
         )

@@ -598,6 +598,16 @@ class BloomSearchReader(DataSourceReader):
         # filters on the partition SOURCE column map to partition prefilters
         # only when the expr is a bare column name (the common case)
         self.partition_src = pe if pe.isidentifier() else None
+        # hidden partitioning (partition.py): a declared transform lets
+        # equality/IN on the SOURCE column prune partitions through the
+        # python twin of the write-side expression
+        self.partition_tf = cfg.get("partition_transform") or None
+        if self.partition_tf:
+            from ..partition import parse_transform
+
+            self.partition_tf_src = parse_transform(self.partition_tf)[2]
+        else:
+            self.partition_tf_src = None
         if self.external:
             # the executor re-derives partition ids OUTSIDE Catalyst (block
             # = (source file, partition value)): only a bare column — or no
@@ -786,6 +796,43 @@ class BloomSearchReader(DataSourceReader):
                     return None  # NULL/'' member -> unprunable, stay sound
                 return Partition(QIn(*vals))
             return None
+        if self.partition_tf_src and col == self.partition_tf_src:
+            # hidden partitioning: derive the partition id via the python
+            # twin of the declared transform.  transform_value returns
+            # None for types whose rendering could diverge from the
+            # write-side Catalyst expression — those fall through
+            # unharvested (no prune, still exact); '' stays unharvested
+            # for the same strict-prefilter reason as above
+            from ..partition import transform_value
+
+            if isinstance(f, EqualTo) and f.value is not None:
+                pid = transform_value(self.partition_tf, f.value)
+                if pid not in (None, ""):
+                    return Partition(Eq(pid))
+            if isinstance(f, In):
+                pids = [
+                    transform_value(self.partition_tf, v)
+                    if v is not None
+                    else None
+                    for v in f.value
+                ]
+                if pids and all(p not in (None, "") for p in pids):
+                    return Partition(QIn(*pids))
+            # range predicates prune when the transform is ORDER-PRESERVING
+            # for the literal's type (time transforms over date/datetime,
+            # identity/truncate over str): conservatively at partition
+            # granularity — col > v rows can share v's own partition, so
+            # both GT and GTE map to >= T(v) (and LT/LTE to <= T(v))
+            if isinstance(f, (GreaterThan, GreaterThanOrEqual, LessThan,
+                              LessThanOrEqual)) and f.value is not None:
+                from ..partition import transform_range_value
+
+                pid = transform_range_value(self.partition_tf, f.value)
+                if pid not in (None, ""):
+                    if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                        return Partition(Gte(pid))
+                    return Partition(Lte(pid))
+            # fall through: the source column may also be minmax-indexed
         if col in self.minmax_fields:
             # NULL never matches a range: drop None members (sound) and
             # leave a pure-NULL comparison unharvested — a pushed
