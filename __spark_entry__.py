@@ -778,6 +778,27 @@ def _index(spark: SparkSession, sf_dir: str, flavor: str) -> BloomIndex:
                 root, cfg, source_desc=f"documents-odd@{sf_dir}",
                 mode="append", merge_schema=True,
             )
+        elif flavor == "fscked":
+            # FSCK REPAIR (r06 late): the French partition's block dirs
+            # are deleted OUT-OF-BAND (simulated storage loss), then fsck
+            # commits a manifest without them — queries answer with
+            # exactly the surviving rows (deterministic survivor set)
+            import shutil
+
+            from bloomsearch_spark import fsck
+            from bloomsearch_spark.sources import fs as fsx
+
+            built = build_index(
+                spark, df, root, cfg, source_desc=f"documents@{sf_dir}"
+            )
+            for r in (
+                built.blocks()
+                .filter(F.col("partition_id") == "fr")
+                .select("data_path")
+                .collect()
+            ):
+                shutil.rmtree(fsx.join(built.data_dir, r.data_path))
+            idx, _missing = fsck(spark, built, repair=True)
         elif flavor == "hidden":
             # hidden partitioning (r06 late, partition.py): bucket(8)
             # transform on source — the write side derives partition_expr,
@@ -1079,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk_bloom_member": _sk_bloom_member,
         "bs_analyze_distinct": _bs_analyze_distinct,
         "bs_hidden_partition": _bs_hidden_partition,
+        "bs_fsck": _bs("fscked", lambda: new_query().token("vector").build()),
         "sk_tdigest_q": _sk_quantile_query(td_sketch, "l_extendedprice", "lineitem", 0.01),
         "sk_kll_q": _sk_quantile_query(kll_sketch, "value", "events", 0.015),
         # --- type widening (r06 late): int32 blocks + bigint blocks under
@@ -1844,6 +1866,11 @@ def oracle_sql() -> dict[str, str]:
             f"{sel} WHERE {_any_field_tok('stream')} AND lang IN ('de', 'es') "
             "AND source IN ('src0','src2','src4','src6','src8','src10',"
             "'src12','src14','src16','src18')"
+        ),
+        # FSCK repair: the fr partition's data was lost out-of-band and
+        # repaired away — every query answers with exactly the survivors
+        "bs_fsck": (
+            f"{sel} WHERE {_any_field_tok('vector')} AND lang <> 'fr'"
         ),
         # hidden partitioning: the bucket(8, source) layout prunes from the
         # plain WHERE; rows must equal the raw-table answer exactly

@@ -50,6 +50,7 @@ from .plans.merge import (
     compact_blocks,
     expire_blocks,
     fold_manifest,
+    fsck,
     delete_where,
     maintain,
     merge_files,
@@ -90,5 +91,5 @@ __all__ = [
     "CommitConflict", "fold_manifest", "maintain", "vacuum_manifest",
     "BloomSearchDataSource", "metadata_count", "partition_stats",
     "search_needles", "rename_column", "drop_column",
-    "analyze", "approx_distinct_meta", "partition_value",
+    "analyze", "approx_distinct_meta", "partition_value", "fsck",
 ]

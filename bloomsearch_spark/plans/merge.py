@@ -2359,6 +2359,77 @@ def vacuum(
     return int(removed)
 
 
+def fsck(
+    spark: SparkSession,
+    index: BloomIndex,
+    repair: bool = False,
+    conflict_retries: int = 0,
+) -> tuple[BloomIndex, DataFrame]:
+    """``FSCK REPAIR TABLE`` analog: find manifest block entries whose DATA
+    DIRECTORIES are gone from storage (out-of-band deletion, a partial
+    out-of-band restore, an over-eager external cleanup) and, with
+    ``repair=True``, commit a manifest version that drops them so reads
+    stop failing on missing files.
+
+    Returns ``(index, missing)`` — ``missing`` is a DataFrame of the
+    absent ``data_path`` values (empty = healthy); with ``repair=True``
+    and any damage, ``index`` is the repaired version.  The existence
+    check is DISTRIBUTED (one stat per block dir on executors, manifest
+    paths never collected), the same shape as restore()'s vacuum guard.
+
+    Semantics of a repair commit: it is a maintenance DELETE of the dead
+    blocks — file-level rows for partially-dead files survive with their
+    (now conservative) blooms/counters, exactly like delete_where's
+    rewrites; deletion-vector refs for dropped blocks become
+    orphan-but-harmless and fold prunes them; ANALYZE stats drop out of
+    coverage with the blocks.  To a changefeed this is a deleting commit
+    whose rows CANNOT be replayed (the data is gone): plain feeds refuse
+    it as usual, and a ``change_events`` feed fails loudly reading the
+    removed dirs — consumers must re-seed, the honest outcome of data
+    loss.  Works on external overlays and shallow clones (the commit is
+    pure metadata; no data dir is touched)."""
+    if conflict_retries:
+        return _retry_conflicts(
+            spark, index, conflict_retries,
+            lambda ix: fsck(spark, ix, repair, 0),
+        )
+    ext = bool(index.meta().get("external", False))
+    data_dir = index.data_dir
+
+    def _check(it):
+        from ..sources import fs as _fsx
+
+        for pdf in it:
+            gone = [
+                rel
+                for rel in pdf["data_path"]
+                if not _fsx.exists(rel if ext else _fsx.join(data_dir, rel))
+            ]
+            yield pd.DataFrame({"data_path": gone})
+
+    missing = (
+        index.blocks(cache=False)
+        .select("data_path")
+        .repartition(32)
+        .mapInPandas(_check, "data_path string")
+        .persist()
+    )
+    if not repair or missing.count() == 0:
+        return index, missing
+
+    blocks = index.blocks(cache=False)
+    stats = DeleteStats()
+    stats.blocks_before = blocks.count()
+    stats.files_before = index.files(cache=False).count()
+    new_blocks = blocks.join(missing, "data_path", "left_anti")
+    live_files = new_blocks.select("file_id").distinct()
+    new_files = index.files(cache=False).join(
+        F.broadcast(live_files), "file_id", "left_semi"
+    )
+    out, _ = _commit(spark, index, new_blocks, new_files, op="fsck", stats=stats)
+    return out, missing
+
+
 # ---------------------------------------------------------------------------
 # Manifest-level maintenance: fold segments, vacuum unreachable metadata
 # ---------------------------------------------------------------------------
