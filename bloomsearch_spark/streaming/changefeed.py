@@ -58,8 +58,7 @@ Options beyond ``root``/``starting_version``/``blocks_per_task``:
   catching up on a long-lived index streams its backlog in bounded
   batches instead of one giant first trigger.
 - ``max_blocks_per_trigger`` (int): admit at most this many BLOCKS per
-  micro-batch (Delta ``maxBytesPerTrigger`` analog, at block
-  granularity).  Offsets are composite ``(version, cursor)`` — the
+  micro-batch.  Offsets are composite ``(version, cursor)`` — the
   cursor indexes into a version's deterministic block-slot order (its
   added segments' rows, deletes first), so ONE giant backfill commit
   streams as bounded micro-batches instead of a single trigger, and a
@@ -67,6 +66,16 @@ Options beyond ``root``/``starting_version``/``blocks_per_task``:
   ``max_versions_per_trigger`` (both caps apply).  For delete events the
   cap bounds candidate slots (pre-subtraction), so a delete batch can
   carry fewer rows than the cap.
+- ``max_bytes_per_trigger`` (int): admit blocks until their cumulative
+  manifest ``byte_size`` exceeds the budget (the Delta
+  ``maxBytesPerTrigger`` analog, exact — not a block-count proxy); a
+  single block larger than the whole budget still flows (Delta's
+  min-one-file progress rule).  Same composite offsets, composes with
+  both caps above; dv-delta slices carry no byte_size and count as 0
+  (the other caps bound them).  Planning stays O(segments) driver memory
+  except one transient per-slot byte array for versions actively being
+  admitted (one column read per segment, cached and pruned with the
+  version plan).
 
 Driver planning is O(segments), never O(blocks): versions plan as
 (segment ref, footer row count) units; executors expand a chunk's
@@ -251,6 +260,10 @@ class BloomSearchStreamReader(DataSourceStreamReader):
         self.max_blocks = int(mbpt) if mbpt is not None else None
         if self.max_blocks is not None and self.max_blocks < 1:
             raise ValueError("max_blocks_per_trigger must be >= 1")
+        mypt = options.get("max_bytes_per_trigger")
+        self.max_bytes = int(mypt) if mypt is not None else None
+        if self.max_bytes is not None and self.max_bytes < 1:
+            raise ValueError("max_bytes_per_trigger must be >= 1")
         for snap_only in ("version", "timestamp_as_of"):
             if options.get(snap_only):
                 raise ValueError(
@@ -334,7 +347,11 @@ class BloomSearchStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         cur = _vnum(mf.current_version(self.root))
-        if self.max_versions is None and self.max_blocks is None:
+        if (
+            self.max_versions is None
+            and self.max_blocks is None
+            and self.max_bytes is None
+        ):
             off = (cur, -1)
         else:
             # cap the backlog admitted per trigger (maxFilesPerTrigger /
@@ -351,22 +368,45 @@ class BloomSearchStreamReader(DataSourceStreamReader):
             v, c = self._floor
             vb = self.max_versions if self.max_versions is not None else float("inf")
             bb = self.max_blocks if self.max_blocks is not None else float("inf")
+            yb = self.max_bytes if self.max_bytes is not None else float("inf")
+            progressed = False
             while True:
                 if c == -1:
                     # only open a NEW version with budget left (an offset
                     # admitting 0 of a non-empty version would be a
                     # no-progress alias of the boundary offset)
-                    if v >= cur or vb < 1 or bb < 1:
+                    if v >= cur or vb < 1 or bb < 1 or yb < 1:
                         break
                     v += 1
                     vb -= 1
                     c = 0
                 rem = self._vinfo(v)["total"] - c
-                if rem <= bb:
-                    bb -= rem
+                if rem == 0:
+                    c = -1  # empty version: trivially consumed
+                    continue
+                cap = rem if bb >= rem else int(bb)
+                if self.max_bytes is not None and cap > 0:
+                    # byte-capped admission (Delta maxBytesPerTrigger
+                    # analog): admit slots while their cumulative
+                    # manifest byte_size fits; a single block larger
+                    # than the whole budget still flows (min-1-slot
+                    # progress rule), exactly like Delta's
+                    import numpy as np
+
+                    cum = self._slot_bytes(v)[c : c + cap].cumsum()
+                    k = int(np.searchsorted(cum, yb, side="right"))
+                    if k == 0 and not progressed:
+                        k = 1
+                    yb -= float(cum[k - 1]) if k else 0.0
+                    cap = k
+                if cap <= 0:
+                    break
+                progressed = True
+                bb -= cap
+                if cap == rem:
                     c = -1  # version fully admitted; try the next
                 else:
-                    c += int(bb)  # partial: stop mid-version
+                    c += cap  # partial: stop mid-version
                     break
             off = (v, c)
         if _okey(*off) > _okey(*self._floor):
@@ -408,6 +448,39 @@ class BloomSearchStreamReader(DataSourceStreamReader):
                 "(.option('starting_version', ...)) or rebuild the index"
             )
         return list(tables.get("blocks") or [])
+
+    def _slot_bytes(self, n: int):
+        """Per-slot ``byte_size`` array over version n's canonical slot
+        space, concatenated across its units in order — loaded lazily
+        (only under ``max_bytes_per_trigger``) as ONE column read per
+        touched segment, cached on the version's plan entry and pruned
+        with it.  Units whose segment has no byte_size column (dv delta
+        slices) count as 0 bytes: they cannot stall the feed — the
+        version/block caps still bound them."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        info = self._vinfo(n)
+        arr = info.get("bytes")
+        if arr is None:
+            parts = []
+            for _kind, ref, nrows, _sub, _dv in info["units"]:
+                if nrows == 0:
+                    continue
+                try:
+                    t = fsx.read_parquet_dir(
+                        fsx.join(self.root, "manifest", ref),
+                        columns=["byte_size"],
+                    )
+                    a = np.asarray(
+                        pc.fill_null(t.column("byte_size"), 0), dtype=np.float64
+                    )[:nrows]
+                except Exception:
+                    a = np.zeros(nrows, dtype=np.float64)
+                parts.append(a)
+            arr = np.concatenate(parts) if parts else np.zeros(0, dtype=np.float64)
+            info["bytes"] = arr
+        return arr
 
     def _ref_rows(self, ref: str) -> int:
         """Row count (= block count) of one blocks-segment table, from

@@ -871,3 +871,82 @@ def test_changefeed_planner_never_materializes_paths(spark, tmp_root, monkeypatc
     assert by[(2, "delete")] == old  # full old table deleted, executor-diffed
     assert by[(2, "insert")] == new
     assert len(events) == 240
+
+
+def test_changefeed_max_bytes_per_trigger_splits_one_commit(spark, tmp_root):
+    """r06 late: max_bytes_per_trigger — exact byte-budget admission over
+    the same composite (version, cursor) offsets.  One commit streams as
+    byte-bounded micro-batches; each batch's cumulative manifest
+    byte_size stays within budget (except the min-one-block progress
+    rule); union exact; composes with max_blocks_per_trigger."""
+    import numpy as np
+
+    from bloomsearch_spark.sources.manifest import BloomIndex
+    from bloomsearch_spark.streaming.changefeed import BloomSearchStreamReader
+
+    spark.dataSource.register(BloomSearchDataSource)
+    cfg = IndexConfig(
+        indexed_fields=("content",), partition_expr="''", max_block_rows=10,
+        blocks_per_file=4,
+    )
+    build_index(spark, generate_df(spark, 120).coalesce(1), tmp_root, cfg)
+    idx = BloomIndex.load(spark, tmp_root)
+    sizes = np.array(sorted(
+        r.byte_size for r in idx.blocks().select("byte_size").collect()
+    ))
+    assert len(sizes) == 12
+    budget = int(sizes.sum() // 4 + 1)  # ~3 blocks per trigger
+
+    schema = (
+        spark.read.format("bloomsearch").option("root", tmp_root).load().schema
+    )
+    r = BloomSearchStreamReader(
+        {"root": tmp_root, "max_bytes_per_trigger": str(budget)}, schema
+    )
+    offs = [r.initialOffset()]
+    while offs[-1] != {"version": 1, "cursor": -1}:
+        nxt = r.latestOffset()
+        assert nxt != offs[-1], "stalled: no progress under byte cap"
+        offs.append(nxt)
+        assert len(offs) < 20
+    # batch-by-batch: rows exactly once, per-batch bytes within budget
+    slot_bytes = r._slot_bytes(1)
+    rows, n_batches = [], 0
+    for lo, hi in zip(offs, offs[1:]):
+        parts = r.partitions(lo, hi)
+        got = [
+            c
+            for p in parts
+            for b in r.read(p)
+            for c in b.column("commit").to_pylist()
+        ]
+        if not got:
+            continue
+        n_batches += 1
+        rows += got
+        lo_c = 0 if lo["cursor"] == -1 else lo["cursor"]
+        hi_c = len(slot_bytes) if hi["cursor"] == -1 else hi["cursor"]
+        admitted = float(slot_bytes[lo_c:hi_c].sum())
+        n_slots = hi_c - lo_c
+        assert admitted <= budget or n_slots == 1, (admitted, budget, n_slots)
+    assert n_batches >= 3
+    assert sorted(rows) == sorted(generate_pdf(120)["commit"])
+
+    # a budget smaller than any single block still makes min-1 progress
+    r_tiny = BloomSearchStreamReader(
+        {"root": tmp_root, "max_bytes_per_trigger": "1"}, schema
+    )
+    o1 = r_tiny.latestOffset()
+    assert (o1["version"], o1["cursor"]) == (1, 1)
+
+    # composition: the tighter of (blocks, bytes) binds
+    r_both = BloomSearchStreamReader(
+        {
+            "root": tmp_root,
+            "max_bytes_per_trigger": str(budget * 100),
+            "max_blocks_per_trigger": "2",
+        },
+        schema,
+    )
+    o1 = r_both.latestOffset()
+    assert (o1["version"], o1["cursor"]) == (1, 2)
