@@ -421,6 +421,52 @@ def _strm_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _strm_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (ST4, r06 late): the streaming twin of
+    ``dd_exact`` — per-fingerprint (min id, count) group state via
+    ``applyInPandasWithState`` over a replayed micro-batched file stream.
+    The state fold is (min, sum): associative, commutative, order-free —
+    so the FINAL streaming state must equal the batch
+    ``exact_duplicates`` EXACTLY regardless of micro-batching, and the
+    SQL oracle is dd_exact's own (hash-exact, no bound needed)."""
+    import uuid
+
+    from bloomsearch_spark.streaming.stateful import streaming_exact_dedup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="bs-strmdd-")
+    src = os.path.join(work, "src")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    qname = f"sdd_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_exact_dedup(stream, "text", "doc_id")
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # last emission per fingerprint = final state (dup_count strictly
+    # grows on every batch that touches the group)
+    return (
+        spark.table(qname)
+        .groupBy("fingerprint")
+        .agg(F.max(F.struct("dup_count", "rep_id")).alias("s"))
+        .select(
+            "fingerprint",
+            F.col("s.rep_id").alias("rep_id"),
+            F.col("s.dup_count").alias("dup_count"),
+        )
+    )
+
+
 _STRM_IDX_CACHE: dict[str, tuple] = {}
 
 
@@ -1138,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- stateful streaming approx-distinct (HLL as group state),
         #     replayed as a real micro-batched file stream ---
         "strm_approx_distinct": _strm_approx_distinct,
+        "strm_dedupe": _strm_dedupe,
         # --- streaming index ingest (ST1): micro-batched stream_build with
         #     per-batch delta manifest commits + replay guard, then search ---
         "strm_index_build": _strm_index_build,
@@ -1801,6 +1848,12 @@ def oracle_sql() -> dict[str, str]:
             f"{sel} WHERE {_any_field_tok('stream')} AND regexp_matches(source, '^src1$')"
         ),
         "dd_exact": (
+            "SELECT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint, "
+            "min(doc_id) AS rep_id, count(*) AS dup_count FROM documents GROUP BY 1"
+        ),
+        # streaming dedup: the (min, sum) state fold is order-free, so the
+        # final streaming state IS the batch answer — same oracle
+        "strm_dedupe": (
             "SELECT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint, "
             "min(doc_id) AS rep_id, count(*) AS dup_count FROM documents GROUP BY 1"
         ),

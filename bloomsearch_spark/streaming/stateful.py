@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 
 from ..sketches.hll import HLL
@@ -62,4 +63,64 @@ def streaming_approx_distinct(
         .applyInPandasWithState(
             fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
+    )
+
+
+def streaming_exact_dedup(
+    stream_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``functions.dedup.exact_duplicates``: per
+    normalized-content fingerprint, track ``(rep_id = min id seen,
+    dup_count)`` as group state and emit the refreshed row every
+    micro-batch (``outputMode("update")``).
+
+    Because the state fold is (min, sum) — associative, commutative, and
+    order-free — the FINAL streaming state equals the batch
+    ``exact_duplicates`` over the same rows EXACTLY, regardless of how
+    the stream was micro-batched (the oracle-gated property).  State is
+    constant-size per fingerprint; ``state_ttl_ms`` opts into
+    processing-time expiry for unbounded corpora (the
+    ``dropDuplicatesWithinWatermark`` state-bounding trade: a duplicate
+    arriving after its fingerprint expired re-registers as new).
+    """
+    from ..functions.text import fingerprint
+
+    itype = stream_df.schema[id_col].dataType.simpleString()
+    out_schema = f"fingerprint string, rep_id {itype}, dup_count long"
+    state_schema = f"rep_id {itype}, dup_count long"
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rep, cnt = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            ids = pdf[id_col].dropna()
+            if not len(ids):
+                continue
+            lo = ids.min()
+            rep = lo if rep is None or lo < rep else rep
+            cnt += int(len(ids))
+        if rep is None:
+            return
+        state.update((rep, cnt))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield pd.DataFrame(
+            [{"fingerprint": key[0], "rep_id": rep, "dup_count": cnt}]
+        )
+
+    keyed = stream_df.select(
+        fingerprint(F.col(text_col)).alias("fingerprint"), F.col(id_col)
+    )
+    return keyed.groupBy("fingerprint").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", timeout
     )

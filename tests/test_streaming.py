@@ -473,3 +473,91 @@ def test_ds_stream_sink_complete_mode_overwrites_per_batch(spark, tmp_root, tmp_
     # the refreshed snapshot REPLACES the old one: totals over all 500
     # rows, not old+new concatenated
     assert snapshot() == expect(500)
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """ST4 (r06 late): streaming exact dedup — final per-fingerprint
+    (rep_id, dup_count) state equals the batch exact_duplicates EXACTLY
+    (order-free (min, sum) fold), across micro-batches AND across a
+    checkpoint restart with late-arriving files."""
+    from bloomsearch_spark.functions.dedup import exact_duplicates
+    from bloomsearch_spark.streaming.stateful import streaming_exact_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "src")
+    half1 = docs.filter(F.col("doc_id") % 2 == 0)
+    half2 = docs.filter(F.col("doc_id") % 2 == 1)
+    half1.repartition(3).write.mode("overwrite").parquet(src)
+
+    out_dir = str(tmp_path / "out")
+
+    def drain():
+        # memory sinks cannot recover a checkpoint; collect update-mode
+        # emissions via foreachBatch appends instead (restartable)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_exact_dedup(stream, "text", "doc_id")
+            .writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    # late files + RESTART over the same checkpoint: state must resume
+    half2.repartition(3).write.mode("append").parquet(src)
+    drain()
+
+    final = (
+        spark.read.parquet(out_dir)
+        .groupBy("fingerprint")
+        .agg(F.max(F.struct("dup_count", "rep_id")).alias("s"))
+        .select(
+            "fingerprint",
+            F.col("s.rep_id").alias("rep_id"),
+            F.col("s.dup_count").alias("dup_count"),
+        )
+        .toPandas()
+        .set_index("fingerprint")
+        .sort_index()
+    )
+    batch = (
+        exact_duplicates(docs, "text", "doc_id")
+        .toPandas()
+        .set_index("fingerprint")
+        .sort_index()
+    )
+    assert final.equals(batch)
+    assert (batch["dup_count"] >= 1).all() and len(batch) > 0
+
+    # the TTL-parameterized path runs (state expiry is a documented
+    # trade-off; within one drain nothing expires)
+    src2 = str(tmp_path / "src2")
+    docs.limit(50).write.mode("overwrite").parquet(src2)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src2)
+    )
+    q = (
+        streaming_exact_dedup(stream, "text", "doc_id", state_ttl_ms=3_600_000)
+        .writeStream.format("memory")
+        .queryName("sdd_ttl")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("sdd_ttl").count()
+    assert got > 0
