@@ -2266,10 +2266,16 @@ def vacuum(
     retain_versions: int = 0,
     retain_time: float = 0.0,
     retain_names: list[str] | None = None,
+    dry_run: bool = False,
 ) -> int:
     """Delete block data dirs not referenced by the CURRENT manifest
     (TombstoneFile analog, data_store.go:19-21).  Safe only once no reader
     resolves a version outside the retained window.  Returns dirs removed.
+
+    ``dry_run=True`` (``VACUUM ... DRY RUN`` analog) runs the identical
+    distributed listing + anti-join and returns the count of dirs that
+    WOULD be removed, deleting nothing — size the retention window against
+    it before a destructive run.
 
     ``retain_versions`` / ``retain_time`` additionally keep every block
     dir referenced by the newest K superseded versions and/or versions
@@ -2334,13 +2340,16 @@ def vacuum(
         n = 0
         for pdf in pdfs:
             for p in pdf["data_path"]:
-                fsx.delete_dir(fsx.join(data_dir, p))
+                if not dry_run:
+                    fsx.delete_dir(fsx.join(data_dir, p))
                 n += 1
         yield pd.DataFrame({"n": [n]})
 
     removed = (
         dead.mapInPandas(delete, "n long").agg(F.sum("n")).collect()[0][0] or 0
     )
+    if dry_run:
+        return int(removed)
 
     # empty-parent sweep over ALL file dirs (distributed, one stat+list per
     # FILE): covers dirs emptied by THIS run and dirs a previous crashed
@@ -2544,6 +2553,7 @@ def vacuum_manifest(
     retain_versions: int = 0,
     retain_time: float = 0.0,
     retain_names: list[str] | None = None,
+    dry_run: bool = False,
 ) -> int:
     """Delete manifest metadata unreachable from CURRENT: superseded
     version dirs, segment dirs no version references (failed or folded-away
@@ -2605,7 +2615,8 @@ def vacuum_manifest(
     removed = 0
     for d in fsx.list_subdirs(mdir):
         if d.startswith("v") and d not in live_vdirs:
-            fsx.delete_dir(fsx.join(mdir, d))
+            if not dry_run:
+                fsx.delete_dir(fsx.join(mdir, d))
             removed += 1
         elif d == "staging":
             import time as _time
@@ -2615,12 +2626,15 @@ def vacuum_manifest(
                 tdir = fsx.join(sdir, tag)
                 ts = fsx.newest_mtime(tdir)
                 if ts is None or _time.time() - ts >= staging_ttl:
-                    fsx.delete_dir(tdir)
+                    if not dry_run:
+                        fsx.delete_dir(tdir)
                     removed += 1
-            fsx.delete_dir_if_empty(sdir)
+            if not dry_run:
+                fsx.delete_dir_if_empty(sdir)
     for s in fsx.list_subdirs(mf.segments_dir(root)):
         if s not in referenced:
-            fsx.delete_dir(mf.segment_dir(root, s))
+            if not dry_run:
+                fsx.delete_dir(mf.segment_dir(root, s))
             removed += 1
     return removed
 

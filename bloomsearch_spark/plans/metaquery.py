@@ -114,3 +114,87 @@ def partition_stats(
             F.sum("live_rows").cast("long").alias("n_rows"),
         )
     )
+
+
+def describe_detail(index: BloomIndex) -> DataFrame:
+    """``DESCRIBE DETAIL`` analog: one row of table-level metadata from the
+    manifest alone — zero data bytes read.
+
+    Columns mirror Delta's detail surface where meaningful: format /
+    location / version / created_at, exact num_files / num_blocks /
+    num_rows (DV-netted) / size_bytes, the layout declaration
+    (partition_expr + declared transform, indexed/minmax fields), and the
+    health counters operators page on (manifest segment count per table,
+    DV segment count + masked-row total, analyzed-column list, constraint
+    names, schema-evolution/external/clone flags).
+    """
+    meta = index.meta()
+    cfg = meta.get("config") or {}
+    agg = (
+        index.blocks()
+        .agg(
+            F.countDistinct("file_id").alias("nf"),
+            F.count(F.lit(1)).alias("nb"),
+            F.coalesce(F.sum("byte_size"), F.lit(0)).alias("bytes"),
+        )
+        .first()
+    )
+    n_rows = metadata_count(index).first().cnt
+    dvs = index.dvs()
+    dv_rows = (
+        int(dvs.agg(F.coalesce(F.sum("dv_count"), F.lit(0))).first()[0])
+        if dvs is not None
+        else 0
+    )
+    refs = index.table_refs()
+    constraints = sorted((meta.get("constraints") or {}).keys())
+    # analyzed columns come from the colstats TABLE, not a meta key — the
+    # stats survive later commits via ref carry, so this stays truthful
+    # (emitted under logical names when a column mapping is active)
+    cs = index.colstats()
+    if cs is None:
+        analyzed = []
+    else:
+        inv = {p: l for l, p in index.column_mapping().items()}
+        analyzed = sorted(
+            inv.get(r.column, r.column)
+            for r in cs.select("column").distinct().collect()
+        )
+    row = {
+        "format": "bloomsearch",
+        "location": index.root,
+        "version": int(index.version[1:]),
+        "created_at": float(meta.get("created_at") or 0.0),
+        "num_files": int(agg.nf),
+        "num_blocks": int(agg.nb),
+        "num_rows": int(n_rows),
+        "size_bytes": int(agg.bytes),
+        "partition_expr": cfg.get("partition_expr") or "",
+        "partition_transform": cfg.get("partition_transform"),
+        "indexed_fields": list(cfg.get("indexed_fields") or ()),
+        "minmax_fields": list(cfg.get("minmax_fields") or ()),
+        "n_segments": sum(len(v) for v in refs.values()),
+        "n_dv_segments": len(index.dvs_refs()),
+        "dv_masked_rows": dv_rows,
+        "analyzed_columns": analyzed,
+        "constraints": constraints,
+        "external": bool(meta.get("external", False)),
+        "shallow_clone": bool(meta.get("data_dir_override")),
+        "last_stream_batch": (
+            int(meta["last_stream_batch"])
+            if meta.get("last_stream_batch") is not None
+            else None
+        ),
+    }
+    schema = (
+        "format string, location string, version long, created_at double, "
+        "num_files long, num_blocks long, num_rows long, size_bytes long, "
+        "partition_expr string, partition_transform string, "
+        "indexed_fields array<string>, minmax_fields array<string>, "
+        "n_segments long, n_dv_segments long, dv_masked_rows long, "
+        "analyzed_columns array<string>, constraints array<string>, "
+        "external boolean, shallow_clone boolean, last_stream_batch long"
+    )
+    return index.spark.createDataFrame([tuple(row.values())], schema).withColumn(
+        "created_at", F.timestamp_seconds(F.col("created_at"))
+    )

@@ -132,3 +132,62 @@ def test_unpartitioned_index_strict_semantics(spark, tmp_root):
     # same rows search() would return
     assert _cnt(metadata_count(idx, Partition(Eq("go")))) == 0
     assert _cnt(metadata_count(idx, Partition(Ne("go")))) == 0
+
+
+def test_describe_detail(spark, tmp_root):
+    """DESCRIBE DETAIL analog: exact table-level metadata from the
+    manifest alone — counts match the manifest, DV/analyze/constraint
+    surfaces reflected, num_rows DV-netted."""
+    from bloomsearch_spark import analyze, delete_where, describe_detail
+    from bloomsearch_spark.sources.manifest import BloomIndex
+
+    idx = build_index(spark, generate_df(spark, 400), tmp_root, CFG)
+    d = describe_detail(idx).first()
+    assert d.format == "bloomsearch" and d.location == tmp_root
+    assert d.version == 1 and d.num_rows == 400
+    assert d.num_blocks == idx.blocks().count()
+    assert d.num_files == idx.files().count()
+    assert d.size_bytes > 0 and d.partition_expr == "lang"
+    assert d.indexed_fields == ["repo", "path", "lang", "content"]
+    assert not d.external and not d.shallow_clone
+    assert d.n_dv_segments == 0 and d.analyzed_columns == []
+
+    analyze(spark, tmp_root, ["repo"])
+    idx = BloomIndex.load(spark, tmp_root)
+    lang = generate_df(spark, 400).select("lang").first()[0]
+    idx, st = delete_where(
+        spark, idx, new_query().field_token("lang", lang).build(),
+        use_deletion_vectors=True,
+    )
+    d2 = describe_detail(idx).first()
+    assert d2.version == 3
+    assert d2.num_rows == 400 - st.rows_deleted  # DV-netted
+    assert d2.dv_masked_rows == st.rows_deleted and d2.n_dv_segments == 1
+    assert d2.analyzed_columns == ["repo"]
+
+
+def test_vacuum_dry_run(spark, tmp_root):
+    """VACUUM DRY RUN: both vacuums report the would-remove counts without
+    deleting anything; the real run then removes exactly that many."""
+    from bloomsearch_spark import search, vacuum, vacuum_manifest
+    from bloomsearch_spark.sources.manifest import BloomIndex
+
+    idx = build_index(spark, generate_df(spark, 400), tmp_root, CFG)
+    n_before = idx.blocks().count()
+    # OVERWRITE orphans every v1 block dir (v2 references fresh ones)
+    idx = build_index(
+        spark, generate_df(spark, 400), tmp_root, CFG, mode="overwrite"
+    )
+    would = vacuum(idx, dry_run=True)
+    assert would > 0
+    # nothing deleted: queries over the PREVIOUS version still read data
+    old = BloomIndex(spark, tmp_root, "v00000001")
+    assert old.blocks().count() == n_before
+    assert search(spark, old, new_query().build()).count() == 400
+
+    wouldm = vacuum_manifest(idx, staging_ttl=0.0, dry_run=True)
+    assert wouldm > 0
+    assert BloomIndex.load(spark, tmp_root, version="v00000001") is not None
+
+    assert vacuum(idx) == would
+    assert vacuum_manifest(idx, staging_ttl=0.0) == wouldm
