@@ -74,7 +74,7 @@ from bloomsearch_spark.functions.sample import (
     split_corpus,
     split_sql,
 )
-from bloomsearch_spark.functions.text import text_stats
+from bloomsearch_spark.functions.text import redact, text_stats
 from bloomsearch_spark.sketches.countmin import cms_sketch
 from bloomsearch_spark.sketches.hll import approx_distinct
 from bloomsearch_spark.sketches.kll import kll_sketch
@@ -1156,6 +1156,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # --- text analysis family ---
         "txt_stats": lambda spark, sf: text_stats(_docs(spark, sf), "text"),
+        # PII-scrub shape (r06 late): ordered global regex redaction,
+        # pure Catalyst; patterns stay in the Java/RE2 common subset so
+        # the DuckDB oracle rewrites identically
+        "pp_redact": lambda spark, sf: _docs(spark, sf).select(
+            "doc_id",
+            "lang",
+            redact(F.col("text"), (r"vector (fast|slow)", r"[0-9]+")).alias(
+                "red_text"
+            ),
+        ),
         # --- deterministic split/sample (r06 late): membership is a pure
         #     function of (salt, key) via md5 hex intervals — reproducible
         #     across runs, partitionings and ENGINES (DuckDB recomputes
@@ -2006,6 +2016,11 @@ def oracle_sql() -> dict[str, str]:
         "sim_topk": _TOPK_ORACLE,
         "sim_neardup": _NEARDUP_ORACLE,
         "txt_stats": _TXT_STATS_ORACLE,
+        "pp_redact": (
+            "SELECT doc_id, lang, regexp_replace(regexp_replace(text, "
+            "'vector (fast|slow)', '[REDACTED]', 'g'), '[0-9]+', "
+            "'[REDACTED]', 'g') AS red_text FROM documents"
+        ),
         # type widening: the Spark result reads int32 historical blocks
         # under the committed long schema; documents.n_chars is already
         # BIGINT in DuckDB, so plain equality proves the up-cast is exact

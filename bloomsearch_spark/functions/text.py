@@ -118,3 +118,15 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("lang_guess"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def redact(col: Column, patterns, replacement: str = "[REDACTED]") -> Column:
+    """PII-scrub shape: replace every match of each regex (in order) with
+    ``replacement`` — a chain of JVM-side ``regexp_replace`` calls, global
+    per pattern (Spark semantics; the SQL-oracle twin needs the 'g' flag).
+    Keep patterns in the Java-regex / RE2 common subset so engine and
+    oracle agree (same rule as BPE_PRETOKEN_RE)."""
+    out = col.cast("string")
+    for p in patterns:
+        out = F.regexp_replace(out, p, replacement)
+    return out
