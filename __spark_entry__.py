@@ -421,6 +421,37 @@ def _strm_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bs_bounds_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map BOUNDS from the manifest alone (r06 late): on the fresh
+    main index over integer columns they equal the exact min/max — the
+    bound-check oracle asserts BOTH the always-true containment
+    (lower <= min, max <= upper) and fresh-build equality; SQL recomputes
+    the exact min/max and asserts TRUE twice."""
+    from bloomsearch_spark import metadata_bounds
+
+    idx = _index(spark, sf_dir, "main")
+    b = {r.column: r for r in metadata_bounds(idx).collect()}
+    docs = _docs(spark, sf_dir)
+    rows = []
+    for c in ("n_chars", "doc_id"):
+        mn, mx = docs.agg(F.min(c), F.max(c)).first()
+        r = b[c]
+        rows.append(
+            (
+                c,
+                int(mn),
+                int(mx),
+                bool(r.lower_bound <= mn and mx <= r.upper_bound),
+                bool(r.lower_bound == mn and r.upper_bound == mx),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "col_name string, n_min long, n_max long, "
+        "bounds_ok boolean, fresh_exact boolean",
+    )
+
+
 def _strm_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup (ST4, r06 late): the streaming twin of
     ``dd_exact`` — per-fingerprint (min id, count) group state via
@@ -1145,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk_cms_counts": _sk_cms_counts,
         "sk_bloom_member": _sk_bloom_member,
         "bs_analyze_distinct": _bs_analyze_distinct,
+        "bs_bounds_meta": _bs_bounds_meta,
         "bs_hidden_partition": _bs_hidden_partition,
         "bs_fsck": _bs("fscked", lambda: new_query().token("vector").build()),
         "sk_tdigest_q": _sk_quantile_query(td_sketch, "l_extendedprice", "lineitem", 0.01),
@@ -1929,6 +1961,15 @@ def oracle_sql() -> dict[str, str]:
             f"{sel} WHERE {_any_field_tok('stream')} AND lang IN ('de', 'es') "
             "AND source IN ('src0','src2','src4','src6','src8','src10',"
             "'src12','src14','src16','src18')"
+        ),
+        "bs_bounds_meta": (
+            " UNION ALL ".join(
+                f"SELECT '{c}' AS col_name, "
+                f"CAST(min({c}) AS BIGINT) AS n_min, "
+                f"CAST(max({c}) AS BIGINT) AS n_max, "
+                "TRUE AS bounds_ok, TRUE AS fresh_exact FROM documents"
+                for c in ("n_chars", "doc_id")
+            )
         ),
         # FSCK repair: the fr partition's data was lost out-of-band and
         # repaired away — every query answers with exactly the survivors

@@ -64,7 +64,12 @@ from .plans.merge import (
 from .partition import partition_value
 from .plans.analyze import analyze, approx_distinct_meta
 from .plans.colmap import drop_column, rename_column
-from .plans.metaquery import describe_detail, metadata_count, partition_stats
+from .plans.metaquery import (
+    describe_detail,
+    metadata_bounds,
+    metadata_count,
+    partition_stats,
+)
 from .plans.needles import search_needles
 from .plans.search import (
     QueryStats,
@@ -92,5 +97,5 @@ __all__ = [
     "BloomSearchDataSource", "metadata_count", "partition_stats",
     "search_needles", "rename_column", "drop_column",
     "analyze", "approx_distinct_meta", "partition_value", "fsck",
-    "describe_detail",
+    "describe_detail", "metadata_bounds",
 ]

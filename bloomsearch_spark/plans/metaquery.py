@@ -198,3 +198,73 @@ def describe_detail(index: BloomIndex) -> DataFrame:
     return index.spark.createDataFrame([tuple(row.values())], schema).withColumn(
         "created_at", F.timestamp_seconds(F.col("created_at"))
     )
+
+
+def metadata_bounds(
+    index: BloomIndex,
+    columns: list[str] | None = None,
+    prefilter: Optional[PrefilterExpr] = None,
+) -> DataFrame:
+    """Column value BOUNDS from the zone maps alone — zero data bytes:
+    ``(column, lower_bound long, upper_bound long, n_blocks long)`` with
+    the guarantee ``lower_bound <= min(col) AND max(col) <= upper_bound``
+    over the live rows of the surviving blocks.
+
+    These are conservative OUTER bounds, not exact answers, and the op
+    says so in its name: zone maps floor/ceil float values, survive
+    row-deleting rewrites un-tightened (delete_where keeps the old maps —
+    re-tightened only by a zorder/rebuild), and include DV-masked rows.
+    On a freshly built index over integer columns they ARE the exact
+    min/max (asserted by the oracle entry); after mutations they remain
+    sound for planning (range sizing, partition layout checks) — the
+    exact answer needs a scan.
+
+    ``columns`` default to every minmax-indexed column; logical names in,
+    logical names out (zone-map keys are physical).  PARTITION-only
+    prefilters scope the block set exactly (same rule as
+    :func:`metadata_count`); blocks without a map entry for a column
+    (all-null or pre-evolution) contribute nothing, matching SQL MIN/MAX
+    null-skipping.
+    """
+    _refuse_inexact(prefilter)
+    cfg_fields = list(index.config.minmax_fields or ())
+    m = index.column_mapping()
+    inv = {p: l for l, p in m.items()}
+    if columns is None:
+        phys = cfg_fields
+    else:
+        phys = []
+        for c in columns:
+            pc_ = m.get(c, c) if m else c
+            if pc_ not in cfg_fields:
+                raise ValueError(
+                    f"metadata_bounds: {c!r} is not a minmax-indexed column "
+                    f"(minmax_fields = {cfg_fields})"
+                )
+            phys.append(pc_)
+    surviving = index.blocks().filter(compile_prefilter(prefilter))
+    per_col = None
+    for pc_ in phys:
+        one = surviving.select(
+            F.lit(pc_).alias("column"),
+            F.element_at(F.col("minmax_min"), pc_).alias("_mn"),
+            F.element_at(F.col("minmax_max"), pc_).alias("_mx"),
+        ).filter(F.col("_mn").isNotNull())
+        per_col = one if per_col is None else per_col.unionByName(one)
+    if per_col is None:
+        raise ValueError("metadata_bounds: no minmax-indexed columns")
+    out = per_col.groupBy("column").agg(
+        F.min("_mn").cast("long").alias("lower_bound"),
+        F.max("_mx").cast("long").alias("upper_bound"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+    )
+    if inv:
+        mapdf = index.spark.createDataFrame(
+            [(p, l) for p, l in inv.items()], "column string, logical string"
+        )
+        out = (
+            out.join(F.broadcast(mapdf), "column", "left")
+            .withColumn("column", F.coalesce("logical", "column"))
+            .drop("logical")
+        )
+    return out

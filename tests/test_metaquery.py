@@ -191,3 +191,66 @@ def test_vacuum_dry_run(spark, tmp_root):
 
     assert vacuum(idx) == would
     assert vacuum_manifest(idx, staging_ttl=0.0) == wouldm
+
+
+def test_metadata_bounds(spark, tmp_root):
+    """Zone-map bounds: exact on a fresh build over an integer column;
+    partition prefilter scopes exactly; bounds stay SOUND (outer) after a
+    row-deleting rewrite; unknown columns refuse."""
+    from bloomsearch_spark import delete_where, metadata_bounds
+    from bloomsearch_spark.sources.manifest import BloomIndex
+
+    cfg = IndexConfig(
+        indexed_fields=("repo", "path", "lang", "content"),
+        partition_expr="lang",
+        minmax_fields=("size_hint",),
+        max_block_rows=50,
+        blocks_per_file=4,
+    )
+    df = generate_df(spark, 400).withColumn(
+        "size_hint", (F.crc32("path") % 100000).cast("long")
+    )
+    build_index(spark, df, tmp_root, cfg)
+    idx = BloomIndex.load(spark, tmp_root)
+
+    b = {r.column: r for r in metadata_bounds(idx).collect()}
+    mn, mx = df.agg(F.min("size_hint"), F.max("size_hint")).first()
+    assert b["size_hint"].lower_bound == mn  # fresh build: exact
+    assert b["size_hint"].upper_bound == mx
+
+    lang = df.select("lang").first()[0]
+    scoped = {
+        r.column: r
+        for r in metadata_bounds(
+            idx, prefilter=Partition(Eq(lang))
+        ).collect()
+    }
+    smn, smx = (
+        df.filter(F.col("lang") == lang)
+        .agg(F.min("size_hint"), F.max("size_hint"))
+        .first()
+    )
+    assert scoped["size_hint"].lower_bound == smn
+    assert scoped["size_hint"].upper_bound == smx
+
+    with pytest.raises(ValueError, match="not a minmax-indexed column"):
+        metadata_bounds(idx, columns=["repo"])
+
+    # delete the rows holding the maximum: bounds stay sound (outer) —
+    # they may not tighten, and the live max is <= the reported upper
+    top_paths = [
+        r.path
+        for r in df.filter(F.col("size_hint") == mx).select("path").collect()
+    ]
+    q = new_query().field_token("path", top_paths[0].lower()).build()
+    idx2, st = delete_where(spark, idx, q)
+    if st.rows_deleted:
+        b2 = {r.column: r for r in metadata_bounds(idx2).collect()}
+        live = df.join(
+            spark.createDataFrame([(p,) for p in top_paths[:1]], "path string"),
+            "path",
+            "left_anti",
+        )
+        lmn, lmx = live.agg(F.min("size_hint"), F.max("size_hint")).first()
+        assert b2["size_hint"].lower_bound <= lmn
+        assert lmx <= b2["size_hint"].upper_bound
