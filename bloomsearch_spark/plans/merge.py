@@ -2649,6 +2649,7 @@ def maintain(
     zorder_by: list[str] | None = None,
     where=None,
     purge_dvs: bool = False,
+    analyze_columns: list[str] | None = None,
     fold_threshold: int = 8,
     run_vacuum: bool = False,
     retain_versions: int = 0,
@@ -2686,6 +2687,11 @@ def maintain(
     ``zorder_by`` (which already rebuilt everything).  Skipped on
     shallow clones (their block dirs belong to the source) — the one
     root where DV masks can accumulate without a local purge path.
+
+    ``analyze_columns`` re-runs :func:`plans.analyze.analyze` AFTER the
+    rewrites (the scheduled ``ANALYZE`` leg): compaction/zorder mint
+    fresh block ids, which drops those blocks from stats coverage — this
+    restores full metadata-only answers in the same housekeeping pass.
 
     Returns a stats dict: ``files_merged``, ``blocks_rewritten``,
     ``compact_skipped`` (True when ``compact_rows`` was requested on a
@@ -2738,6 +2744,22 @@ def maintain(
             )
             out["dv_purged_rows"] = pstats.rows_deleted
             out["blocks_rewritten"] += pstats.blocks_rewritten
+    if analyze_columns:
+        # recompute ANALYZE stats AFTER the rewrites (the ``ANALYZE`` leg
+        # of a scheduled OPTIMIZE): compaction/zorder minted fresh block
+        # ids, so pre-existing stats just lost coverage — re-analyzing
+        # here restores full metadata-only answers in the same pass.
+        # External overlays have no analyze (refused there by design).
+        if idx.meta().get("external"):
+            out["analyze_skipped"] = True
+        else:
+            from .analyze import analyze as _analyze
+
+            _analyze(
+                spark, root, list(analyze_columns),
+                conflict_retries=conflict_retries,
+            )
+            out["analyzed"] = True
     idx = BloomIndex.load(spark, root)  # racing commits may have landed
     if len(idx.table_refs()["blocks"]) > fold_threshold:
         fold_manifest(spark, idx, conflict_retries=conflict_retries)

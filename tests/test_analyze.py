@@ -170,3 +170,20 @@ def test_column_mapping_translation(spark, tmp_root):
     assert abs(r.n_distinct - exact) <= 4 * r.rse * max(exact, 1)
     with pytest.raises(ValueError, match="unknown columns"):
         analyze(spark, tmp_root, ["repo"])  # old logical name is gone
+
+
+def test_maintain_analyze_leg(spark, tmp_root):
+    """maintain(analyze_columns=...) restores full stats coverage after
+    its rewrites — one scheduled pass keeps metadata-only answers live."""
+    from bloomsearch_spark import maintain
+
+    df = generate_df(spark, 500)
+    build_index(spark, df, tmp_root, CFG)
+    analyze(spark, tmp_root, COLS)
+    # a compaction mints fresh block ids -> coverage would drop...
+    out = maintain(
+        spark, tmp_root, compact_rows=500, analyze_columns=COLS,
+    )
+    assert out["analyzed"] and out["blocks_rewritten"] >= 0
+    # ...but the analyze leg re-covered everything, post-rewrite layout
+    _assert_exact(df, _est(spark, tmp_root), n_rows=500)
