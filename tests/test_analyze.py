@@ -187,3 +187,32 @@ def test_maintain_analyze_leg(spark, tmp_root):
     assert out["analyzed"] and out["blocks_rewritten"] >= 0
     # ...but the analyze leg re-covered everything, post-rewrite layout
     _assert_exact(df, _est(spark, tmp_root), n_rows=500)
+
+
+def test_analyze_and_clone_interaction(spark, tmp_root):
+    """Shallow clones: the source's stats travel with the fork (refs point
+    at the source's immutable segments), an in-clone re-analyze commits to
+    the CLONE's manifest only, and deep clones answer independently."""
+    from bloomsearch_spark import clone
+
+    df = generate_df(spark, 300)
+    build_index(spark, df, tmp_root, CFG)
+    analyze(spark, tmp_root, ["repo"])
+    src = BloomIndex.load(spark, tmp_root)
+
+    sh = clone(spark, src, tmp_root + "-shallow")
+    est = _est(spark, sh.root)
+    assert set(est) == {"repo"}
+    assert est["repo"].blocks_covered == est["repo"].blocks_live
+
+    # in-clone re-analyze (reads source data via data_dir_override,
+    # commits to the clone): source's version history untouched
+    v_src_before = BloomIndex.load(spark, tmp_root).version
+    analyze(spark, sh.root, ["repo", "lang"])
+    assert BloomIndex.load(spark, tmp_root).version == v_src_before
+    assert set(_est(spark, sh.root)) == {"repo", "lang"}
+    assert set(_est(spark, tmp_root)) == {"repo"}  # source unchanged
+
+    dp = clone(spark, src, tmp_root + "-deep", shallow=False)
+    est_d = _est(spark, dp.root)
+    assert est_d["repo"].blocks_covered == est_d["repo"].blocks_live

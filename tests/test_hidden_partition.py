@@ -210,3 +210,58 @@ def test_time_range_pruning_datasource(spark, tmp_root):
     assert transform_range_value("truncate:3:c", 10) is None
     assert transform_range_value("identity:c", "abc") == "abc"
     assert transform_range_value("days:c", lo) == "2026-01-03"
+
+
+def test_hidden_partition_interactions(spark, tmp_root, tmp_path):
+    """Transform-partitioned indexes compose with the other surfaces:
+    partition_stats shows the derived ids, delete_where works (and the
+    transform config survives the maintenance commit), the changefeed
+    replays the build exactly."""
+    from bloomsearch_spark import delete_where, partition_stats
+    from bloomsearch_spark.sources.datasource import BloomSearchDataSource
+    from bloomsearch_spark.sources.manifest import BloomIndex
+
+    df = generate_df(spark, 400)
+    cfg = IndexConfig(
+        indexed_fields=("repo", "path", "content"),
+        partition_transform="bucket:8:repo",
+        max_block_rows=50,
+        blocks_per_file=4,
+    )
+    build_index(spark, df, tmp_root, cfg)
+    idx = BloomIndex.load(spark, tmp_root)
+
+    # SHOW PARTITIONS over the derived layout: ids are bucket numbers,
+    # per-bucket counts match the transform recomputed in SQL
+    stats = {r.partition_id: r.n_rows for r in partition_stats(idx).collect()}
+    exp = {
+        str(r.cell): r.n
+        for r in df.selectExpr(
+            "pmod(crc32(cast(repo as string)), 8) as cell"
+        ).groupBy("cell").count().withColumnRenamed("count", "n").collect()
+    }
+    assert stats == exp
+
+    # changefeed replay of the BUILD commit is exact over the bucket layout
+    spark.dataSource.register(BloomSearchDataSource)
+    q = (
+        spark.readStream.format("bloomsearch").option("root", tmp_root)
+        .option("starting_version", 0).load()
+        .writeStream.format("memory").queryName("hp_feed")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None
+        got = {r.path for r in spark.table("hp_feed").collect()}
+        assert got == {r.path for r in df.collect()}
+    finally:
+        q.stop()
+
+    # row-level delete over the transform layout; config carries
+    repo = df.select("repo").first()[0]
+    idx2, st = delete_where(
+        spark, idx, new_query().field_token("repo", repo.lower()).build()
+    )
+    assert idx2.config.partition_transform == "bucket:8:repo"
