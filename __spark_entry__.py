@@ -973,8 +973,35 @@ def _bs(flavor: str, qbuilder) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+# Driver-coverage rotation (VERDICT r06 item 1): the driver oracle-checks
+# the FIRST 50 ``queries()`` entries in insertion order, and 7 r06-late
+# entries sat just past the cutoff — never independently verified.  Swap
+# each into the first 50 in place of a long-stable read entry that has
+# passed 4+ consecutive driver rounds (r01-era bs_* reads).  Pure
+# reordering: no query plan, oracle SQL text, or result changes.
+_DRIVER_FRONT_SWAPS = (
+    ("bs_hidden_partition", "bs_field_miss"),
+    ("bs_fsck", "bs_minmax_gte"),
+    ("bs_type_widening", "bs_regex_and_token"),
+    ("pp_redact", "bs_token_customtok"),
+    ("pp_split", "bs_partition_in"),
+    ("pp_sample", "bs_minmax_notbetween"),
+    ("strm_dedupe", "bs_regex_or"),
+)
+
+
+def _driver_rotate(d: dict) -> dict:
+    keys = list(d)
+    pos = {k: i for i, k in enumerate(keys)}
+    for a, b in _DRIVER_FRONT_SWAPS:
+        ia, ib = pos[a], pos[b]
+        keys[ia], keys[ib] = keys[ib], keys[ia]
+        pos[a], pos[b] = ib, ia
+    return {k: d[k] for k in keys}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return _driver_rotate({
         # --- engine read path (Q1-Q14) over the bloom hierarchy ---
         "bs_token": _bs("main", lambda: new_query().token("spark").build()),
         "bs_token_miss": _bs(
@@ -1264,7 +1291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r05: native DSv2 streaming SINK — writeStream straight into
         #     the index, one exactly-once delta commit per micro-batch ---
         "strm_ds_sink": _strm_ds_sink,
-    }
+    })
 
 
 def _bs_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1787,7 +1814,7 @@ FROM base
 
 def oracle_sql() -> dict[str, str]:
     sel = f"SELECT {DOC_COLS} FROM documents"
-    return {
+    return _driver_rotate({
         "bs_token": f"{sel} WHERE {_any_field_tok('spark')}",
         "bs_token_postmerge": f"{sel} WHERE {_any_field_tok('spark')}",
         # duckdb replica of the code_identifiers tokenizer over the derived
@@ -2113,4 +2140,4 @@ def oracle_sql() -> dict[str, str]:
         "sim_lsh_topk": _ANN_BOUND_ORACLE,
         "sim_ivf_topk": _ANN_BOUND_ORACLE,
         "sim_ivf_persisted": _ANN_BOUND_ORACLE,
-    }
+    })

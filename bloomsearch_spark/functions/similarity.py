@@ -71,6 +71,31 @@ def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarra
     return rng.normal(size=(n_tables, n_planes, dim)).astype(np.float64)
 
 
+def _dim_probe(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimension via a limit-1 scan that ships ONE int to the
+    driver (the old probe collected a full vector row)."""
+    return int(df.select(F.size(F.col(vec_col))).first()[0])
+
+
+def _dim_and_count(
+    df: DataFrame, vec_col: str, dim: int | None, n_hint: int | None
+) -> tuple[int, int]:
+    """Resolve (dim, n) plan-time probes in at most ONE Spark job.  The
+    old path ran two — a ``first()`` shipping a whole vector, then a
+    ``count()`` — per call; one agg computes both (and when only one is
+    unknown, only its cheap probe runs)."""
+    if dim is not None and n_hint is not None:
+        return dim, n_hint
+    if n_hint is not None:
+        return _dim_probe(df, vec_col), n_hint
+    if dim is not None:
+        return dim, df.count()
+    row = df.agg(
+        F.first(F.size(F.col(vec_col))), F.count(F.lit(1))
+    ).first()
+    return int(row[0]), int(row[1])
+
+
 def lsh_bucket_udf(planes: np.ndarray):
     """(table, bucket) signature UDF: sign pattern of hyperplane dots.
     Vectorized: one matmul per Arrow batch."""
@@ -112,13 +137,13 @@ def lsh_topk(
     the defaults; see BENCH.md).  More planes = faster + lower recall.
     Pass ``dim``/``n_hint`` to skip the plan-time first()/count() probes
     when the caller knows the embedding dimension / corpus size."""
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
     if n_planes is None:
         import math
 
-        n = n_hint if n_hint is not None else corpus.count()
+        dim, n = _dim_and_count(corpus, vec_col, dim, n_hint)
         n_planes = max(4, math.ceil(math.log2(max(n, 512) / 256)))
+    elif dim is None:
+        dim = _dim_probe(corpus, vec_col)
     planes = _hyperplanes(dim, n_planes, n_tables, seed)
     budf = lsh_bucket_udf(planes)
 
@@ -326,16 +351,16 @@ def _neardup_raw_candidates(
     would persist on disk until an explicit unpersist, which a lazy
     operator API cannot schedule.  ``spark.catalog.clearCache()`` is the
     bulk escape hatch between jobs."""
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
     if n_planes is None:
         import math
 
-        n = n_hint if n_hint is not None else df.count()
+        dim, n = _dim_and_count(df, vec_col, dim, n_hint)
         # target ~8 vectors per bucket: deep buckets keep candidates near-
         # linear; the 32-table union keeps recall ~1 for cosine >= 0.9
         # (per-table collision p = (1 - theta/pi)^planes, miss = (1-p)^32)
         n_planes = max(4, math.ceil(math.log2(max(n, 64) / 8)))
+    elif dim is None:
+        dim = _dim_probe(df, vec_col)
     planes = _hyperplanes(dim, n_planes, n_tables, seed)
     budf = lsh_bucket_udf(planes)
     tagged = df.select(

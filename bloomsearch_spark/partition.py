@@ -89,6 +89,23 @@ def _render(v) -> str | None:
     return None
 
 
+def _time_id(kind: str, v) -> str:
+    """Explicitly zero-padded time-partition id — the python twin of the
+    write-side ``date_format(col, 'yyyy-...')``.  ``strftime('%Y')`` is NOT
+    that twin: it renders year 999 as '999' where Catalyst emits '0999', so
+    a pre-1000 date would derive a nonexistent partition id and the Eq
+    prefilter would silently MISS matching rows (ADVICE r06)."""
+    y = f"{v.year:04d}"
+    if kind == "years":
+        return y
+    if kind == "months":
+        return f"{y}-{v.month:02d}"
+    if kind == "days":
+        return f"{y}-{v.month:02d}-{v.day:02d}"
+    # hours; plain dates render hour 00 like date_format on a date col
+    return f"{y}-{v.month:02d}-{v.day:02d} {getattr(v, 'hour', 0):02d}"
+
+
 def transform_value(spec: str, v) -> str | None:
     """Partition id the build assigned a row whose source column equals
     ``v`` — or None when not derivable for this value's type (caller must
@@ -100,9 +117,9 @@ def transform_value(spec: str, v) -> str | None:
         if isinstance(v, datetime.datetime):
             if v.tzinfo is not None:
                 return None  # session-tz rendering not reproducible here
-            return v.strftime(_TIME_FMT[kind][1])
+            return _time_id(kind, v)
         if isinstance(v, datetime.date):
-            return v.strftime(_TIME_FMT[kind][1])
+            return _time_id(kind, v)
         return None
     s = _render(v)
     if s is None:

@@ -48,7 +48,22 @@ from ..sources.manifest import BloomIndex
 from .search import scan_blocks
 
 _ATOMIC_OK = ("string", "int", "bigint", "smallint", "tinyint", "float",
-              "double", "boolean", "date", "timestamp", "decimal")
+              "double", "boolean", "date", "timestamp", "timestamp_ntz",
+              "decimal")
+# columns whose pandas dtype flips with batch null-composition (nullable
+# int64 -> float64; nullable boolean -> object): values are normalized to
+# int64 before hashing so 42 and 42.0 land in the SAME HLL register —
+# without it a distinct value could occupy two registers and inflate
+# n_distinct past the published RSE bound (ADVICE r06)
+_INTLIKE = ("int", "bigint", "smallint", "tinyint", "boolean")
+
+
+def _atomic_base(simple: str) -> str:
+    """Base type name of a simpleString — ``decimal(10,2)`` -> ``decimal``.
+    Matched EXACTLY against _ATOMIC_OK: a prefix match would let interval
+    types (simpleString ``interval day to second``) slip past the
+    non-atomic refusal via the ``int`` prefix (ADVICE r06)."""
+    return simple.split("(", 1)[0].strip()
 
 
 def _schema_types(index: BloomIndex) -> dict:
@@ -104,7 +119,7 @@ def analyze(
     bad = [
         c
         for c, pc in zip(columns, phys)
-        if types and not types.get(pc, "string").startswith(_ATOMIC_OK)
+        if types and _atomic_base(types.get(pc, "string")) not in _ATOMIC_OK
     ]
     if bad:
         raise ValueError(
@@ -117,6 +132,13 @@ def analyze(
         "block_id string, column string, hll binary, "
         "null_count long, row_count long"
     )
+    # HLL value identity must not depend on pandas dtype promotion: an
+    # int column's batch arrives int64 when null-free but float64 when any
+    # null is present, and hash_array hashes 42 != 42.0 — normalize
+    # int-like columns back to int64 after dropping nulls (ADVICE r06)
+    intlike = {
+        pc for pc in phys if _atomic_base(types.get(pc, "")) in _INTLIKE
+    }
 
     def partials(batches):
         # state: (block_id, column) -> [HLL, null_count, row_count]
@@ -129,7 +151,12 @@ def analyze(
                         st = states[(bid, col)] = [HLL(p), 0, 0]
                     vals = grp[col]
                     nn = vals.dropna()
-                    st[0].add_values(nn.to_numpy())
+                    arr = nn.to_numpy()
+                    if col in intlike and arr.dtype != np.int64:
+                        arr = arr.astype(np.int64)
+                    elif arr.dtype == np.bool_:
+                        arr = arr.astype(np.int64)
+                    st[0].add_values(arr)
                     st[1] += int(len(vals) - len(nn))
                     st[2] += int(len(vals))
         if not states:
@@ -279,7 +306,13 @@ def approx_distinct_meta(
         phys = [index.to_physical(c) for c in columns]
         covered = covered.filter(F.col("column").isin(phys))
 
-    n_live = live.distinct().count()
+    # block_ids are unique within a committed manifest, so the live-block
+    # count is the blocks table's row count — parquet footer sums, zero
+    # Spark jobs (fall back to the distinct count if the driver cannot
+    # read the root)
+    n_live = index.table_rows("blocks")
+    if n_live is None:
+        n_live = live.distinct().count()
     cov_blocks = covered.select("block_id", "data_path").distinct().count()
     if cov_blocks < n_live and not allow_partial:
         raise ValueError(

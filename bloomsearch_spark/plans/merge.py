@@ -57,6 +57,11 @@ from ..sources import fs as fsx
 from ..sources import manifest as mf
 from ..sources.manifest import BloomIndex
 
+# restore's pre-flight existence sweep runs driver-side (threaded stats,
+# zero Spark jobs) up to this many block dirs; bigger manifests keep the
+# distributed mapInPandas check
+RESTORE_DRIVER_CHECK_MAX = 20_000
+
 
 @dataclass
 class MergeStats:
@@ -246,8 +251,8 @@ def merge_files(
     stats = MergeStats()
     files = index.files()
     blocks = index.blocks()
-    stats.files_before = files.count()
-    stats.blocks_before = stats.blocks_after = blocks.count()
+    stats.files_before = _manifest_count(index, "files")
+    stats.blocks_before = stats.blocks_after = _manifest_count(index, "blocks")
 
     # plan per param-group on executors; the mapping (scalar pairs, already
     # far smaller than the manifest) is reused by two joins + two counts
@@ -445,8 +450,8 @@ def compact_blocks(
     target = max_block_rows or cfg.max_block_rows
     stats = MergeStats()
     blocks = index.blocks()
-    stats.blocks_before = blocks.count()
-    stats.files_before = stats.files_after = index.files().count()
+    stats.blocks_before = _manifest_count(index, "blocks")
+    stats.files_before = stats.files_after = _manifest_count(index, "files")
 
     cand = blocks
     if where is not None:
@@ -525,8 +530,8 @@ def expire_blocks(
         )
     stats = MergeStats()
     blocks = index.blocks()
-    stats.blocks_before = blocks.count()
-    stats.files_before = index.files().count()
+    stats.blocks_before = _manifest_count(index, "blocks")
+    stats.files_before = _manifest_count(index, "files")
     # null predicate result (e.g. a minmax key the block lacks) must NOT
     # expire the block — expiry is opt-in, pruning is conservative
     new_blocks = blocks.filter(~F.coalesce(expired, F.lit(False)))
@@ -670,8 +675,8 @@ def optimize_zorder(
     cfg = index.config
     stats = DeleteStats()
     blocks = index.blocks()
-    stats.blocks_before = blocks.count()
-    stats.files_before = index.files().count()
+    stats.blocks_before = _manifest_count(index, "blocks")
+    stats.files_before = _manifest_count(index, "files")
 
     scoped, untouched = blocks, None
     if where is not None:
@@ -792,6 +797,21 @@ _DELETE_PLAN_SCHEMA = (
 )
 
 
+def _manifest_count(index: BloomIndex, name: str) -> int:
+    """Manifest-table row count WITHOUT a Spark job: parquet footer sums
+    (exact — segments are immutable, one row per block/file).  Falls back
+    to a ``count()`` job only when the driver cannot read the root through
+    pyarrow.  The mutation ops (delete/upsert/restore/dv) take their
+    before/after stats through this, shaving 2-4 manifest-scan jobs per
+    commit off the driver-latency path (guide §5: the driver should do
+    almost no data work — these counts are O(segment footers))."""
+    n = index.table_rows(name)
+    if n is not None:
+        return n
+    df = index.files() if name == "files" else index.blocks()
+    return df.count()
+
+
 def _make_delete_fn(data_dir: str, codec_kw: dict, nonce: str, drop_cols: tuple):
     import pyarrow as _pa
 
@@ -906,8 +926,8 @@ def delete_where(
 
     stats = DeleteStats()
     blocks = index.blocks()
-    stats.blocks_before = blocks.count()
-    stats.files_before = index.files().count()
+    stats.blocks_before = _manifest_count(index, "blocks")
+    stats.files_before = _manifest_count(index, "files")
 
     surviving = prune_blocks(index, query)
     data = scan_blocks(index, surviving)
@@ -971,8 +991,8 @@ def _delete_where_dv(
 
     stats = DeleteStats()
     blocks = index.blocks()
-    stats.blocks_before = stats.blocks_after = blocks.count()
-    stats.files_before = stats.files_after = index.files().count()
+    stats.blocks_before = stats.blocks_after = _manifest_count(index, "blocks")
+    stats.files_before = stats.files_after = _manifest_count(index, "files")
 
     surviving = prune_blocks(index, query)
     data = scan_blocks(index, surviving, with_pos=True)
@@ -1339,8 +1359,8 @@ def purge_deletion_vectors(
         )
     stats = DeleteStats()
     blocks = index.blocks()
-    stats.blocks_before = blocks.count()
-    stats.files_before = stats.files_after = index.files().count()
+    stats.blocks_before = _manifest_count(index, "blocks")
+    stats.files_before = stats.files_after = _manifest_count(index, "files")
     dv = index.dv_positions()
     if dv is None:
         stats.blocks_after = stats.blocks_before
@@ -1529,6 +1549,39 @@ def upsert_keys(
                                    max_pruned_keys, delete_keys_df,
                                    meta_extra, use_deletion_vectors),
         )
+    # MATERIALIZE the merge source: its plan is otherwise executed twice
+    # (the key collect, then the insert staging pass) — for a CDC source
+    # that is itself a query, twice the cost; for a non-deterministic one,
+    # a delete/insert key mismatch.  Delta MERGE materializes its source
+    # for the same two reasons.  MEMORY_AND_DISK: batches are
+    # CDC-apply-sized by contract, and spill keeps big ones correct.
+    from pyspark.storagelevel import StorageLevel
+
+    if source_df.storageLevel == StorageLevel.NONE:
+        source_df = source_df.persist(StorageLevel.MEMORY_AND_DISK)
+        _persisted = source_df
+    else:
+        _persisted = None  # caller already persisted: leave lifecycle alone
+    try:
+        return _upsert_keys_impl(
+            spark, index, source_df, key_field, max_pruned_keys,
+            delete_keys_df, meta_extra, use_deletion_vectors,
+        )
+    finally:
+        if _persisted is not None:
+            _persisted.unpersist()
+
+
+def _upsert_keys_impl(
+    spark: SparkSession,
+    index: BloomIndex,
+    source_df: DataFrame,
+    key_field: str,
+    max_pruned_keys: int,
+    delete_keys_df: DataFrame | None,
+    meta_extra: dict | None,
+    use_deletion_vectors: bool,
+) -> tuple[BloomIndex, DeleteStats]:
     if index.meta().get("external", False):
         raise ValueError(
             "upsert_keys rewrites block data and is not applicable to a "
@@ -1600,8 +1653,8 @@ def upsert_keys(
 
     stats = DeleteStats()
     blocks = index.blocks()
-    stats.blocks_before = blocks.count()
-    stats.files_before = index.files().count()
+    stats.blocks_before = _manifest_count(index, "blocks")
+    stats.files_before = _manifest_count(index, "files")
 
     keys = keys_src.select(F.col(key_field).alias("_bs_key"))
     if delete_keys_df is not None:
@@ -1713,7 +1766,13 @@ def upsert_keys(
         F.col("file_fieldtoken_bloom").alias("fieldtoken_bloom"),
     )
 
-    if stats.rows_deleted == 0 and staged_blocks.limit(1).count() == 0:
+    try:
+        # staging footer rows: file rows only ever accompany block rows,
+        # so zero total rows ⟺ zero staged blocks — no Spark job needed
+        staged_empty = fsx.parquet_dir_rows(staging) == 0
+    except Exception:
+        staged_empty = staged_blocks.limit(1).count() == 0
+    if stats.rows_deleted == 0 and staged_empty:
         # nothing matched, nothing to insert: commit NOTHING (a CDC
         # stream's empty/irrelevant micro-batch must not churn versions)
         if plan is not None:
@@ -1782,8 +1841,8 @@ def upsert_keys(
 
         v = mf.publish_commit(index.root, finalize, expected=index.version)
         out_ix = mf.BloomIndex(spark, index.root, v)
-        stats.blocks_after = out_ix.blocks().count()
-        stats.files_after = out_ix.files().count()
+        stats.blocks_after = _manifest_count(out_ix, "blocks")
+        stats.files_after = _manifest_count(out_ix, "files")
         fsx.delete_dir(scratch)
         return out_ix, stats
 
@@ -1936,32 +1995,65 @@ def restore(
     if verify_data:
         ext = bool(target.meta().get("external", False))
         data_dir = target.data_dir
+        n_blk = target.table_rows("blocks")
+        missing: list[str] | None = None
+        if n_blk is not None and n_blk <= RESTORE_DRIVER_CHECK_MAX:
+            # small manifest: the existence sweep is driver-side — the
+            # data_path column comes straight from the segment parquet
+            # (KBs) and a 32-thread pool covers object-store HEAD latency;
+            # zero Spark jobs where the distributed path paid a shuffle +
+            # a Python-worker stage just to stat a few dozen dirs
+            try:
+                paths = sorted(
+                    {
+                        p
+                        for seg in target.table_paths("blocks")
+                        for p in fsx.read_parquet_dir(
+                            seg, columns=["data_path"]
+                        )["data_path"].to_pylist()
+                    }
+                )
+                from concurrent.futures import ThreadPoolExecutor
 
-        def _check(it):
-            from ..sources import fs as _fsx
+                def _gone(rel):
+                    p = rel if ext else fsx.join(data_dir, rel)
+                    return None if fsx.exists(p) else rel
 
-            for pdf in it:
-                missing = []
-                for rel in pdf["data_path"]:
-                    p = rel if ext else _fsx.join(data_dir, rel)
-                    if not _fsx.exists(p):
-                        missing.append(rel)
-                yield pd.DataFrame({"data_path": missing})
+                with ThreadPoolExecutor(max_workers=32) as ex2:
+                    missing = [m for m in ex2.map(_gone, paths) if m]
+            except Exception:
+                missing = None  # driver cannot read the root: go distributed
+        if missing is None:
 
-        gone = (
-            target.blocks()
-            .select("data_path")
-            .repartition(32)
-            .mapInPandas(_check, "data_path string")
-        )
-        n_gone = gone.count()
-        if n_gone:
-            sample = [r.data_path for r in gone.limit(3).collect()]
+            def _check(it):
+                from ..sources import fs as _fsx
+
+                for pdf in it:
+                    miss = []
+                    for rel in pdf["data_path"]:
+                        p = rel if ext else _fsx.join(data_dir, rel)
+                        if not _fsx.exists(p):
+                            miss.append(rel)
+                    yield pd.DataFrame({"data_path": miss})
+
+            gone = (
+                target.blocks()
+                .select("data_path")
+                .repartition(32)
+                .mapInPandas(_check, "data_path string")
+            )
+            # bounded: a fully-vacuumed huge manifest must not collect
+            # every missing path to the driver — 4 examples + a count
+            missing = [r.data_path for r in gone.limit(4).collect()]
+            n_gone = gone.count() if len(missing) > 3 else len(missing)
+        else:
+            n_gone = len(missing)
+        if missing:
             raise ValueError(
-                f"cannot restore to {target.version}: {n_gone} of its block "
-                f"data dirs were vacuumed (e.g. {sample}) — keep a "
-                "retain_versions/retain_time vacuum window covering every "
-                "version you want restorable"
+                f"cannot restore to {target.version}: {n_gone} of its "
+                f"block data dirs were vacuumed (e.g. {sorted(missing)[:3]}) "
+                "— keep a retain_versions/retain_time vacuum window covering "
+                "every version you want restorable"
             )
 
     root = index.root
@@ -2203,11 +2295,27 @@ def _commit(
     # vacuum_manifest, never corruption.
     seg_name = f"{version_guess}-{op}-{uuid.uuid4().hex[:8]}"
     seg_dir = mf.segment_dir(root, seg_name)
-    new_blocks.write.mode("overwrite").parquet(fsx.join(seg_dir, "blocks.parquet"))
+    # blocks/files segments are independent manifest-sized jobs: submit
+    # them from driver threads so the commit's fixed cost is max(job)
+    # instead of sum(jobs) — same discipline as the build's segment writes
+    # (plans/build.py; guide §2.6 overlap-independent-jobs)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fb = ex.submit(
+            lambda: new_blocks.write.mode("overwrite").parquet(
+                fsx.join(seg_dir, "blocks.parquet")
+            )
+        )
+        ff = ex.submit(
+            lambda: new_files.write.mode("overwrite").parquet(
+                fsx.join(seg_dir, "files.parquet")
+            )
+        )
+        fb.result(), ff.result()
     committed_blocks = spark.read.schema(mf.BLOCKS_SCHEMA).parquet(
         fsx.join(seg_dir, "blocks.parquet")
     )
-    new_files.write.mode("overwrite").parquet(fsx.join(seg_dir, "files.parquet"))
 
     # lineage DELTA: this op's rows only — parent segments are referenced
     committed_blocks.select(
@@ -2256,8 +2364,8 @@ def _commit(
 
     version = mf.publish_commit(root, finalize, expected=index.version)
     out = mf.BloomIndex(spark, root, version)
-    stats.files_after = out.files().count()
-    stats.blocks_after = out.blocks().count()
+    stats.files_after = _manifest_count(out, "files")
+    stats.blocks_after = _manifest_count(out, "blocks")
     return out, stats
 
 

@@ -31,13 +31,30 @@ import numpy as np
 from .. import bloom as bl
 
 
+def _render_tokens(values) -> np.ndarray:
+    """Canonical string rendering for bloom keys — BUILD and PROBE must
+    agree for any batch null-composition.  A nullable int64 column arrives
+    as float64 in batches containing any null (pandas promotion) but int64
+    in null-free ones, so a bare ``str()`` would insert '42.0' and probe
+    '42' — a FALSE NEGATIVE violating the no-false-negatives guarantee.
+    Integral floats therefore render as ints (42.0 -> '42'), matching the
+    engine tokenizer's Go-%v convention (tokenizer.go / go_format_value)."""
+    arr = np.asarray(values, dtype=object)
+    out = np.empty(len(arr), dtype=object)
+    for i, v in enumerate(arr):
+        if isinstance(v, float) and not (math.isnan(v) or math.isinf(v)) and v.is_integer():
+            out[i] = str(int(v))
+        else:
+            out[i] = str(v)
+    return out
+
+
 class BloomSketch:
     """Mergeable Bloom membership sketch over arbitrary values.
 
-    Values are rendered with ``str()`` before hashing so numeric and string
-    inputs are stable across arrow batches (the same convention as the
-    engine's tokenizer: tokens are strings).
-    """
+    Values are rendered canonically (``_render_tokens``: str(), integral
+    floats as ints) before hashing so numeric and string inputs are stable
+    across arrow batches regardless of null composition."""
 
     __slots__ = ("params", "bitset")
 
@@ -56,8 +73,7 @@ class BloomSketch:
     def add_values(self, values) -> None:
         if len(values) == 0:
             return
-        toks = np.asarray([str(v) for v in np.asarray(values, dtype=object)], dtype=object)
-        bl.insert(self.bitset, toks, self.params)
+        bl.insert(self.bitset, _render_tokens(values), self.params)
 
     # -- probe ---------------------------------------------------------------
     def contains(self, values) -> np.ndarray:
@@ -65,8 +81,7 @@ class BloomSketch:
         False = DEFINITELY absent (blooms only disqualify)."""
         if len(values) == 0:
             return np.zeros(0, dtype=bool)
-        toks = np.asarray([str(v) for v in np.asarray(values, dtype=object)], dtype=object)
-        return bl.probe(self.bitset, toks, self.params)
+        return bl.probe(self.bitset, _render_tokens(values), self.params)
 
     # -- merge (associative + commutative + idempotent) -----------------------
     def merge(self, other: "BloomSketch") -> "BloomSketch":
@@ -173,6 +188,21 @@ def bloom_contains(probes, probe_col: str, merged, key_cols=()):
         f"{f.name} {f.dataType.simpleString()}" for f in probes.schema.fields
     ) + ", maybe_present boolean"
 
+    def _norm_key(kt) -> tuple:
+        # pandas groupby(dropna=False) renders a null key as NaN/NaT while
+        # the Spark-collected blob dict holds None — normalize so the
+        # null-keyed group finds its sketch (a miss probed the whole group
+        # as definitely-absent: false negatives)
+        out = []
+        for v in kt:
+            if v is None or v is pd.NaT or (
+                isinstance(v, float) and math.isnan(v)
+            ):
+                out.append(None)
+            else:
+                out.append(v)
+        return tuple(out)
+
     def fn(batches):
         sketches: dict[tuple, BloomSketch] = {}
         for kt, raw in bblobs.value.items():
@@ -181,7 +211,7 @@ def bloom_contains(probes, probe_col: str, merged, key_cols=()):
             res = np.zeros(len(pdf), dtype=bool)
             if keys:
                 for kt, grp in pdf.groupby(keys, dropna=False, sort=False):
-                    kt = kt if isinstance(kt, tuple) else (kt,)
+                    kt = _norm_key(kt if isinstance(kt, tuple) else (kt,))
                     sk = sketches.get(kt)
                     if sk is not None:
                         res[grp.index.to_numpy()] = sk.contains(

@@ -821,19 +821,31 @@ class BloomIndex:
         credentials), returns a large sentinel so the query path falls
         back to the hierarchical probe — correct on any root — instead of
         failing the whole search."""
-        n = getattr(self, "_n_blocks", None)
-        if n is None:
+        # do NOT cache the sentinel: a transient FS error must not pin the
+        # slow hierarchical path for the handle's lifetime (ADVICE r03) —
+        # table_rows returns None uncached on failure, so the next call
+        # retries the footer read
+        n = self.table_rows("blocks")
+        return 2**62 if n is None else n
+
+    def table_rows(self, name: str) -> int | None:
+        """Exact row count of a manifest table from parquet FOOTERS (no
+        Spark job; cached per handle — versions are immutable).  Segments
+        are immutable row-append-free parquet, so summing footer
+        ``num_rows`` equals ``count()`` exactly.  Returns None when the
+        driver cannot read the root through pyarrow (e.g. credentials only
+        in Spark's Hadoop conf) — callers fall back to a ``count()`` job."""
+        cache = getattr(self, "_table_rows", None)
+        if cache is None:
+            cache = self._table_rows = {}
+        if name not in cache:
             try:
-                n = sum(
-                    fsx.parquet_dir_rows(p) for p in self.table_paths("blocks")
+                cache[name] = sum(
+                    fsx.parquet_dir_rows(p) for p in self.table_paths(name)
                 )
             except Exception:
-                # do NOT cache the sentinel: a transient FS error must not
-                # pin the slow hierarchical path for the handle's lifetime
-                # (ADVICE r03) — the next call retries the footer read
-                return 2**62
-            self._n_blocks = n
-        return n
+                return None
+        return cache[name]
 
     def probe_view(self, level: str, bloom_cols: frozenset | None) -> DataFrame:
         """Column-pruned, independently cached slice of a manifest level

@@ -216,3 +216,35 @@ def test_analyze_and_clone_interaction(spark, tmp_root):
     dp = clone(spark, src, tmp_root + "-deep", shallow=False)
     est_d = _est(spark, dp.root)
     assert est_d["repo"].blocks_covered == est_d["repo"].blocks_live
+
+
+def test_analyze_nullable_int_hll_identity(spark, tmp_root):
+    """HLL value identity across batch null-composition: a nullable int
+    column arrives float64 in batches with nulls and int64 in null-free
+    ones; hashing must land 42 and 42.0 in the SAME register or
+    n_distinct inflates past the published bound (ADVICE r06).  Nulls are
+    confined to the second half so some BLOCK FILES (and hence some scan
+    batches) are null-free int64 while others are float64-promoted."""
+    rows = [
+        (i, None if (i >= 300 and i % 3 == 0) else (i % 7)) for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "id long, k long")
+    cfg = IndexConfig(indexed_fields=("id",), max_block_rows=50)
+    build_index(spark, df, tmp_root, cfg)
+    analyze(spark, tmp_root, ["k"])
+    r = _est(spark, tmp_root)["k"]
+    exact = df.select(F.countDistinct("k")).first()[0]  # 6 (k=0 kept, None not)
+    assert abs(r.n_distinct - exact) <= 4 * r.rse * max(exact, 1), (r, exact)
+    assert r.null_count == df.filter(F.col("k").isNull()).count()
+
+
+def test_analyze_refuses_interval_like_prefix(spark, tmp_root):
+    """The atomic-type gate matches base types EXACTLY: 'interval day to
+    second' must not slip past via the 'int' prefix (ADVICE r06)."""
+    df = generate_df(spark, 60).withColumn(
+        "iv", F.expr("INTERVAL '3' DAY")
+    )
+    cfg = IndexConfig(indexed_fields=("repo",), max_block_rows=50)
+    build_index(spark, df, tmp_root, cfg)
+    with pytest.raises(ValueError, match="non-atomic"):
+        analyze(spark, tmp_root, ["iv"])

@@ -46,6 +46,11 @@ def test_transform_twins_match_catalyst(spark):
         ("hours:c", "timestamp", [datetime.datetime(2026, 1, 2, 3, 4, 5)]),
         ("months:c", "date", [datetime.date(1999, 12, 31)]),
         ("years:c", "date", [datetime.date(2000, 1, 1)]),
+        # pre-1000 years: Catalyst date_format zero-pads ('0999') where
+        # strftime('%Y') does not — the twin must pad (ADVICE r06)
+        ("years:c", "date", [datetime.date(999, 3, 7)]),
+        ("days:c", "date", [datetime.date(7, 1, 2)]),
+        ("hours:c", "timestamp", [datetime.datetime(999, 6, 5, 4, 3, 2)]),
     ]
     for spec, typ, vals in cases:
         for v in vals:

@@ -345,3 +345,38 @@ def test_spark_bloom_membership(spark, doc_tokens, tmp_path):
 
     p = max(BloomSketch.from_bytes(b).fp_rate_bound() for b in resumed.values())
     assert n_fp <= n_abs * p + 4 * (n_abs * p * (1 - p)) ** 0.5 + 1, (n_fp, n_abs, p)
+
+
+def test_bloom_sketch_nullable_numeric_no_false_negatives(spark):
+    """Nullable int64 columns: pandas promotes null-containing batches to
+    float64, so the build side sees 42.0 while a null-free probe batch
+    sees 42 — canonical rendering must keep them the SAME key (ADVICE
+    r06: str() alone inserted '42.0' and probed '42', a false negative).
+    Also: the NULL-keyed group must find its sketch (collect() None vs
+    groupby NaN key)."""
+    from bloomsearch_spark.sketches.bloomsketch import (
+        BloomSketch,
+        bloom_contains,
+        bloom_sketch_df,
+    )
+
+    # direct kernel check: float64-promoted build, int64 probe
+    sk = BloomSketch(1 << 10, 0.01)
+    sk.add_values(np.array([1.0, 42.0, 7.0]))  # what a nulled batch yields
+    assert sk.contains(np.array([1, 42, 7], dtype=np.int64)).all()
+
+    # end-to-end: values with nulls (forces float64 batches), numeric +
+    # NULL group keys
+    rows = [(g, v) for g in (1, 2, None) for v in (11, 42, None, 7)]
+    df = spark.createDataFrame(rows, "grp long, val long")
+    merged = bloom_sketch_df(
+        df.filter(F.col("val").isNotNull()), "val", ("grp",),
+        expected_items=1 << 10, fpr=0.01,
+    )
+    # probe a null-FREE frame (int64 batches) incl. the NULL-keyed group
+    probes = df.filter(F.col("val").isNotNull())
+    out = bloom_contains(probes, "val", merged, ("grp",))
+    n, hits = out.agg(
+        F.count("*"), F.sum(F.col("maybe_present").cast("long"))
+    ).first()
+    assert n == 9 and hits == n, (n, hits)  # zero false negatives
