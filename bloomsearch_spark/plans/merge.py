@@ -2536,8 +2536,8 @@ def fsck(
 
     blocks = index.blocks(cache=False)
     stats = DeleteStats()
-    stats.blocks_before = blocks.count()
-    stats.files_before = index.files(cache=False).count()
+    stats.blocks_before = _manifest_count(index, "blocks")
+    stats.files_before = _manifest_count(index, "files")
     new_blocks = blocks.join(missing, "data_path", "left_anti")
     live_files = new_blocks.select("file_id").distinct()
     new_files = index.files(cache=False).join(
