@@ -403,6 +403,111 @@ def _stage_done(path: str) -> bool:
     return fsx.exists(fsx.join(path, "_SUCCESS"))
 
 
+# Driver-side segment writes apply while the staging output stays under
+# this many bytes (env-overridable): a small batch's blocks/files/lineage
+# tables are manifest-sized, and three Spark jobs re-reading the staging
+# parquet cost ~0.6-0.9 s of pure fixed latency where one pyarrow read +
+# three atomic writes cost ~50 ms (guide §5: the driver SHOULD do
+# manifest-sized work).  Big batches (a 100 TB build's staging is GBs)
+# keep the distributed writes.
+DRIVER_SEGMENT_MAX_BYTES = int(
+    os.environ.get("BLOOMSEARCH_DRIVER_SEGMENT_MAX_BYTES", str(256 << 20))
+)
+
+_SEG_WRITE_KW = {"compression": "snappy", "write_page_checksum": True}
+
+
+def _write_segments_driver(
+    seg_dir: str, staging: str, cfg: IndexConfig, build_id: str, source_desc: str
+) -> bool:
+    """Write the build's {blocks,files,lineage} segment tables DRIVER-SIDE
+    from one pyarrow read of the staging parquet — zero Spark jobs.
+
+    Returns False (caller falls back to the Spark writes) for the
+    clustered path (its file rollup spans tasks), for staging outputs
+    over ``DRIVER_SEGMENT_MAX_BYTES``, or when the driver cannot read the
+    root through pyarrow.  Content parity with the Spark path: same
+    columns/types (read back under the same explicit schemas), blocks
+    sorted by partition_id with small row groups so the pushed partition
+    prefilter still prunes at row-group granularity, and per-table
+    _SUCCESS markers so a resumed build skips completed tables exactly
+    like the Spark path."""
+    if cfg.block_expr is not None:
+        return False
+    try:
+        files = fsx.list_parquet_files(staging)
+        if not files:
+            return False  # empty dir shape is the Spark path's business
+        fs0, _ = fsx.resolve(staging)
+        total = 0
+        for f in files:
+            _, p = fsx.resolve(f)
+            info = fs0.get_file_info([p])[0]
+            total += info.size or 0
+        if total > DRIVER_SEGMENT_MAX_BYTES:
+            return False
+        st = fsx.read_parquet_dir(staging)
+        import pyarrow.compute as pc
+
+        is_block = pc.is_valid(st["block_id"])
+        blocks = st.filter(is_block).select(
+            [
+                "file_id", "block_id", "partition_id", "data_path",
+                "row_count", "token_count", "byte_size",
+                "minmax_min", "minmax_max", "expected_items", "fpr",
+                "field_bloom", "token_bloom", "fieldtoken_bloom",
+            ]
+        ).sort_by("partition_id")
+        frows = st.filter(pc.invert(is_block))
+        files_tbl = pa.table(
+            {
+                "file_id": frows["file_id"],
+                "partition_id": frows["partition_id"],
+                "block_count": frows["block_count"],
+                "row_count": frows["row_count"],
+                "token_count": frows["token_count"],
+                "byte_size": frows["byte_size"],
+                "minmax_min": frows["minmax_min"],
+                "minmax_max": frows["minmax_max"],
+                "expected_items": frows["file_expected_items"],
+                "fpr": frows["file_fpr"],
+                "field_bloom": frows["file_field_bloom"],
+                "token_bloom": frows["file_token_bloom"],
+                "fieldtoken_bloom": frows["file_fieldtoken_bloom"],
+            }
+        )
+        n = blocks.num_rows
+        now = time.time()
+        lineage = pa.table(
+            {
+                "build_id": pa.array([build_id] * n, pa.string()),
+                "file_id": blocks["file_id"],
+                "block_id": blocks["block_id"],
+                "partition_id": blocks["partition_id"],
+                "source_desc": pa.array([source_desc] * n, pa.string()),
+                "rows_indexed": blocks["row_count"],
+                "tokens_inserted": blocks["token_count"],
+                "op": pa.array(["build"] * n, pa.string()),
+                "committed_at": pa.array([now] * n, pa.float64()),
+            }
+        )
+        for name, tbl in (
+            ("blocks", blocks), ("files", files_tbl), ("lineage", lineage)
+        ):
+            out = fsx.join(seg_dir, f"{name}.parquet")
+            if _stage_done(out):
+                continue  # resumed build: this table already committed
+            fsx.delete_dir(out)  # a partial prior attempt must not mix in
+            fsx.write_parquet_atomic(
+                out, tbl, "part-0.parquet",
+                row_group_size=4096, **_SEG_WRITE_KW,
+            )
+            fsx.write_bytes_atomic(fsx.join(out, "_SUCCESS"), b"")
+        return True
+    except Exception:
+        return False  # any driver-side surprise: the Spark path is always sound
+
+
 def _estimate_rows(spark: SparkSession, df: DataFrame) -> int:
     """Row-count estimate WITHOUT a Spark job: sum parquet footer
     ``num_rows`` over the plan's input files (footer reads are O(KB) each,
@@ -690,27 +795,30 @@ def build_index(
     # DELTA commit: only this batch's manifest rows are written, as one
     # immutable segment — an append never rewrites the existing manifest
     # (O(batch) bytes per commit; the delta MetaStore.Update contract,
-    # meta_store.go:8-22).  The three writes are independent
-    # manifest-sized jobs; submit them concurrently from driver threads so
-    # the post-staging fixed cost is max(job) instead of sum(jobs) — part
-    # of the build's NON-parallel term in the scaling fit (BENCH.md §2)
+    # meta_store.go:8-22).
     seg_name = f"{attempt}-build"
     seg_dir = mf.segment_dir(root, seg_name)
-    from concurrent.futures import ThreadPoolExecutor
+    if not _write_segments_driver(seg_dir, staging, cfg, build_id, source_desc):
+        # big batch (or driver cannot read the root / clustered path):
+        # the three writes are independent manifest-sized Spark jobs;
+        # submit them concurrently from driver threads so the
+        # post-staging fixed cost is max(job) instead of sum(jobs) — part
+        # of the build's NON-parallel term in the scaling fit (BENCH.md §2)
+        from concurrent.futures import ThreadPoolExecutor
 
-    def _write(arg):
-        name, d = arg
-        out = fsx.join(seg_dir, f"{name}.parquet")
-        if not _stage_done(out):
-            d.write.mode("overwrite").parquet(out)
+        def _write(arg):
+            name, d = arg
+            out = fsx.join(seg_dir, f"{name}.parquet")
+            if not _stage_done(out):
+                d.write.mode("overwrite").parquet(out)
 
-    with ThreadPoolExecutor(max_workers=3) as ex:
-        list(
-            ex.map(
-                _write,
-                (("blocks", new_blocks), ("files", new_files), ("lineage", new_lineage)),
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            list(
+                ex.map(
+                    _write,
+                    (("blocks", new_blocks), ("files", new_files), ("lineage", new_lineage)),
+                )
             )
-        )
 
     # finalize runs inside the commit lock, O(meta.json) work only: reads
     # the FRESH predecessor (an append adapts to whatever committed since
