@@ -1185,20 +1185,32 @@ def _mint_dv_delta(
                 "single-part, so this index was modified out-of-band.  Use "
                 "the rewrite path (use_deletion_vectors=False)"
             )
-        plan.select("block_id", "data_path", "positions", "dv_count").write.mode(
-            "overwrite"
-        ).parquet(fsx.join(seg_dir, "dvs.parquet"))
-        plan.select(
-            F.lit(version_guess).alias("build_id"),
-            "file_id",
-            "block_id",
-            "partition_id",
-            F.lit(op).alias("source_desc"),
-            (-F.col("dv_count")).cast("long").alias("rows_indexed"),
-            F.lit(0).cast("long").alias("tokens_inserted"),
-            F.lit(op).alias("op"),
-            F.lit(time.time()).alias("committed_at"),
-        ).write.mode("overwrite").parquet(fsx.join(seg_dir, "lineage.parquet"))
+        # both segment tables project the PERSISTED plan — two independent
+        # manifest-sized jobs, submitted concurrently (guide §2.6), same
+        # discipline as _commit's blocks∥files writes
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _w_dvs():
+            plan.select(
+                "block_id", "data_path", "positions", "dv_count"
+            ).write.mode("overwrite").parquet(fsx.join(seg_dir, "dvs.parquet"))
+
+        def _w_lin():
+            plan.select(
+                F.lit(version_guess).alias("build_id"),
+                "file_id",
+                "block_id",
+                "partition_id",
+                F.lit(op).alias("source_desc"),
+                (-F.col("dv_count")).cast("long").alias("rows_indexed"),
+                F.lit(0).cast("long").alias("tokens_inserted"),
+                F.lit(op).alias("op"),
+                F.lit(time.time()).alias("committed_at"),
+            ).write.mode("overwrite").parquet(fsx.join(seg_dir, "lineage.parquet"))
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            fd, fl = ex.submit(_w_dvs), ex.submit(_w_lin)
+            fd.result(), fl.result()
         return nd, nb
     finally:
         plan.unpersist()
@@ -2313,11 +2325,22 @@ def _commit(
             )
         )
         fb.result(), ff.result()
+    # lineage DELTA: this op's rows only — parent segments are referenced.
+    # Derived from the already-committed blocks segment; for segments
+    # under the driver byte gate that is one pyarrow read + one atomic
+    # write (zero Spark jobs), else one Spark job over the read-back.
+    if _write_lineage_driver(seg_dir, version_guess, op):
+        version = _finalize_commit(
+            spark, index, seg_name, op, meta_extra, carry_dvs
+        )
+        out = mf.BloomIndex(spark, root, version)
+        stats.files_after = _manifest_count(out, "files")
+        stats.blocks_after = _manifest_count(out, "blocks")
+        return out, stats
     committed_blocks = spark.read.schema(mf.BLOCKS_SCHEMA).parquet(
         fsx.join(seg_dir, "blocks.parquet")
     )
 
-    # lineage DELTA: this op's rows only — parent segments are referenced
     committed_blocks.select(
         F.lit(version_guess).alias("build_id"),
         "file_id",
@@ -2330,6 +2353,75 @@ def _commit(
         F.lit(time.time()).alias("committed_at"),
     ).write.mode("overwrite").parquet(fsx.join(seg_dir, "lineage.parquet"))
 
+    version = _finalize_commit(spark, index, seg_name, op, meta_extra, carry_dvs)
+    out = mf.BloomIndex(spark, root, version)
+    stats.files_after = _manifest_count(out, "files")
+    stats.blocks_after = _manifest_count(out, "blocks")
+    return out, stats
+
+
+def _write_lineage_driver(seg_dir: str, build_id: str, op: str) -> bool:
+    """Derive the commit's lineage DELTA driver-side from the
+    just-written blocks segment: one pyarrow column read + one atomic
+    write, zero Spark jobs.  Applies under the same byte gate as the
+    build's driver-side segment writes; returns False (caller runs the
+    Spark read-back + write) for big segments or driver-unreadable
+    roots."""
+    import pyarrow as pa
+
+    from .build import DRIVER_SEGMENT_MAX_BYTES, _SEG_WRITE_KW
+
+    blocks_dir = fsx.join(seg_dir, "blocks.parquet")
+    try:
+        files = fsx.list_parquet_files(blocks_dir)
+        if not files:
+            return False
+        fs0, _ = fsx.resolve(blocks_dir)
+        total = 0
+        for f in files:
+            _, p = fsx.resolve(f)
+            total += fs0.get_file_info([p])[0].size or 0
+        if total > DRIVER_SEGMENT_MAX_BYTES:
+            return False
+        btbl = fsx.read_parquet_dir(
+            blocks_dir,
+            columns=["file_id", "block_id", "partition_id",
+                     "row_count", "token_count"],
+        )
+        n = btbl.num_rows
+        lineage = pa.table(
+            {
+                "build_id": pa.array([build_id] * n, pa.string()),
+                "file_id": btbl["file_id"],
+                "block_id": btbl["block_id"],
+                "partition_id": btbl["partition_id"],
+                "source_desc": pa.array([op] * n, pa.string()),
+                "rows_indexed": btbl["row_count"],
+                "tokens_inserted": btbl["token_count"],
+                "op": pa.array([op] * n, pa.string()),
+                "committed_at": pa.array([time.time()] * n, pa.float64()),
+            }
+        )
+        out = fsx.join(seg_dir, "lineage.parquet")
+        fsx.delete_dir(out)
+        fsx.write_parquet_atomic(out, lineage, "part-0.parquet", **_SEG_WRITE_KW)
+        fsx.write_bytes_atomic(fsx.join(out, "_SUCCESS"), b"")
+        return True
+    except Exception:
+        return False
+
+
+def _finalize_commit(
+    spark: SparkSession,
+    index: BloomIndex,
+    seg_name: str,
+    op: str,
+    meta_extra: dict | None,
+    carry_dvs: bool,
+) -> str:
+    """Publish a maintenance op's segment as the new version (shared by
+    the driver-side and Spark lineage paths of ``_commit``)."""
+    root = index.root
     meta = index.meta()
 
     def finalize(prev_version: str | None) -> str:
@@ -2362,11 +2454,7 @@ def _commit(
         )
         return version
 
-    version = mf.publish_commit(root, finalize, expected=index.version)
-    out = mf.BloomIndex(spark, root, version)
-    stats.files_after = _manifest_count(out, "files")
-    stats.blocks_after = _manifest_count(out, "blocks")
-    return out, stats
+    return mf.publish_commit(root, finalize, expected=index.version)
 
 
 def vacuum(
